@@ -1,13 +1,54 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.oracle.OracleSql
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a SURVEY §2 operator (or an LLM-pipeline
+  * operator per the driver contract) expressed as a declarative Spark query;
+  * every entry in [[oracleSql]] is its DuckDB mirror for the hash-exact
+  * correctness gate.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the two-sided top-k order book (SURVEY §3.2).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    BookQueries.orderbook(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── order-book engine (SURVEY §2.3-2.5, §2.8) ──────────────────────────
+    "orders_current"    -> ((s, d) => BookQueries.ordersCurrentQ(s, d)),
+    "price_levels"      -> ((s, d) => BookQueries.priceLevelsQ(s, d)),
+    "latest_price"      -> ((s, d) => BookQueries.latestPriceQ(s, d)),
+    "orderbook"         -> ((s, d) => BookQueries.orderbook(s, d)),
+    "orderbook_summary" -> ((s, d) => BookQueries.orderbookSummary(s, d)),
+    "amount_out_buy"    -> ((s, d) => BookQueries.amountOutBuy(s, d)),
+    "amount_out_sell"   -> ((s, d) => BookQueries.amountOutSell(s, d)),
+    "user_orders"       -> ((s, d) => BookQueries.userOrders(s, d)),
+    "order_lookup"      -> ((s, d) => BookQueries.orderLookup(s, d)),
+    "user_market_orders" -> ((s, d) => BookQueries.userMarketOrders(s, d)),
+    "pool_info"         -> ((s, d) => BookQueries.poolInfo(s, d)),
+  )
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the same
+    * parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "orders_current"    -> OracleSql.ordersCurrentSql,
+    "price_levels"      -> OracleSql.priceLevelsSql,
+    "latest_price"      -> OracleSql.latestPriceSql,
+    "orderbook"         -> OracleSql.orderbookSql,
+    "orderbook_summary" -> OracleSql.orderbookSummarySql,
+    "amount_out_buy"    -> OracleSql.amountOutBuySql,
+    "amount_out_sell"   -> OracleSql.amountOutSellSql,
+    "user_orders"       -> OracleSql.userOrdersSql,
+    "order_lookup"      -> OracleSql.orderLookupSql,
+    "user_market_orders" -> OracleSql.userMarketOrdersSql,
+    "pool_info"         -> OracleSql.poolInfoSql,
+  )
 }
