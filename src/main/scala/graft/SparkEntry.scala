@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
-import graft.oracle.OracleSql
+import graft.oracle.{OlapSql, OracleSql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +33,20 @@ object SparkEntry {
     "order_lookup"      -> ((s, d) => BookQueries.orderLookup(s, d)),
     "user_market_orders" -> ((s, d) => BookQueries.userMarketOrders(s, d)),
     "pool_info"         -> ((s, d) => BookQueries.poolInfo(s, d)),
+    // ── OLAP / bench surface (SURVEY §7.2 M7) ──────────────────────────────
+    "q1_pricing_summary"  -> ((s, d) => Olap.q1PricingSummary(s, d)),
+    "q6_revenue"          -> ((s, d) => Olap.q6Revenue(s, d)),
+    "q3_shipping_priority" -> ((s, d) => Olap.q3ShippingPriority(s, d)),
+    "q5_local_supplier"   -> ((s, d) => Olap.q5LocalSupplier(s, d)),
+    "top_parts_per_brand" -> ((s, d) => Olap.qTopPartsPerBrand(s, d)),
+    "rollup_lineitem"     -> ((s, d) => Olap.qRollup(s, d)),
+    "distinct_agg"        -> ((s, d) => Olap.qDistinctAgg(s, d)),
+    "semi_anti_join"      -> ((s, d) => Olap.qSemiAnti(s, d)),
+    "cumulative_monthly"  -> ((s, d) => Olap.qCumulativeMonthly(s, d)),
+    "sessionize"          -> ((s, d) => Olap.qSessionize(s, d)),
+    "event_pivot"         -> ((s, d) => Olap.qEventPivot(s, d)),
+    "json_bucket"         -> ((s, d) => Olap.qJsonBucket(s, d)),
+    "string_funcs"        -> ((s, d) => Olap.qStringFuncs(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -50,5 +64,18 @@ object SparkEntry {
     "order_lookup"      -> OracleSql.orderLookupSql,
     "user_market_orders" -> OracleSql.userMarketOrdersSql,
     "pool_info"         -> OracleSql.poolInfoSql,
+    "q1_pricing_summary"  -> OlapSql.q1Sql,
+    "q6_revenue"          -> OlapSql.q6Sql,
+    "q3_shipping_priority" -> OlapSql.q3Sql,
+    "q5_local_supplier"   -> OlapSql.q5Sql,
+    "top_parts_per_brand" -> OlapSql.qTopPartsSql,
+    "rollup_lineitem"     -> OlapSql.qRollupSql,
+    "distinct_agg"        -> OlapSql.qDistinctAggSql,
+    "semi_anti_join"      -> OlapSql.qSemiAntiSql,
+    "cumulative_monthly"  -> OlapSql.qCumulativeMonthlySql,
+    "sessionize"          -> OlapSql.qSessionizeSql,
+    "event_pivot"         -> OlapSql.qEventPivotSql,
+    "json_bucket"         -> OlapSql.qJsonBucketSql,
+    "string_funcs"        -> OlapSql.qStringFuncsSql,
   )
 }

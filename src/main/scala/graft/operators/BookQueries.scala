@@ -37,7 +37,8 @@ object BookQueries {
       .withColumn("level_rank", row_number().over(w))
       .filter(col("level_rank") <= depth)
       .select(
-        col("pool"), col("side"), col("level_rank"), col("price_lvl"),
+        col("pool"), col("side"), col("level_rank").cast("long").as("level_rank"),
+        col("price_lvl"),
         col("volume").cast("double").as("volume"), col("n_orders"))
   }
 

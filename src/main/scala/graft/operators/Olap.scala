@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** OLAP / bench surface (SURVEY §7.2 M7): the relational operator classes the
+  * reference only exercises implicitly (equi-joins J1-J5, hash aggregation
+  * A1-A4, top-k W1-W2) plus the classes Spark provides natively that
+  * BASELINE.json puts in scope — multi-way joins, rollup, distinct
+  * aggregates, semi/anti joins, windows, sessionization, JSON extraction.
+  *
+  * Numeric policy (same as the book engine): parquet doubles are verified
+  * 2-decimal, so they cast losslessly to DECIMAL; every aggregation runs in
+  * decimal (exact under any partial-agg order) and results cast to DOUBLE at
+  * the edge. Averages divide two exact numbers as doubles — one deterministic
+  * operation per output cell.
+  *
+  * Scale notes per query in the Scaladoc; common themes: dimension joins are
+  * explicitly `broadcast()` (region/nation/part/customer/supplier are tiny
+  * relative to facts at every SF — at 100 TB these stay < 10s of MB while
+  * lineitem grows), fact-fact joins shuffle on the join key once, and
+  * filters sit directly on scans so parquet row-group pruning applies.
+  */
+object Olap {
+
+  // orders/lineitem date columns are micro-precision TIMESTAMP_NTZ (unlike
+  // events.ts, which is nano and reads as long) — compare against NTZ literals
+  private def d(date: String) = lit(date).cast("timestamp_ntz")
+
+  private def dec(c: String, t: String = "decimal(12,2)") = col(c).cast(t)
+  private val one = lit(1).cast("decimal(4,2)")
+
+  /** TPC-H Q1-style pricing summary: single scan, hash agg on two low-card
+    * keys. Partial aggregation collapses ~600k rows to 6 groups map-side, so
+    * the shuffle moves a few KB regardless of SF — the canonical
+    * scan-dominated query.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= d("2000-12-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (one - dec("l_discount", "decimal(4,2)")))
+          .cast("double").as("sum_disc_price"),
+        sum(dec("l_extendedprice") * (one - dec("l_discount", "decimal(4,2)"))
+          * (one + dec("l_tax", "decimal(4,2)")))
+          .cast("double").as("sum_charge"),
+        (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec("l_discount", "decimal(4,2)")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q6-style revenue delta: pure filter+sum. All three predicates push
+    * to the parquet scan (verify: PushedFilters in explain); no shuffle at
+    * all after partial agg.
+    */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(
+        col("l_shipdate") >= d("1997-01-01") &&
+        col("l_shipdate") < d("1998-01-01") &&
+        col("l_discount").between(0.02, 0.06) &&
+        col("l_quantity") < 24)
+      .agg(sum(dec("l_extendedprice") * dec("l_discount", "decimal(4,2)"))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q3-style shipping priority: selective dim filter broadcast into a
+    * fact-fact join, then top-10. customer is broadcast (small); orders ⋈
+    * lineitem shuffles once on the order key. The final TakeOrderedAndProject
+    * keeps only 10 rows per partition before the driver merge.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < d("1998-01-01"))
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > d("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") * (one - dec("l_discount", "decimal(4,2)")))
+        .as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("l_orderkey"))
+      .limit(10)
+      .select(
+        col("l_orderkey"),
+        // NTZ → epoch micros (session TZ is UTC, so the cast is identity)
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_orderpriority"),
+        col("rev_dec").cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q5-style local-supplier volume: 6-way join. region/nation/
+    * supplier/customer all broadcast; the only shuffle is lineitem ⋈ orders.
+    * The same-nation predicate (customer nation = supplier nation) is applied
+    * post-join as in the spec.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= d("1996-01-01") &&
+              col("o_orderdate") < d("1998-01-01"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+                             col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(dec("l_extendedprice") * (one - dec("l_discount", "decimal(4,2)")))
+        .cast("double").as("revenue"))
+  }
+
+  /** Top-N per group (W1/W2 generalized): top-3 parts by revenue within each
+    * brand. Decimal revenue makes the rank ties exact; `row_number` breaks
+    * residual ties by key so the result is total-order deterministic.
+    */
+  def qTopPartsPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    val rev = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(sum(dec("l_extendedprice") * (one - dec("l_discount", "decimal(4,2)")))
+        .as("rev_dec"))
+    rev.withColumn("rank", row_number().over(
+        Window.partitionBy("p_brand").orderBy(col("rev_dec").desc, col("p_partkey"))))
+      .filter(col("rank") <= 3)
+      .select(col("p_brand"), col("rank").cast("long").as("rank"), col("p_partkey"),
+        col("rev_dec").cast("double").as("revenue"))
+  }
+
+  /** ROLLUP (SURVEY §2.4 note: absent from the reference, in scope per the
+    * driver contract). Group keys are COALESCEd to 'ALL' so both engines
+    * agree on the subtotal rows' representation.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+  }
+
+  /** Distinct aggregates per segment (customer ⋈ orders). Spark plans the
+    * distinct agg as a two-phase expand+agg; the broadcast keeps the join
+    * shuffle-free.
+    */
+  def qDistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        sum(dec("o_totalprice")).cast("double").as("total_price"))
+  }
+
+  /** Semi/anti join (J2 and its complement): per nation, customers with and
+    * without orders. Spark side genuinely uses left_semi + left_anti (the
+    * plans the reference's trader index stands in for); the oracle expresses
+    * the same with EXISTS — different plan, same semantics, which is the
+    * point of the differential gate.
+    */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val okeys = Tables.orders(spark, dir).select(col("o_custkey"))
+    val withO = cust.join(okeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("with_orders"))
+    val withoutO = cust.join(okeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("without_orders"))
+    broadcast(nation)
+      .join(withO, col("n_nationkey") === withO("c_nationkey"), "left")
+      .drop("c_nationkey")
+      .join(withoutO, col("n_nationkey") === withoutO("c_nationkey"), "left")
+      .select(col("n_name"),
+        coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+        coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+  }
+
+  /** Monthly revenue with a running cumulative per year (the W4 pattern on
+    * the OLAP schema). The window input is the *aggregated* 84-row monthly
+    * series, so the window cost is trivial at any SF — aggregate first,
+    * window second.
+    */
+  def qCumulativeMonthly(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val ts = col("o_orderdate")
+    val monthly = ord
+      .groupBy(year(ts).cast("long").as("o_year"), month(ts).cast("long").as("o_month"))
+      .agg(sum(dec("o_totalprice")).as("rev_dec"), count(lit(1)).as("n_orders"))
+    monthly
+      .withColumn("cum_dec", sum(col("rev_dec")).over(
+        Window.partitionBy("o_year").orderBy("o_month")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("o_year"), col("o_month"), col("n_orders"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("cum_dec").cast("double").as("cum_revenue"))
+  }
+
+  /** Gap-based sessionization over the event stream (ST3 extension — the
+    * reference has no windows at all, SURVEY §2.7): a 30-minute-gap session
+    * break per user via lag + running sum, then per-user session stats. Both
+    * window passes share one shuffle on user_id.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("value").cast("decimal(12,2)").as("val"))
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gapped = ev.withColumn("new_session",
+      when(col("ts_us") - lag("ts_us", 1).over(byUser) > 1800L * 1000000L, 1)
+        .otherwise(lit(0)))
+    val sessioned = gapped.withColumn("session_id",
+      sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessioned
+      .groupBy("user_id")
+      .agg(
+        (max(col("session_id")) + 1).as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        sum(col("val")).cast("double").as("total_value"))
+  }
+
+  /** Manual pivot (conditional aggregation) over event types — the demux the
+    * reference hand-codes as six parallel scans (S2) collapses into one scan
+    * with per-type conditional aggregates.
+    */
+  def qEventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def cnt(t: String) = sum(when(col("event_type") === t, 1).otherwise(0)).as(s"${t}_cnt")
+    def amt(t: String) = sum(when(col("event_type") === t, col("value").cast("decimal(12,2)"))
+      .otherwise(lit(0).cast("decimal(12,2)"))).cast("double").as(s"${t}_sum")
+    ev.groupBy("user_id").agg(
+      cnt("click"), amt("click"), cnt("view"), amt("view"),
+      cnt("purchase"), amt("purchase"), cnt("signup"), amt("signup"),
+      cnt("error"), amt("error"))
+  }
+
+  /** JSON extraction (the reference round-trips ALL state through JSON,
+    * SURVEY §2.6): parse `props.k`, bucket, aggregate.
+    */
+  def qJsonBucket(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value").cast("decimal(12,2)").as("val"))
+      .groupBy((col("k") % 10).cast("long").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).cast("double").as("sum_value"))
+  }
+
+  /** Scalar string functions (SURVEY §2.6): the reference's key-construction
+    * idioms (concat/lower/substring) as a query.
+    */
+  def qStringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    part.filter(col("p_name").like("%e%"))
+      .select(
+        concat(lower(col("p_brand")), lit(":"), upper(substring(col("p_type"), 1, 3))).as("key"),
+        length(col("p_name")).as("name_len"),
+        col("p_size"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(col("p_size")).cast("long").as("total_size"),
+        max("name_len").cast("long").as("max_name_len"))
+  }
+}

@@ -1,0 +1,168 @@
+package graft.oracle
+
+/** DuckDB mirrors of [[graft.operators.Olap]] — same decimal pathway, same
+  * final DOUBLE casts. SUMs of integers are cast to BIGINT (DuckDB widens to
+  * HUGEINT, Spark to LONG).
+  */
+object OlapSql {
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+      |           (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  val q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.06
+      |  AND l_quantity < 24""".stripMargin
+
+  val q3Sql: String =
+    """SELECT l_orderkey,
+      |  epoch_us(o_orderdate) AS o_orderdate_us,
+      |  o_orderpriority,
+      |  CAST(rev_dec AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |        (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'
+      |    AND l_shipdate > TIMESTAMP '1998-01-01'
+      |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |  ORDER BY rev_dec DESC, l_orderkey
+      |  LIMIT 10) t""".stripMargin
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  val qTopPartsSql: String =
+    """SELECT p_brand, rank, p_partkey, CAST(rev_dec AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT p_brand, p_partkey, rev_dec,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand
+      |      ORDER BY rev_dec DESC, p_partkey) AS rank
+      |  FROM (
+      |    SELECT p_brand, p_partkey,
+      |      SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |          (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+      |    FROM lineitem JOIN part ON l_partkey = p_partkey
+      |    GROUP BY p_brand, p_partkey) a) b
+      |WHERE rank <= 3""".stripMargin
+
+  val qRollupSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  val qDistinctAggSql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(DISTINCT o_orderpriority) AS n_priorities,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  val qSemiAntiSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CASE WHEN has_o THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+      |  CAST(SUM(CASE WHEN has_o THEN 0 ELSE 1 END) AS BIGINT) AS without_orders
+      |FROM (
+      |  SELECT c_nationkey,
+      |    EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+      |  FROM customer) c
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  val qCumulativeMonthlySql: String =
+    """SELECT o_year, o_month, n_orders,
+      |  CAST(rev_dec AS DOUBLE) AS revenue,
+      |  CAST(SUM(rev_dec) OVER (PARTITION BY o_year ORDER BY o_month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(month(o_orderdate) AS BIGINT) AS o_month,
+      |    COUNT(*) AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+      |  FROM orders GROUP BY 1, 2) t""".stripMargin
+
+  val qSessionizeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CAST(value AS DECIMAL(12,2)) AS val
+      |  FROM events),
+      |gapped AS (
+      |  SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sessioned AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM gapped)
+      |SELECT user_id,
+      |  CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(val) AS DOUBLE) AS total_value
+      |FROM sessioned GROUP BY user_id""".stripMargin
+
+  val qEventPivotSql: String = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val cols = types.map { t =>
+      s"""  CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS ${t}_cnt,
+         |  CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(12,2))
+         |           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS ${t}_sum""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT user_id,
+       |$cols
+       |FROM events GROUP BY user_id""".stripMargin
+  }
+
+  val qJsonBucketSql: String =
+    """SELECT CAST(CAST(json_extract_string(props, 'k') AS INT) % 10 AS BIGINT) AS k_bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
+  val qStringFuncsSql: String =
+    """SELECT lower(p_brand) || ':' || upper(substring(p_type, 1, 3)) AS key,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(p_size) AS BIGINT) AS total_size,
+      |  MAX(length(p_name)) AS max_name_len
+      |FROM part
+      |WHERE p_name LIKE '%e%'
+      |GROUP BY 1""".stripMargin
+}
