@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
-import graft.oracle.{OlapSql, OracleSql}
+import graft.functions.{DedupOps, MultimodalOps, SimilarityOps, TextAnalysis}
+import graft.oracle.{OlapSql, OracleSql, TextSql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +48,19 @@ object SparkEntry {
     "event_pivot"         -> ((s, d) => Olap.qEventPivot(s, d)),
     "json_bucket"         -> ((s, d) => Olap.qJsonBucket(s, d)),
     "string_funcs"        -> ((s, d) => Olap.qStringFuncs(s, d)),
+    // ── LLM-data-pipeline operators (driver contract / SURVEY §7.2 M8) ────
+    "text_stats"      -> ((s, d) => TextAnalysis.textStats(s, d)),
+    "lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
+    "fingerprint"     -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "dedup_exact"     -> ((s, d) => DedupOps.exactDedup(s, d)),
+    "ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccard(s, d)),
+    "minhash_lsh"     -> ((s, d) => DedupOps.minhashLsh(s, d)),
+    "simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
+    "simhash_pairs"   -> ((s, d) => DedupOps.simhashPairs(s, d)),
+    "cosine_topk"     -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
+    "lsh_buckets"     -> ((s, d) => SimilarityOps.lshBuckets(s, d)),
+    "lsh_topk"        -> ((s, d) => SimilarityOps.lshTopK(s, d)),
+    "multimodal_meta" -> ((s, d) => MultimodalOps.multimodalMeta(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -77,5 +91,17 @@ object SparkEntry {
     "event_pivot"         -> OlapSql.qEventPivotSql,
     "json_bucket"         -> OlapSql.qJsonBucketSql,
     "string_funcs"        -> OlapSql.qStringFuncsSql,
+    "text_stats"      -> TextSql.textStatsSql,
+    "lang_id"         -> TextSql.langIdSql,
+    "fingerprint"     -> TextSql.fingerprintSql,
+    "dedup_exact"     -> TextSql.exactDedupSql,
+    "ngram_jaccard"   -> TextSql.ngramJaccardSql,
+    "minhash_lsh"     -> TextSql.minhashLshSql,
+    "simhash"         -> TextSql.simhashSql,
+    "simhash_pairs"   -> TextSql.simhashPairsSql,
+    "cosine_topk"     -> TextSql.cosineTopKSql,
+    "lsh_buckets"     -> TextSql.lshBucketsSql,
+    "lsh_topk"        -> TextSql.lshTopKSql,
+    "multimodal_meta" -> TextSql.multimodalMetaSql,
   )
 }

@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import TextAnalysis.{mdhash, tokens, P}
+
+/** Deduplication operators for the LLM-data-pipeline surface (driver
+  * contract): exact, n-gram Jaccard, MinHash+LSH banding, and SimHash.
+  *
+  * Scale design:
+  *  - exact dedup is a hash-groupBy on a 16-byte digest, not the document
+  *    body — the shuffle moves digests, never text;
+  *  - MinHash compresses each document to an 8-value signature *before* any
+  *    pairwise work; the LSH band self-join only materializes same-bucket
+  *    candidate pairs, so cost is Σ bucket² rather than n² — the standard
+  *    shingle→minhash→band→bucket-join pipeline, expressed as two hash aggs
+  *    + one equi-join, all shuffling on band keys;
+  *  - SimHash reduces each doc to a 32-bit fingerprint; near-dup candidates
+  *    come from Hamming distance on the fingerprints, not the text.
+  *
+  * All hashing uses the cross-engine `mdhash` (see [[TextAnalysis]]) so each
+  * pipeline is oracle-checkable in DuckDB. At 100 TB the only change is
+  * swapping the final pairwise verify to run per-bucket (already the shape
+  * here) and bucketing the output by doc_id.
+  */
+object DedupOps {
+
+  /** Word 3-gram shingles of a token array column (distinct per doc).
+    * Guarded: Spark's `sequence(0, n)` walks BACKWARDS for n < 0, so short
+    * docs must short-circuit to an empty array.
+    */
+  def shingles(t: Column): Column =
+    when(size(t) >= 3,
+      array_distinct(transform(
+        sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ",
+          element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact dedup via content digest (hash-groupBy): canonical keeper = min
+    * doc_id per digest; emits one row per group with the copy count.
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keep_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+
+  /** Exact n-gram Jaccard over all pairs in a bounded id range: explode
+    * distinct shingles, self-join on shingle (the intersection), derive the
+    * union from per-doc counts. The id bound keeps the demonstration
+    * quadratic-free; at scale this exact verify runs only on LSH candidates
+    * (see [[minhashLsh]]).
+    */
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   maxDocId: Long = 200, minJaccard: Double = 0.05): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val counts = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(counts.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn("jaccard",
+        (col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")))
+          .cast("decimal(10,6)"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id1", "id2", "n_inter", "n1", "n2", "jaccard")
+  }
+
+  /** MinHash permutation constants (a·x + b mod P, P = 2^31−1): fixed public
+    * pseudo-random values; signature length 8, banded 4×2.
+    */
+  val perms: Seq[(Long, Long)] = Seq( // public: oracle SQL generates from these
+    (1686629713L, 411L), (1583082576L, 92L), (722129567L, 51001L),
+    (1546453463L, 8191L), (910672911L, 77L), (1033668507L, 131071L),
+    (650686437L, 524287L), (1217100571L, 3301L))
+
+  private def minhashCol(k: Int): Column = {
+    val (a, b) = perms(k)
+    min((lit(a) * (col("h") % P) + b) % P).as(s"m$k")
+  }
+
+  /** MinHash signatures (8 perms) per document. One explode + one hash agg;
+    * the signature is 64 bytes per doc regardless of document size.
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", mdhash(col("s")))
+      .groupBy("doc_id")
+      .agg(minhashCol(0), minhashCol(1), minhashCol(2), minhashCol(3),
+           minhashCol(4), minhashCol(5), minhashCol(6), minhashCol(7))
+  }
+
+  /** MinHash + LSH near-dup candidates: band the 8-value signature into 4
+    * bands of 2, self-join per band bucket, dedup pairs, and attach the
+    * signature-estimated similarity (matching minhash fraction). The band
+    * join is the scale path: only same-bucket pairs ever materialize.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir).cache()
+    val bands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat_ws(":", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bkey"))
+    }.reduce(_ union _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    val est = cand
+      .join(sig.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sig.as("s2"), col("id2") === col("s2.doc_id"))
+    val matches = (0 until 8).map(k =>
+      when(col(s"s1.m$k") === col(s"s2.m$k"), 1).otherwise(0)).reduce(_ + _)
+    est.select(col("id1"), col("id2"),
+      (matches.cast("double") / 8).cast("decimal(10,6)").as("est_jaccard"))
+  }
+
+  /** SimHash: 32-bit locality-sensitive fingerprint per document — for each
+    * bit position, sum ±1 contributions of every token hash, take the sign.
+    * Expressed as explode(tokens × 32 bit-positions) + hash agg: integer
+    * arithmetic end-to-end, exact in both engines.
+    */
+  def simhash(spark: SparkSession, dir: String, maxDocId: Long = Long.MaxValue): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < maxDocId)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", mdhash(col("tok")))
+    val bits = toks.select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("contrib",
+        when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1))
+    bits.groupBy("doc_id", "b")
+      .agg(sum(col("contrib")).as("bitsum"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("bitsum") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
+        .otherwise(0L)).as("simhash32"))
+  }
+
+  /** SimHash near-dup pairs in a bounded id range: Hamming distance ≤ 6 via
+    * bit_count(xor). The fingerprint comparison never touches the text.
+    */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxDocId: Long = 300, maxHamming: Int = 6): DataFrame = {
+    val fp = simhash(spark, dir, maxDocId)
+    fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.simhash32").bitwiseXOR(col("b.simhash32"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

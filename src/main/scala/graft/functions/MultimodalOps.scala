@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import TextAnalysis.mdhash
+
+/** Multimodal-column plumbing (driver contract): treat image/audio/video as
+  * opaque `binary` columns with typed metadata, with decode/feature-extract
+  * as per-partition batch functions.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB ([[decodeImageStub]]) — but everything
+  * Spark-side is real and tested: the binary column, the metadata struct
+  * schema, the `mapPartitions` batch shape (one decoder instantiation per
+  * partition, streamed rows — exactly how a Pandas-UDF/`mapInPandas` decode
+  * behaves on a cluster), and the partitioning contract.
+  *
+  * At 100 TB: media bytes stay in their own column (parquet stores them as
+  * separate byte-array pages, so metadata-only queries never read them —
+  * column pruning is the whole design), and decode parallelism is partition
+  * count × executor cores with no shuffle.
+  */
+object MultimodalOps {
+
+  /** A multimodal record: opaque bytes + typed metadata. */
+  case class MediaRecord(doc_id: Long, bytes: Array[Byte], mime: String, n_bytes: Long)
+
+  /** Decoded features (what an image decoder would emit). */
+  case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+                           n_channels: Int, mean_luma: Double)
+
+  /** Build the media table: documents' text bytes stand in for media blobs.
+    * Real pipeline: `spark.read.format("binaryFile")` or parquet with a
+    * binary column.
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("bytes"),
+        lit("text/plain").as("mime"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .as[MediaRecord]
+  }
+
+  /** STUB image decoder — deterministic fake standing in for e.g. libjpeg:
+    * derives "dimensions" from a content hash and "luma" from the byte mean.
+    * The real implementation would decode `r.bytes` here; the Spark-side
+    * contract (mapPartitions batching, one decoder per partition, typed
+    * output schema) is identical either way.
+    */
+  def decodeImageStub(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init (a real decoder would allocate its codec here, once)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val hex = md.digest(r.bytes).map("%02x".format(_)).mkString
+        val h = new java.math.BigInteger(hex.substring(0, 15), 16).longValue()
+        MediaFeatures(
+          doc_id = r.doc_id,
+          width = (h % 640 + 16).toInt,
+          height = (h % 480 + 16).toInt,
+          n_channels = 3,
+          mean_luma = if (r.bytes.isEmpty) 0.0
+                      else r.bytes.map(b => (b & 0xff).toDouble).sum / r.bytes.length)
+      }
+    }
+  }
+
+  /** Metadata-only query over the media table (oracle-checkable): schema
+    * plumbing + hash-derived fake dimensions, never touching a codec. The
+    * parquet scan for this query prunes the bytes column entirely.
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        md5(col("text")).as("content_md5"),
+        lit("text/plain").as("mime"),
+        (mdhash(col("text")) % 640 + 16).as("fake_width"),
+        (mdhash(col("text")) % 480 + 16).as("fake_height"))
+}

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import TextAnalysis.{mdhash, P}
+
+/** Similarity search over the `embeddings` table (64-dim float vectors) —
+  * the ANN surface of the LLM-data-pipeline contract.
+  *
+  * Two paths:
+  *  - [[cosineTopK]]: brute-force exact top-k — the correctness baseline.
+  *    Cosine is a sequential `zip_with` + `aggregate` fold per row (inside
+  *    codegen, deterministic order), never an exploded shuffle-summed dot
+  *    product, so doubles are bit-stable.
+  *  - [[lshTopK]]: random-hyperplane LSH — the 100 TB path. Each vector is
+  *    reduced to an 8-bit bucket signature; candidate generation is a
+  *    bucket equi-join (shuffle on an 8-bit key), and exact cosine runs only
+  *    within buckets. Hyperplane weights derive from the cross-engine
+  *    `mdhash`, so even this approximate path is oracle-checkable.
+  *
+  * Ranking robustness: scores are rounded to DECIMAL(12,8) *before* the
+  * rank window, with the neighbor id as residual tie-break — a last-ulp
+  * double divergence between engines can therefore never flip a rank.
+  */
+object SimilarityOps {
+
+  /** Cosine similarity of two double-array columns as a sequential fold. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force exact cosine top-k: queries (vec_id < nQueries) against the
+    * full corpus. The corpus side is broadcast when small; at scale this
+    * flips to a block-nested loop over corpus partitions — still no shuffle
+    * of the corpus itself.
+    */
+  def cosineTopK(spark: SparkSession, dir: String,
+                 nQueries: Long = 20, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = broadcast(q).join(emb, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).cast("decimal(12,8)").as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
+  }
+
+  /** Deterministic hyperplane weight for (plane, dim): mdhash-derived
+    * integer in [-1000, 1000] (a ×1000-scaled unit weight — the scale factor
+    * never changes the dot-product SIGN, so integer weights keep the bucket
+    * test exact with no cross-engine decimal-division hazard).
+    */
+  private def planeWeight(plane: Column, dim: Column): Column =
+    (mdhash(concat(plane, lit("_"), dim)) % 2001) - 1000
+
+  /** Per-vector 8-bit LSH bucket signature: sign of ⟨w_p, v⟩ for 8
+    * mdhash-derived hyperplanes. Embedding components are cast to
+    * DECIMAL(18,9) so the per-plane dot products are exact — the bucket
+    * assignment can never differ between engines.
+    */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dims = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("xd", col("x").cast("decimal(18,9)"))
+    val planes = dims.select(col("vec_id"), col("d"), col("xd"),
+        explode(sequence(lit(0), lit(7))).as("p"))
+      .withColumn("w", planeWeight(col("p"), col("d")))
+    val sums = planes.groupBy("vec_id", "p")
+      .agg(sum(col("w") * col("xd")).as("dp"))
+    sums.groupBy("vec_id")
+      .agg(sum(when(col("dp") > 0, expr("shiftleft(CAST(1 AS BIGINT), p)"))
+        .otherwise(0L)).as("bucket"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the 8-bit bucket;
+    * exact cosine + rank only within the bucket. This is the plan shape that
+    * survives 100 TB: the n² never materializes.
+    */
+  def lshTopK(spark: SparkSession, dir: String,
+              nQueries: Long = 20, k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val buckets = lshBuckets(spark, dir)
+    val withB = emb.join(buckets, "vec_id")
+    val q = withB.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket").as("qb"))
+    val scored = q.join(withB,
+        col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).cast("decimal(12,8)").as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
+  }
+}

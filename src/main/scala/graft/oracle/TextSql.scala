@@ -1,0 +1,241 @@
+package graft.oracle
+
+import graft.functions.{DedupOps, TextAnalysis}
+
+/** DuckDB mirrors of the LLM-pipeline operators ([[graft.functions]]).
+  * Hash constants, permutation coefficients, language profiles, and
+  * polynomial powers are interpolated from the SAME Scala constants the
+  * Spark side uses — the two engines cannot drift.
+  *
+  * Cross-engine primitives:
+  *  - `mdhash(s)` ≙ `('0x' || substring(md5(s),1,15))::BIGINT` (60-bit).
+  *  - tokens ≙ `regexp_extract_all(text, '[a-z0-9]+')`.
+  *  - DuckDB list indexing is 1-based (Spark's posexplode is 0-based) —
+  *    mirrored with explicit `i - 1` arithmetic where positions matter.
+  */
+object TextSql {
+
+  private val P = TextAnalysis.P
+
+  private def mdh(e: String) = s"('0x' || substring(md5($e), 1, 15))::BIGINT"
+
+  private val tokCte =
+    "tok AS (SELECT doc_id, lang, source, text,\n" +
+    "  regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents)"
+
+  // word 3-gram shingles, distinct per doc (mirror of DedupOps.shingles)
+  private def shCte(docFilter: String = "TRUE") =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t
+       |        FROM documents WHERE $docFilter) d,
+       |       UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+       |  WHERE len(t) >= 3)""".stripMargin
+
+  val textStatsSql: String =
+    s"""WITH $tokCte
+       |SELECT doc_id, lang, source,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+       |  CAST(CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS DECIMAL(10,6)) AS ttr,
+       |  CAST(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+       |       AS DECIMAL(10,6)) AS avg_token_len,
+       |  CAST(CAST(len(list_filter(t, x -> list_contains(
+       |         ['the','a','of','to','in','is'], x))) AS DOUBLE) / len(t)
+       |       AS DECIMAL(10,6)) AS stop_ratio
+       |FROM tok""".stripMargin
+
+  val langIdSql: String = {
+    val cnts = TextAnalysis.profileChars.map(ch =>
+      s"(length(text) - length(replace(text, '$ch', '')))").toIndexedSeq
+    def score(l: String): String =
+      TextAnalysis.profileChars.indices
+        .map(i => s"${cnts(i)} * ${TextAnalysis.weights(l)(i)}")
+        .mkString(" + ")
+    val scoreCols = TextAnalysis.langs
+      .map(l => s"  CAST(${score(l)} AS BIGINT) AS s_$l").mkString(",\n")
+    val gr = TextAnalysis.langs.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+    val pred = TextAnalysis.langs
+      .map(l => s"WHEN s_$l = $gr THEN '$l'").mkString("CASE ", " ", " ELSE '??' END")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS actual_lang,
+       |$scoreCols
+       |  FROM documents)
+       |SELECT doc_id, actual_lang,
+       |  ${TextAnalysis.langs.map(l => s"s_$l").mkString(", ")},
+       |  $pred AS predicted_lang
+       |FROM scored""".stripMargin
+  }
+
+  val fingerprintSql: String = {
+    val pows = TextAnalysis.polyPows.mkString("[", ", ", "]")
+    s"""WITH $tokCte,
+       |ex AS (
+       |  SELECT doc_id, i - 1 AS pos, t[i] AS w
+       |  FROM tok, UNNEST(generate_series(1, len(t))) AS u(i)),
+       |h AS (
+       |  SELECT doc_id, pos, ${mdh("w")} AS h FROM ex)
+       |SELECT a.doc_id,
+       |  CAST(SUM((h % $P) * ($pows[(pos % 8) + 1])) % $P AS BIGINT) AS poly_fp,
+       |  bit_xor(h) AS xor_fp,
+       |  COUNT(*) AS n_tokens,
+       |  substring(md5(min(d.text)), 1, 16) AS md5_fp
+       |FROM h a JOIN documents d ON a.doc_id = d.doc_id
+       |GROUP BY a.doc_id""".stripMargin
+  }
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS content_hash,
+      |  COUNT(*) AS n_copies,
+      |  MIN(doc_id) AS keep_doc_id,
+      |  MAX(doc_id) AS max_doc_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  val ngramJaccardSql: String =
+    s"""WITH ${shCte("doc_id < 200")},
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, n_inter, c1.n_sh AS n1, c2.n_sh AS n2,
+       |  CAST(CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter)
+       |       AS DECIMAL(10,6)) AS jaccard
+       |FROM inter
+       |JOIN counts c1 ON id1 = c1.doc_id
+       |JOIN counts c2 ON id2 = c2.doc_id
+       |WHERE CAST(CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter)
+       |           AS DECIMAL(10,6)) >= 0.05""".stripMargin
+
+  val minhashLshSql: String = {
+    val sigCols = DedupOps.perms.zipWithIndex.map { case ((a, b), k) =>
+      s"    MIN(($a * (h % $P) + $b) % $P) AS m$k"
+    }.mkString(",\n")
+    val bands = (0 until 4).map { b =>
+      s"  SELECT doc_id, $b AS band, CAST(m${2 * b} AS VARCHAR) || ':' || CAST(m${2 * b + 1} AS VARCHAR) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    val matches = (0 until 8)
+      .map(k => s"CASE WHEN s1.m$k = s2.m$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${shCte()},
+       |h AS (SELECT doc_id, ${mdh("s")} AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |$sigCols
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |$bands),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+       |SELECT id1, id2,
+       |  CAST(CAST($matches AS DOUBLE) / 8 AS DECIMAL(10,6)) AS est_jaccard
+       |FROM cand
+       |JOIN sig s1 ON id1 = s1.doc_id
+       |JOIN sig s2 ON id2 = s2.doc_id""".stripMargin
+  }
+
+  val simhashSql: String =
+    s"""WITH $tokCte,
+       |ex AS (SELECT doc_id, unnest(t) AS w FROM tok),
+       |h AS (SELECT doc_id, ${mdh("w")} AS h FROM ex),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS bitsum
+       |  FROM h, UNNEST(generate_series(0, 31)) AS u(b)
+       |  GROUP BY doc_id, b)
+       |SELECT doc_id,
+       |  CAST(SUM(CASE WHEN bitsum > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+       |       AS BIGINT) AS simhash32
+       |FROM bits GROUP BY doc_id""".stripMargin
+
+  val simhashPairsSql: String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+       |tok AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t FROM docs),
+       |ex AS (SELECT doc_id, unnest(t) AS w FROM tok),
+       |h AS (SELECT doc_id, ${mdh("w")} AS h FROM ex),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS bitsum
+       |  FROM h, UNNEST(generate_series(0, 31)) AS u(b)
+       |  GROUP BY doc_id, b),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN bitsum > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+       |         AS BIGINT) AS simhash32
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  CAST(bit_count(xor(a.simhash32, b.simhash32)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 6""".stripMargin
+
+  private val cosineExpr =
+    """CAST(
+      |      list_sum(list_transform(list_zip(qv, v), p -> p[1] * p[2])) /
+      |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+      |       sqrt(list_sum(list_transform(v, x -> x * x))))
+      |      AS DECIMAL(12,8))""".stripMargin
+
+  val cosineTopKSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    $cosineExpr AS score
+       |  FROM q, emb e WHERE e.vec_id <> q.query_id)
+       |SELECT query_id, rank, neighbor_id, score FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5""".stripMargin
+
+  private val bucketCte: String =
+    s"""dims AS (
+       |  SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DECIMAL(18,9)) AS xd
+       |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+       |planes AS (
+       |  SELECT vec_id, d, xd, b AS p,
+       |    (${mdh("CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} % 2001) - 1000 AS w
+       |  FROM dims, UNNEST(generate_series(0, 7)) AS u(b)),
+       |wsum AS (
+       |  SELECT vec_id, p, SUM(w * xd) AS dp FROM planes GROUP BY vec_id, p),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+       |         AS BIGINT) AS bucket
+       |  FROM wsum GROUP BY vec_id)""".stripMargin
+
+  val lshBucketsSql: String =
+    s"""WITH $bucketCte
+       |SELECT vec_id, bucket FROM buckets""".stripMargin
+
+  val lshTopKSql: String =
+    s"""WITH $bucketCte,
+       |emb AS (
+       |  SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |         b.bucket
+       |  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb
+       |      FROM emb WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    $cosineExpr AS score
+       |  FROM q JOIN emb e ON e.bucket = q.qb AND e.vec_id <> q.query_id)
+       |SELECT query_id, rank, neighbor_id, score FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3""".stripMargin
+
+  val multimodalMetaSql: String =
+    s"""SELECT doc_id,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |  md5(text) AS content_md5,
+       |  'text/plain' AS mime,
+       |  CAST(${mdh("text")} % 640 + 16 AS BIGINT) AS fake_width,
+       |  CAST(${mdh("text")} % 480 + 16 AS BIGINT) AS fake_height
+       |FROM documents""".stripMargin
+}
