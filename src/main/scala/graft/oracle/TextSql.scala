@@ -192,6 +192,13 @@ object TextSql {
        |  FROM scored) t
        |WHERE rank <= 5""".stripMargin
 
+  // multi-table LSH (mirrors SimilarityOps.{LshTables,LshBits}); note
+  // DuckDB's int/int division is FLOAT division and its int casts ROUND —
+  // FLOOR before casting mirrors Spark's truncating (double→int) cast
+  private val nPlanes = graft.functions.SimilarityOps.LshTables *
+    graft.functions.SimilarityOps.LshBits
+  private val lshBits = graft.functions.SimilarityOps.LshBits
+
   private val bucketCte: String =
     s"""dims AS (
        |  SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DECIMAL(18,9)) AS xd
@@ -199,31 +206,40 @@ object TextSql {
        |planes AS (
        |  SELECT vec_id, d, xd, b AS p,
        |    (${mdh("CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} % 2001) - 1000 AS w
-       |  FROM dims, UNNEST(generate_series(0, 7)) AS u(b)),
+       |  FROM dims, UNNEST(generate_series(0, ${nPlanes - 1})) AS u(b)),
        |wsum AS (
        |  SELECT vec_id, p, SUM(w * xd) AS dp FROM planes GROUP BY vec_id, p),
        |buckets AS (
-       |  SELECT vec_id,
-       |    CAST(SUM(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+       |  SELECT vec_id, CAST(FLOOR(p / $lshBits) AS INT) AS tbl,
+       |    CAST(SUM(CASE WHEN dp > 0
+       |             THEN (CAST(1 AS BIGINT) << (p % $lshBits)) ELSE 0 END)
        |         AS BIGINT) AS bucket
-       |  FROM wsum GROUP BY vec_id)""".stripMargin
+       |  FROM wsum GROUP BY vec_id, CAST(FLOOR(p / $lshBits) AS INT))""".stripMargin
 
   val lshBucketsSql: String =
     s"""WITH $bucketCte
-       |SELECT vec_id, bucket FROM buckets""".stripMargin
+       |SELECT vec_id, tbl, bucket FROM buckets""".stripMargin
 
   val lshTopKSql: String =
     s"""WITH $bucketCte,
        |emb AS (
-       |  SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
-       |         b.bucket
-       |  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
-       |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb
-       |      FROM emb WHERE vec_id < 20),
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+       |  FROM buckets q
+       |  JOIN buckets n ON q.tbl = n.tbl AND q.bucket = n.bucket
+       |                AND n.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 20),
+       |pairs AS (
+       |  SELECT c.query_id, c.neighbor_id, eq.v AS qv, en.v AS v
+       |  FROM cand c
+       |  JOIN emb eq ON eq.vec_id = c.query_id
+       |  JOIN emb en ON en.vec_id = c.neighbor_id),
        |scored AS (
-       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |  SELECT query_id, neighbor_id,
        |    $cosineExpr AS score
-       |  FROM q JOIN emb e ON e.bucket = q.qb AND e.vec_id <> q.query_id)
+       |  FROM pairs)
        |SELECT query_id, rank, neighbor_id, score FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, neighbor_id) AS rank

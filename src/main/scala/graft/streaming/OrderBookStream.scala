@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.OrderFold
+import graft.operators.OrderFold.{Ev, St}
+
+/** Structured-Streaming lift of the order-book engine (SURVEY §7.2 M6,
+  * §2.7 ST1-ST8).
+  *
+  * The reference's hand-built micro-batch machinery maps 1:1 onto Structured
+  * Streaming primitives:
+  *  - block-number offsets + high-water-mark commit
+  *    (`src/services/block-event-manager.ts:63-92`) ≙ source offsets +
+  *    checkpointing (exactly-once progress, strictly stronger than the
+  *    reference's non-atomic read-modify-write, ST6);
+  *  - the per-event Redis fold (`src/models/order-book.ts:80-194`) ≙
+  *    `flatMapGroupsWithState` over (pool, trader) keyed state, running the
+  *    SAME [[OrderFold.foldFrom]] the batch engine uses;
+  *  - the busy-flag serialization (`block-event-manager.ts:65,70,90`) ≙
+  *    one-micro-batch-at-a-time per query — native;
+  *  - the WS change push (`src/api/server.ts:43-51`, ST8) ≙ a `foreachBatch`
+  *    sink that surfaces each batch's updated keys to a callback.
+  *
+  * State-size discipline (ST5): the reference keeps soft-deleted orders
+  * forever; we replicate that by default (NoTimeout) — at 100 TB scale the
+  * knob is `GroupStateTimeout.ProcessingTimeTimeout` + the RocksDB state
+  * store provider, both configuration.
+  */
+object OrderBookStream {
+
+  /** Keyed incremental fold: each micro-batch's events for a key are sorted
+    * by eventId and folded on top of the existing state. Emits the key's new
+    * state each time it changes (OutputMode.Update semantics).
+    */
+  def foldStream(events: Dataset[Ev]): Dataset[St] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.pool, e.trader))
+      .flatMapGroupsWithState[St, St](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, evs, state: GroupState[St]) =>
+          val sorted = evs.toSeq.sortBy(_.eventId)
+          val next = OrderFold.foldFrom(state.getOption, sorted)
+          next.foreach(state.update)
+          next.iterator
+      }
+  }
+
+  /** Normalize a raw streaming `events` frame (same schema as the batch
+    * table) into the typed order-event stream — identical derivation to
+    * [[graft.operators.OrderEvents.derive]], reused verbatim.
+    */
+  def toEventStream(raw: DataFrame): Dataset[Ev] =
+    OrderFold.toEvents(graft.operators.OrderEvents.derive(raw))
+
+  /** ST8 change-feed: run the fold and push each micro-batch's updated
+    * states to `onUpdate` (batchId, updated rows). The reference broadcasts
+    * a full recomputed book per changed pool; here the callback receives the
+    * changed keys and the serving layer re-reads its view — same semantics
+    * without the reference's unawaited-Promise bug (SURVEY §2.8 note).
+    */
+  def changeFeed(raw: DataFrame, checkpointDir: String)
+                (onUpdate: (Long, Seq[St]) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    foldStream(toEventStream(raw)).writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[St], batchId: Long) =>
+        onUpdate(batchId, batch.collect().toSeq)
+      }
+      .start()
+}

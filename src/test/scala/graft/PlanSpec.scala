@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.operators.{BookQueries, Olap, OrderEvents, OrderState}
+
+/** 100 TB plan-shape assertions (the "would this survive a 1000× scale-up"
+  * gate): filters must reach the parquet scan, small dims must broadcast,
+  * and shuffle counts must match the design — one per co-partitionable
+  * stage, never per operator.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physicalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def shuffles(df: DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan
+    var n = 0
+    plan.foreach {
+      case _: ShuffleExchangeExec => n += 1
+      case a: AdaptiveSparkPlanExec =>
+        a.executedPlan.foreach { case _: ShuffleExchangeExec => n += 1; case _ => }
+      case _ =>
+    }
+    n
+  }
+
+  test("q6: all predicates push down to the parquet scan") {
+    val plan = physicalPlan(Olap.q6Revenue(spark, sfTiny))
+    assert(plan.contains("PushedFilters:"), "no pushed filters in scan")
+    assert(plan.contains("IsNotNull(l_shipdate)") || plan.contains("GreaterThanOrEqual"),
+      s"shipdate range not pushed:\n$plan")
+    // column pruning: only the 4 referenced columns are read
+    assert(!plan.contains("l_orderkey"), "scan reads unneeded columns")
+  }
+
+  test("q5: dimension joins broadcast — no shuffle for region/nation/supplier/customer") {
+    val plan = physicalPlan(Olap.q5LocalSupplier(spark, sfTiny))
+    assert(plan.contains("BroadcastHashJoin"), "dimension joins are not broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "a dimension join degraded to sort-merge — would shuffle TBs at scale")
+  }
+
+  test("order fold: exactly one shuffle serves both the window and the aggregation") {
+    val oc = OrderState.ordersCurrent(OrderEvents(spark, sfTiny))
+    // the (pool,trader) hash partitioning must be reused across the window,
+    // the groupBy, and the dedup-window — Catalyst plans one Exchange
+    assert(shuffles(oc) == 1, s"expected 1 shuffle, got ${shuffles(oc)}:\n${physicalPlan(oc)}")
+  }
+
+  test("orderbook query: whole-stage codegen covers the aggregation pipeline") {
+    val df = BookQueries.orderbook(spark, sfTiny)
+    df.collect() // AQE finalizes the physical plan only on execution
+    val plan = physicalPlan(df)
+    // codegen stages render as "*(n)" prefixes in the executed plan
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"no codegen spans:\n$plan")
+    // Spark plants a partial top-k (WindowGroupLimit) below the shuffle —
+    // the reference's hand-rolled "truncate before hydrate" for free
+    assert(plan.contains("WindowGroupLimit"), "partial top-k pushdown missing")
+  }
+
+  test("sessionize: both window passes and the aggregation share one shuffle") {
+    val df = Olap.qSessionize(spark, sfTiny)
+    assert(shuffles(df) == 1,
+      s"expected 1 shuffle (user_id partitioning reused), got ${shuffles(df)}")
+  }
+
+  test("price levels: partial aggregation present (map-side combine before shuffle)") {
+    val (ev) = OrderEvents(spark, sfTiny)
+    val plan = physicalPlan(BookQueries.priceLevelsQ(spark, sfTiny))
+    assert(plan.contains("HashAggregate"), "no hash aggregation")
+  }
+}

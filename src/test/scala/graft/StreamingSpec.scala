@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.{OrderEvents, OrderFold}
+import graft.operators.OrderFold.{Ev, St}
+import graft.streaming.OrderBookStream
+
+/** M6: the streaming lift must produce the same final state as the batch
+  * fold regardless of micro-batch boundaries (ST1 batch-boundary
+  * independence — the property the reference's offset machinery is meant to
+  * provide, `src/services/block-event-manager.ts:63-92`).
+  */
+class StreamingSpec extends SparkSpec {
+
+  /** Feed `events` through the streaming fold in the given batch sizes and
+    * return the last emitted state per key.
+    */
+  private def runBatches(events: Seq[Ev], splits: Seq[Int]): Map[(String, Long), St] = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val folded = OrderBookStream.foldStream(source.toDS())
+    val query = folded.writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName("fold_out")
+      .start()
+    try {
+      var rest = events
+      splits.foreach { n =>
+        val (batch, tail) = rest.splitAt(n)
+        rest = tail
+        if (batch.nonEmpty) { source.addData(batch); query.processAllAvailable() }
+      }
+      if (rest.nonEmpty) { source.addData(rest); query.processAllAvailable() }
+      // memory sink accumulates every update; last row per key wins.
+      // collect in sink arrival order — updates for a key only ever append.
+      spark.table("fold_out").as[St].collect()
+        .foldLeft(Map.empty[(String, Long), St]) { (m, s) => m + ((s.pool, s.trader) -> s) }
+    } finally query.stop()
+  }
+
+  test("batch-boundary independence: 1 batch == many batches == batch fold") {
+    val events = OrderFold.toEvents(OrderEvents(spark, sfTiny))
+      .collect().toSeq.sortBy(_.eventId).take(400)
+
+    val oracle = events.groupBy(e => (e.pool, e.trader))
+      .flatMap { case (k, g) => OrderFold.fold(g.sortBy(_.eventId)).map(k -> _) }
+      .toMap
+
+    val oneBatch = runBatches(events, Seq(events.size))
+    spark.sql("DROP TABLE IF EXISTS fold_out")
+    val tenBatches = runBatches(events, Seq.fill(10)(events.size / 10))
+    spark.sql("DROP TABLE IF EXISTS fold_out")
+    val unevenBatches = runBatches(events, Seq(1, 7, 150, 3, 90))
+
+    assert(oneBatch == oracle, "single-batch streaming != batch fold")
+    assert(tenBatches == oracle, "10-batch streaming != batch fold")
+    assert(unevenBatches == oracle, "uneven-batch streaming != batch fold")
+  }
+
+  test("change feed surfaces updated keys per micro-batch (ST8)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val raw = spark.read.parquet(s"$sfTiny/events.parquet")
+    val source = MemoryStream[Long]
+    // replay the raw schema through the SAME normalization as batch
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val updates = scala.collection.concurrent.TrieMap[Long, Seq[St]]()
+    val streamDf = source.toDS().toDF("idx")
+      .join(raw, expr("event_id % 60") === col("idx")) // deterministic slice per tick
+    val query = OrderBookStream.changeFeed(streamDf.drop("idx"), ckpt) {
+      (batchId, sts) => updates.put(batchId, sts)
+    }
+    try {
+      source.addData(0L); query.processAllAvailable()
+      assert(updates.values.flatten.nonEmpty, "no change-feed updates received")
+      val keys = updates.values.flatten.map(s => (s.pool, s.trader)).toSet
+      assert(keys.nonEmpty)
+    } finally query.stop()
+  }
+
+  private def expr(s: String) = org.apache.spark.sql.functions.expr(s)
+  private def col(s: String) = org.apache.spark.sql.functions.col(s)
+}
