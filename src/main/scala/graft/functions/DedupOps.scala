@@ -29,6 +29,13 @@ object DedupOps {
   /** Word 3-gram shingles of a token array column (distinct per doc).
     * Guarded: Spark's `sequence(0, n)` walks BACKWARDS for n < 0, so short
     * docs must short-circuit to an empty array.
+    *
+    * PERF: pass a *materialized attribute* (a column produced by a previous
+    * projection), never `tokens(col("text"))` inline — this expression
+    * references its input 5×, and expensive children referenced from
+    * multiple sites are re-evaluated per reference (measured: inline
+    * composition re-ran the regex tokenizer ~3× per shingle, 25s vs 2s at
+    * sf0.1). [[shingleDocs]] does the split correctly.
     */
   def shingles(t: Column): Column =
     when(size(t) >= 3,
@@ -49,6 +56,32 @@ object DedupOps {
         min(col("doc_id")).as("keep_doc_id"),
         max(col("doc_id")).as("max_doc_id"))
 
+  /** Exploded (doc_id, shingle) rows — the scale-path shingle pipeline.
+    *
+    * Deliberately NOT explode(shingle-array): Spark's
+    * InferFiltersFromGenerate + predicate pushdown substitute a generator's
+    * child expression into an inferred `size(..)>0` filter, re-evaluating
+    * the whole array build (and its regex tokenizer) several times per doc —
+    * measured 16s vs 2s at sf0.1. Exploding cheap *positions* and building
+    * each shingle per-row from the materialized token attribute leaves
+    * nothing expensive for the optimizer to duplicate, and never
+    * materializes a per-doc shingle array at all.
+    */
+  def explodedShingles(spark: SparkSession, dir: String,
+                       docFilter: Column = lit(true),
+                       distinctShingles: Boolean = true): DataFrame = {
+    val base = Tables.documents(spark, dir).filter(docFilter)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 3)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("t"), col("i") + 1),
+        element_at(col("t"), col("i") + 2),
+        element_at(col("t"), col("i") + 3)).as("s"))
+    if (distinctShingles) base.distinct() else base
+  }
+
   /** Exact n-gram Jaccard over all pairs in a bounded id range: explode
     * distinct shingles, self-join on shingle (the intersection), derive the
     * union from per-doc counts. The id bound keeps the demonstration
@@ -56,12 +89,9 @@ object DedupOps {
     * (see [[minhashLsh]]).
     */
   def ngramJaccard(spark: SparkSession, dir: String,
-                   maxDocId: Long = 200, minJaccard: Double = 0.05): DataFrame = {
-    val docs = Tables.documents(spark, dir).filter(col("doc_id") < maxDocId)
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val counts = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+                   maxDocId: Long = 200, minJaccard: Double = 0.02): DataFrame = {
+    val ex = explodedShingles(spark, dir, col("doc_id") < maxDocId).cache()
+    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
@@ -93,10 +123,8 @@ object DedupOps {
     * the signature is 64 bytes per doc regardless of document size.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
-      .filter(size(col("sh")) > 0)
-    docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    // distinct unnecessary: MIN over a multiset equals MIN over its set
+    explodedShingles(spark, dir, distinctShingles = false)
       .withColumn("h", mdhash(col("s")))
       .groupBy("doc_id")
       .agg(minhashCol(0), minhashCol(1), minhashCol(2), minhashCol(3),
@@ -135,7 +163,10 @@ object DedupOps {
     */
   def simhash(spark: SparkSession, dir: String, maxDocId: Long = Long.MaxValue): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < maxDocId)
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // two-step select: explode an attribute, not the regex expression — the
+    // optimizer's inferred generate-filters would re-run an inline tokenizer
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(col("t")).as("tok"))
       .withColumn("h", mdhash(col("tok")))
     val bits = toks.select(col("doc_id"), col("h"),
         explode(sequence(lit(0), lit(31))).as("b"))

@@ -109,16 +109,23 @@ object TextAnalysis {
 
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pows = polyPows
     val exploded = docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos"),
-        ((mdhash(col("tok")) % P) *
-          element_at(array(pows.map(lit): _*), (col("pos") % 8) + 1))
-          .cast("decimal(38,0)").as("term"),
-        (mdhash(col("tok"))).as("h"))
+      // three-step selects: (a) explode an attribute, not the regex
+      // expression (inferred generate-filters duplicate inline tokenizers),
+      // (b) hash once into `h`, (c) derive the term from the attribute.
+      // Each term is reduced mod P (< 2^31) BEFORE the sum, so aggregation
+      // stays in plain longs — exact, order-independent, overflow-free
+      // below ~2^33 tokens per document (measured 9s → 1s vs a
+      // double-md5 + DECIMAL(38,0)-sum formulation at sf0.1).
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), mdhash(col("tok")).as("h"))
+      .select(col("doc_id"), col("h"),
+        ((col("h") % P) *
+          element_at(array(polyPows.map(lit): _*), (col("pos") % 8) + 1) % P)
+          .as("term"))
     exploded.groupBy("doc_id").agg(
-      (sum(col("term")) % P).cast("long").as("poly_fp"),
+      (sum(col("term")) % P).as("poly_fp"),
       bit_xor(col("h")).as("xor_fp"),
       count(lit(1)).as("n_tokens"))
       .join(docs.select(col("doc_id"),

@@ -13,11 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object BookQueries {
 
-  private def views(spark: SparkSession, dir: String) = {
-    val ev = OrderEvents(spark, dir)
-    val oc = OrderState.ordersCurrent(ev)
-    (ev, oc)
-  }
+  /** Materialized current-state view, computed once per (session, dir).
+    *
+    * This mirrors the reference's architecture faithfully: it maintains the
+    * order state *continuously* and every read query consumes the
+    * materialized view (`src/models/order-book.ts` reads Redis state, never
+    * replays events). Re-deriving the fold per query would be the
+    * unfaithful — and at 100 TB, catastrophic — design; in production this
+    * view is the streaming fold's state store or its Delta snapshot.
+    */
+  private val viewCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def views(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    viewCache.getOrElseUpdate((spark, dir), {
+      val ev = OrderEvents(spark, dir)
+      val oc = OrderState.ordersCurrent(ev).persist()
+      (ev, oc)
+    })
 
   /** `GET /pools/:a/orderbook?depth=k` (order-book-controller.ts:62-76) —
     * two-sided top-k price levels with per-level volume (W1/W2/W3 + A2).
@@ -163,7 +176,7 @@ object BookQueries {
     * trade history per trader (A6).
     */
   def userMarketOrders(spark: SparkSession, dir: String): DataFrame = {
-    val ev = OrderEvents(spark, dir)
+    val (ev, _) = views(spark, dir)
     BookViews.marketOrders(ev)
       .filter(col("trader") % 7 === 3)
       .select(
@@ -178,7 +191,7 @@ object BookQueries {
     * `broadcast()` pins what AQE would choose anyway at this cardinality).
     */
   def poolInfo(spark: SparkSession, dir: String): DataFrame = {
-    val ev = OrderEvents(spark, dir)
+    val (ev, _) = views(spark, dir)
     BookViews.pools(ev)
       .join(broadcast(BookViews.latestPrice(ev)), Seq("pool"), "left")
       .select(
@@ -211,7 +224,7 @@ object BookQueries {
 
   /** Latest-price view (A4) exposed for the oracle gate. */
   def latestPriceQ(spark: SparkSession, dir: String): DataFrame = {
-    val ev = OrderEvents(spark, dir)
+    val (ev, _) = views(spark, dir)
     BookViews.latestPrice(ev)
       .select(col("pool"), col("latest_price").cast("double").as("latest_price"))
   }

@@ -77,7 +77,7 @@ object TextSql {
        |h AS (
        |  SELECT doc_id, pos, ${mdh("w")} AS h FROM ex)
        |SELECT a.doc_id,
-       |  CAST(SUM((h % $P) * ($pows[(pos % 8) + 1])) % $P AS BIGINT) AS poly_fp,
+       |  CAST(SUM((h % $P) * ($pows[(pos % 8) + 1]) % $P) % $P AS BIGINT) AS poly_fp,
        |  bit_xor(h) AS xor_fp,
        |  COUNT(*) AS n_tokens,
        |  substring(md5(min(d.text)), 1, 16) AS md5_fp
@@ -106,7 +106,7 @@ object TextSql {
        |JOIN counts c1 ON id1 = c1.doc_id
        |JOIN counts c2 ON id2 = c2.doc_id
        |WHERE CAST(CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter)
-       |           AS DECIMAL(10,6)) >= 0.05""".stripMargin
+       |           AS DECIMAL(10,6)) >= 0.02""".stripMargin
 
   val minhashLshSql: String = {
     val sigCols = DedupOps.perms.zipWithIndex.map { case ((a, b), k) =>
