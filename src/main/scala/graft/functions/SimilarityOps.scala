@@ -26,7 +26,10 @@ import TextAnalysis.{mdhash, P}
   */
 object SimilarityOps {
 
-  /** Cosine similarity of two double-array columns as a sequential fold. */
+  /** Cosine similarity as higher-order functions — the reference
+    * formulation the codegen expression is equivalence-tested against
+    * (interpreted lambdas; use [[nativeCosine]] in hot paths).
+    */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
@@ -34,7 +37,14 @@ object SimilarityOps {
     dot / (sqrt(na) * sqrt(nb))
   }
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Codegen'd cosine ([[VectorExpressions.CosineSim]]): same bit-exact
+    * result, tight Java loop, takes float arrays directly (float→double
+    * widening is lossless so the oracle pathway is unchanged).
+    */
+  def nativeCosine(spark: SparkSession, a: String, b: String): Column = {
+    VectorExpressions.register(spark)
+    expr(s"cosine_native($a, $b)")
+  }
 
   /** Brute-force exact cosine top-k: queries (vec_id < nQueries) against the
     * full corpus. The corpus side is broadcast when small; at scale this
@@ -44,12 +54,12 @@ object SimilarityOps {
   def cosineTopK(spark: SparkSession, dir: String,
                  nQueries: Long = 20, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = broadcast(q).join(emb, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("v")).cast("decimal(12,8)").as("score"))
+        nativeCosine(spark, "qv", "v").cast("decimal(12,8)").as("score"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
@@ -108,7 +118,7 @@ object SimilarityOps {
   def lshTopK(spark: SparkSession, dir: String,
               nQueries: Long = 20, k: Int = 3): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
     val buckets = lshBuckets(spark, dir)
     val qb = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
@@ -122,7 +132,7 @@ object SimilarityOps {
         .withColumnRenamed("v", "qv"), Seq("query_id"))
       .join(emb.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("v")).cast("decimal(12,8)").as("score"))
+        nativeCosine(spark, "qv", "v").cast("decimal(12,8)").as("score"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
