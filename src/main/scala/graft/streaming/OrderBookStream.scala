@@ -70,4 +70,36 @@ object OrderBookStream {
         onUpdate(batchId, batch.collect().toSeq)
       }
       .start()
+
+  /** S9 durable sink: per-batch MERGE of updated states into a parquet
+    * snapshot (keep existing keys not in the batch, replace the ones that
+    * are — each micro-batch emits at most one state row per key, so the
+    * merge is a keyed anti-join + union). foreachBatch + checkpointing makes
+    * this idempotent under batch replay — strictly stronger than the
+    * reference's non-atomic per-event Redis writes (ST6). On a cluster this
+    * is one `MERGE INTO` against Delta/Iceberg; plain parquet
+    * read-union-overwrite expresses the same semantics container-locally.
+    */
+  def snapshotSink(raw: DataFrame, checkpointDir: String,
+                   snapshotPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    foldStream(toEventStream(raw)).writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[St], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val dir = new java.io.File(snapshotPath)
+        val merged =
+          if (dir.exists()) {
+            val existing = spark.read.parquet(snapshotPath).as[St]
+            val keys = batch.select(col("pool"), col("trader"))
+            existing.join(keys, Seq("pool", "trader"), "left_anti").as[St]
+              .union(batch)
+          } else batch
+        // stage-then-swap: parquet cannot overwrite a path being read
+        val staged = snapshotPath + ".staged"
+        merged.write.mode("overwrite").parquet(staged)
+        spark.read.parquet(staged).write.mode("overwrite").parquet(snapshotPath)
+      }
+      .start()
 }

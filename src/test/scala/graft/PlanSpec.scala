@@ -46,8 +46,13 @@ class PlanSpec extends SparkSpec {
   test("order fold: exactly one shuffle serves both the window and the aggregation") {
     val oc = OrderState.ordersCurrent(OrderEvents(spark, sfTiny))
     // the (pool,trader) hash partitioning must be reused across the window,
-    // the groupBy, and the dedup-window — Catalyst plans one Exchange
-    assert(shuffles(oc) == 1, s"expected 1 shuffle, got ${shuffles(oc)}:\n${physicalPlan(oc)}")
+    // the groupBy, and the dedup-window — Catalyst plans one Exchange.
+    // 0 is also legal: the cache manager may substitute the materialized
+    // serving view (BookQueries.views) for the equivalent plan fragment.
+    val n = shuffles(oc)
+    val cached = physicalPlan(oc).contains("InMemoryTableScan")
+    assert(n == 1 || (cached && n == 0),
+      s"expected 1 shuffle (or cached), got $n:\n${physicalPlan(oc)}")
   }
 
   test("orderbook query: whole-stage codegen covers the aggregation pipeline") {

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{BookQueries, BookServing, OrderEvents, OrderFold}
+import graft.operators.OrderFold.{Ev, St}
+import graft.streaming.OrderBookStream
+
+/** A7 nested assembly + S9 durable snapshot sink. */
+class ServingSpec extends SparkSpec {
+
+  test("nested order book: structure, side ordering, volume consistency") {
+    val books = BookServing.orderBook(spark, sfTiny, depth = 10).collect()
+    assert(books.nonEmpty)
+    val flat = BookQueries.orderbook(spark, sfTiny, depth = 10).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(3)), r.getDouble(4))).toMap
+    books.foreach { row =>
+      val pool = row.getString(0)
+      val bids = row.getSeq[org.apache.spark.sql.Row](4)
+      val asks = row.getSeq[org.apache.spark.sql.Row](5)
+      // bids strictly descending, asks strictly ascending (W1/W2)
+      val bidPrices = bids.map(_.getLong(0))
+      val askPrices = asks.map(_.getLong(0))
+      assert(bidPrices == bidPrices.sorted.reverse, s"$pool bids not descending")
+      assert(askPrices == askPrices.sorted, s"$pool asks not ascending")
+      // nested totals must equal the flat oracle-checked view
+      bids.foreach { lvl =>
+        assert(flat((pool, "BUY", lvl.getLong(0))) == lvl.getDouble(1),
+          s"$pool bid level ${lvl.getLong(0)} volume mismatch vs flat view")
+        // per-level orders sum to the level volume
+        val orderSum = lvl.getSeq[org.apache.spark.sql.Row](2)
+          .map(_.getDouble(3)).sum
+        assert(math.abs(orderSum - lvl.getDouble(1)) < 1e-6)
+      }
+    }
+  }
+
+  test("order book JSON rendering (S12) is well-formed") {
+    val json = BookServing.orderBookJson(spark, sfTiny).collect()
+    assert(json.length == 5)
+    json.foreach { r =>
+      val s = r.getString(1)
+      assert(s.startsWith("{") && s.contains("\"bids\":[") && s.contains("\"asks\":["))
+    }
+  }
+
+  test("snapshot sink (S9): parquet snapshot converges to the batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snap")
+    val snapPath = s"$tmp/state"
+    val ckpt = s"$tmp/ckpt"
+
+    val raw = spark.read.parquet(s"$sfTiny/events.parquet").limit(300).collect()
+    val schema = spark.read.parquet(s"$sfTiny/events.parquet").schema
+    val source = MemoryStream[Long]
+    val rawDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(raw.toSeq), schema)
+    // stream-static trick: tick t releases the contiguous block
+    // [t*100, (t+1)*100) — deliveries stay in offset order across batches,
+    // the monotone-block-order contract the source provides (ST1/ST4)
+    val stream = source.toDS().toDF("tick")
+      .join(rawDf, expr("event_id div 100") === col("tick"))
+      .drop("tick")
+    val query = OrderBookStream.snapshotSink(stream, ckpt, snapPath)
+    try {
+      source.addData(0L); query.processAllAvailable()
+      source.addData(1L); query.processAllAvailable()
+      source.addData(2L); query.processAllAvailable()
+    } finally query.stop()
+
+    val snapshot = spark.read.parquet(snapPath).as[St].collect()
+      .map(s => (s.pool, s.trader) -> s).toMap
+    val oracle = OrderFold.toEvents(OrderEvents.derive(rawDf)).collect().toSeq
+      .groupBy(e => (e.pool, e.trader))
+      .flatMap { case (k, g) => OrderFold.fold(g.sortBy(_.eventId)).map(k -> _) }
+      .toMap
+    assert(snapshot == oracle, "snapshot diverged from batch fold")
+    assert(snapshot.nonEmpty)
+  }
+}
