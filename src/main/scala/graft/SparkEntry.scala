@@ -61,6 +61,9 @@ object SparkEntry {
     "lsh_buckets"     -> ((s, d) => SimilarityOps.lshBuckets(s, d)),
     "lsh_topk"        -> ((s, d) => SimilarityOps.lshTopK(s, d)),
     "multimodal_meta" -> ((s, d) => MultimodalOps.multimodalMeta(s, d)),
+    "asof_price_join" -> ((s, d) => AsofJoin.marketOrdersWithAsofPrice(s, d)),
+    "label_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
+    "ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -103,5 +106,8 @@ object SparkEntry {
     "lsh_buckets"     -> TextSql.lshBucketsSql,
     "lsh_topk"        -> TextSql.lshTopKSql,
     "multimodal_meta" -> TextSql.multimodalMetaSql,
+    "asof_price_join" -> TextSql.asofPriceJoinSql,
+    "label_centroids" -> TextSql.labelCentroidsSql,
+    "ivf_topk"        -> TextSql.ivfTopKSql,
   )
 }

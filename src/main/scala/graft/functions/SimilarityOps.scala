@@ -69,6 +69,65 @@ object SimilarityOps {
         col("neighbor_id"), col("score"))
   }
 
+  /** Element-wise per-label centroid of the embedding vectors — the vector
+    * aggregate underlying IVF (labels stand in for k-means cells; on a real
+    * pipeline the same query runs per k-means assignment). Sums are exact
+    * DECIMAL(18,9) per dimension; the mean is one double division per cell.
+    * Output is flat (label, d, mean) — oracle-friendly; [[centroidVectors]]
+    * reassembles arrays for in-engine use.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      // float → DOUBLE → decimal: Spark's direct float→decimal cast rounds
+      // the float's shortest string form; via double both engines round the
+      // same exact binary value
+      .groupBy("label", "d")
+      .agg((sum(col("x").cast("double").cast("decimal(18,9)")).cast("double") /
+        count(lit(1))).as("mean"))
+
+  /** Centroids as (label, c: array<double>), dimension-ordered. */
+  def centroidVectors(spark: SparkSession, dir: String): DataFrame =
+    labelCentroids(spark, dir)
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("d"), col("mean")))).as("dm"))
+      .select(col("label"), expr("transform(dm, p -> p.mean)").as("c"))
+
+  /** IVF-style ANN: the label centroids act as the coarse quantizer. Every
+    * vector is assigned to its nearest centroid (one broadcast join against
+    * ~|cells| rows — never a shuffle of the corpus); a query probes ONLY its
+    * own cell. This is the scale path beyond LSH: at 100 TB the corpus is
+    * bucketed/partitioned BY cell id, so a probe reads one partition.
+    * nprobe=1 here; widening to top-p cells is the same query with rank<=p.
+    */
+  def ivfTopK(spark: SparkSession, dir: String,
+              nQueries: Long = 20, k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val cents = centroidVectors(spark, dir)
+    // nearest-centroid assignment, rank on rounded score + label tie-break
+    val scoredCells = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("label"),
+        nativeCosine(spark, "c", "v").cast("decimal(12,8)").as("cscore"))
+    val assigned = scoredCells
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("label").as("cell"))
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+    val scored = q.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        nativeCosine(spark, "qv", "v").cast("decimal(12,8)").as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
+  }
+
   /** Deterministic hyperplane weight for (plane, dim): mdhash-derived
     * integer in [-1000, 1000] (a ×1000-scaled unit weight — the scale factor
     * never changes the dot-product SIGN, so integer weights keep the bucket
@@ -96,7 +155,8 @@ object SimilarityOps {
     val nPlanes = LshTables * LshBits
     val emb = Tables.embeddings(spark, dir)
     val dims = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .withColumn("xd", col("x").cast("decimal(18,9)"))
+      // float → double → decimal (see labelCentroids cast note)
+      .withColumn("xd", col("x").cast("double").cast("decimal(18,9)"))
     val planes = dims.select(col("vec_id"), col("d"), col("xd"),
         explode(sequence(lit(0), lit(nPlanes - 1))).as("p"))
       .withColumn("w", planeWeight(col("p"), col("d")))

@@ -170,12 +170,14 @@ object TextSql {
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 6""".stripMargin
 
-  private val cosineExpr =
-    """CAST(
-      |      list_sum(list_transform(list_zip(qv, v), p -> p[1] * p[2])) /
-      |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
-      |       sqrt(list_sum(list_transform(v, x -> x * x))))
-      |      AS DECIMAL(12,8))""".stripMargin
+  private def cosineExprOn(a: String, b: String): String =
+    s"""CAST(
+       |      list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) /
+       |      (sqrt(list_sum(list_transform($a, x -> x * x))) *
+       |       sqrt(list_sum(list_transform($b, x -> x * x))))
+       |      AS DECIMAL(12,8))""".stripMargin
+
+  private val cosineExpr = cosineExprOn("qv", "v")
 
   val cosineTopKSql: String =
     s"""WITH emb AS (
@@ -201,7 +203,7 @@ object TextSql {
 
   private val bucketCte: String =
     s"""dims AS (
-       |  SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DECIMAL(18,9)) AS xd
+       |  SELECT vec_id, i - 1 AS d, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS xd
        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
        |planes AS (
        |  SELECT vec_id, d, xd, b AS p,
@@ -245,6 +247,63 @@ object TextSql {
        |    ORDER BY score DESC, neighbor_id) AS rank
        |  FROM scored) t
        |WHERE rank <= 3""".stripMargin
+
+  private val centroidCte: String =
+    """centroid AS (
+      |  SELECT label, CAST(i - 1 AS INT) AS d,
+      |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mean
+      |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+      |  GROUP BY label, CAST(i - 1 AS INT))""".stripMargin
+
+  val labelCentroidsSql: String =
+    s"""WITH $centroidCte
+       |SELECT label, d, mean FROM centroid""".stripMargin
+
+  val ivfTopKSql: String =
+    s"""WITH $centroidCte,
+       |cent AS (
+       |  SELECT label, list(mean ORDER BY d) AS c FROM centroid GROUP BY label),
+       |emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cellpairs AS (
+       |  SELECT e.vec_id, e.v, c.label, c.c AS cv FROM emb e CROSS JOIN cent c),
+       |scored_cells AS (
+       |  SELECT vec_id, v, label,
+       |    ${cosineExprOn("cv", "v")} AS cscore
+       |  FROM cellpairs),
+       |assigned AS (
+       |  SELECT vec_id, v, label AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cscore DESC, label) AS rk
+       |    FROM scored_cells) a
+       |  WHERE rk = 1),
+       |q AS (SELECT vec_id AS query_id, v AS q_v, cell FROM assigned
+       |      WHERE vec_id < 20),
+       |pairs AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id, q.q_v AS qv, a.v
+       |  FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.query_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, $cosineExpr AS score FROM pairs)
+       |SELECT query_id, rank, neighbor_id, score FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3""".stripMargin
+
+  val asofPriceJoinSql: String =
+    s"""WITH ${OracleSql.orderEventsCte},
+       |pe AS (SELECT * FROM order_events WHERE action IN (8, 9)),
+       |wp AS (
+       |  SELECT *, last_value(CASE WHEN action = 8 THEN val END IGNORE NULLS)
+       |    OVER (PARTITION BY pool ORDER BY event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_price
+       |  FROM pe)
+       |SELECT pool, event_id, trader,
+       |  CAST(val AS DOUBLE) AS trade_price,
+       |  CAST(asof_price AS DOUBLE) AS asof_price,
+       |  CAST(val - asof_price AS DOUBLE) AS slippage
+       |FROM wp WHERE action = 9""".stripMargin
 
   val multimodalMetaSql: String =
     s"""SELECT doc_id,
