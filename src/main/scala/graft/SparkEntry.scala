@@ -48,6 +48,10 @@ object SparkEntry {
     "event_pivot"         -> ((s, d) => Olap.qEventPivot(s, d)),
     "json_bucket"         -> ((s, d) => Olap.qJsonBucket(s, d)),
     "string_funcs"        -> ((s, d) => Olap.qStringFuncs(s, d)),
+    "quantiles"           -> ((s, d) => Olap.qQuantiles(s, d)),
+    "exists_having"       -> ((s, d) => Olap.qExistsHaving(s, d)),
+    "grouping_sets"       -> ((s, d) => Olap.qGroupingSets(s, d)),
+    "value_stats"         -> ((s, d) => Olap.qValueStats(s, d)),
     // ── LLM-data-pipeline operators (driver contract / SURVEY §7.2 M8) ────
     "text_stats"      -> ((s, d) => TextAnalysis.textStats(s, d)),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -94,6 +98,10 @@ object SparkEntry {
     "event_pivot"         -> OlapSql.qEventPivotSql,
     "json_bucket"         -> OlapSql.qJsonBucketSql,
     "string_funcs"        -> OlapSql.qStringFuncsSql,
+    "quantiles"           -> OlapSql.qQuantilesSql,
+    "exists_having"       -> OlapSql.qExistsHavingSql,
+    "grouping_sets"       -> OlapSql.qGroupingSetsSql,
+    "value_stats"         -> OlapSql.qValueStatsSql,
     "text_stats"      -> TextSql.textStatsSql,
     "lang_id"         -> TextSql.langIdSql,
     "fingerprint"     -> TextSql.fingerprintSql,

@@ -262,6 +262,72 @@ object Olap {
       .agg(count(lit(1)).as("n"), sum(col("val")).cast("double").as("sum_value"))
   }
 
+  /** Exact percentiles per group. Only dyadic quantiles (0.25/0.5/0.75):
+    * the linear interpolation `a + (b-a)·g` is then exact in binary fp for
+    * the small-integer-valued quantity column, so Spark's `percentile` and
+    * DuckDB's `quantile_cont` agree bit-for-bit. Non-dyadic p (0.9, 0.99)
+    * would round differently in the last ulp between engines.
+    */
+  def qQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("median"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        count(lit(1)).as("n"))
+  }
+
+  /** EXISTS + HAVING subquery (J2 family): order statuses of orders with at
+    * least 5 line items — left-semi against a filtered aggregate.
+    */
+  def qExistsHaving(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") >= 5)
+      .select("l_orderkey")
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("total_price"))
+  }
+
+  /** GROUPING SETS through the SQL surface (the driver contract includes
+    * SQL entry points; `spark.sql` over a registered view is the idiomatic
+    * route — grouping-set plans expand to the same Expand operator ROLLUP
+    * uses).
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
+  /** Moment-based variance/stddev from exact decimal sums: Σx and Σx² are
+    * DECIMAL (order-independent), the final combination is a handful of
+    * deterministic double ops — unlike Welford-style `stddev_samp`, whose
+    * accumulation order differs per engine and partitioning.
+    */
+  def qValueStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value").cast("decimal(12,2)").as("v"))
+    ev.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("sum_v"),
+        sum(col("v") * col("v")).cast("double").as("sum_v2"))
+      .select(col("event_type"), col("n"), col("sum_v"), col("sum_v2"),
+        (col("sum_v") / col("n")).as("mean"),
+        sqrt((col("sum_v2") - col("sum_v") * col("sum_v") / col("n")) /
+          (col("n") - 1)).as("stddev"))
+  }
+
   /** Scalar string functions (SURVEY §2.6): the reference's key-construction
     * idioms (concat/lower/substring) as a query.
     */

@@ -157,6 +157,43 @@ object OlapSql {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  val qQuantilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.5) AS median,
+      |  quantile_cont(l_quantity, 0.75) AS q75,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  val qExistsHavingSql: String =
+    """SELECT o_orderstatus,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+      |              GROUP BY l_orderkey HAVING COUNT(*) >= 5)
+      |GROUP BY o_orderstatus""".stripMargin
+
+  val qGroupingSetsSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
+  val qValueStatsSql: String =
+    """WITH sums AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+      |         AS DOUBLE) AS sum_v2
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n, sum_v, sum_v2,
+      |  sum_v / n AS mean,
+      |  sqrt((sum_v2 - sum_v * sum_v / n) / (n - 1)) AS stddev
+      |FROM sums""".stripMargin
+
   val qStringFuncsSql: String =
     """SELECT lower(p_brand) || ':' || upper(substring(p_type, 1, 3)) AS key,
       |  COUNT(*) AS n,
