@@ -71,6 +71,27 @@ object OrderBookStream {
       }
       .start()
 
+  /** ST3 extension (the reference has no windows at all — SURVEY §2.7): a
+    * watermarked event-time tumbling-window aggregate over the trade stream,
+    * e.g. per-pool per-minute traded volume. `withWatermark` bounds state:
+    * windows older than the watermark finalize and evict — the knob the
+    * reference's unbounded Redis state lacks entirely (ST5). Volume stays
+    * DECIMAL for exactness under any partial-agg schedule.
+    */
+  def windowedVolume(raw: DataFrame, watermarkDelay: String = "10 minutes",
+                     windowLength: String = "1 minute"): DataFrame = {
+    val trades = graft.operators.OrderEvents.derive(raw)
+      .filter(col("action") === 9)
+      // block_time is epoch-micros (long) → timestamp for event-time ops
+      .withColumn("event_time", timestamp_micros(col("block_time")))
+    trades
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("pool"), window(col("event_time"), windowLength))
+      .agg(sum(col("val")).as("traded_volume"), count(lit(1)).as("n_trades"))
+      .select(col("pool"), col("window.start").as("window_start"),
+        col("traded_volume"), col("n_trades"))
+  }
+
   /** S9 durable sink: per-batch MERGE of updated states into a parquet
     * snapshot (keep existing keys not in the batch, replace the ones that
     * are — each micro-batch emits at most one state row per key, so the

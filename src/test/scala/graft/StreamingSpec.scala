@@ -81,6 +81,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed volume (ST3): streaming event-time windows match the batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val raw = spark.read.parquet(s"$sfTiny/events.parquet")
+    val rawRows = raw.limit(400).collect()
+    val rawDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rawRows.toSeq), raw.schema)
+
+    val source = MemoryStream[Long]
+    val stream = source.toDS().toDF("tick")
+      .join(rawDf, expr("event_id div 200") === col("tick")).drop("tick")
+    val query = OrderBookStream.windowedVolume(stream, "30 minutes", "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("win_out").start()
+    val streamed = try {
+      source.addData(0L); query.processAllAvailable()
+      source.addData(1L); query.processAllAvailable()
+      spark.table("win_out").collect()
+    } finally query.stop()
+
+    // append-mode only emits windows sealed by the watermark; with a
+    // bounded replay the last windows stay open — compare the emitted
+    // subset against the batch computation of the same windows
+    val batch = OrderBookStream.windowedVolume(rawDf, "0 seconds", "1 minute")
+    val batchMap = batch.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getDecimal(2), r.getLong(3))).toMap
+    assert(streamed.nonEmpty, "no sealed windows emitted")
+    streamed.foreach { r =>
+      val k = (r.getString(0), r.getTimestamp(1))
+      assert(batchMap.contains(k), s"streamed window $k missing from batch")
+      assert(batchMap(k) == ((r.getDecimal(2), r.getLong(3))),
+        s"window $k: streamed ${(r.getDecimal(2), r.getLong(3))} != batch ${batchMap(k)}")
+    }
+  }
+
   private def expr(s: String) = org.apache.spark.sql.functions.expr(s)
   private def col(s: String) = org.apache.spark.sql.functions.col(s)
 }
