@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Wire-format event schemas and normalizer (SURVEY §7.2 M1/M2, FIXTURES.md
+  * §A): the reference ingests 7 typed EVM contract events
+  * (`src/abis/hive-core.json:476-648`, `src/abis/hive-factory.json:152-189`,
+  * decoded at `src/services/hive-listener.ts:153-206`). This module defines
+  * those payloads as `StructType`s, parses the wire envelope with
+  * `from_json`, and normalizes to ONE discriminated event stream — the
+  * Spark-first replacement for the reference's six parallel per-type scans
+  * (S2): a single source, demuxed by a column, so Catalyst sees one scan.
+  *
+  * Raw uint256 amounts arrive as DECIMAL(38,0) fixed-point and are scaled by
+  * the token's `decimals` via a broadcast-joined dimension (P2 — the
+  * reference does `Number(x)/10^d` per field through float64,
+  * hive-listener.ts:239-241; we stay in decimal). The uint8 side flag
+  * decodes 0→BUY / 1→SELL (P3, hive-listener.ts:243).
+  */
+object WireEvents {
+
+  /** Envelope: every wire row. `payload` stays JSON until parsed per type. */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("block_number", LongType, nullable = false),
+    StructField("log_index", IntegerType, nullable = false),
+    StructField("block_time", TimestampType, nullable = false),
+    StructField("pool", StringType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("payload", StringType, nullable = false)))
+
+  private val u256 = DecimalType(38, 0)
+
+  /** Per-type payload structs (FIXTURES.md §A table, cited to the ABIs). */
+  val payloadSchemas: Map[String, StructType] = Map(
+    "HiveCoreCreated" -> StructType(Seq( // hive-factory.json:152-176
+      StructField("hiveCoreAddress", StringType), StructField("baseToken", StringType),
+      StructField("quoteToken", StringType))),
+    "QuoteTokenAdded" -> StructType(Seq( // hive-factory.json:177-189
+      StructField("quoteToken", StringType))),
+    "OrderCreated" -> StructType(Seq( // hive-core.json:544-580
+      StructField("trader", StringType), StructField("orderId", u256),
+      StructField("price", u256), StructField("amount", u256),
+      StructField("orderType", ByteType))),
+    "OrderFilled" -> StructType(Seq( // hive-core.json:581-623
+      StructField("orderId", u256), StructField("trader", StringType),
+      StructField("amount", u256), StructField("filled", u256),
+      StructField("remaining", u256), StructField("orderType", ByteType))),
+    "OrderCancelled" -> StructType(Seq( // hive-core.json:525-543
+      StructField("orderId", u256), StructField("trader", StringType))),
+    "OrderUpdated" -> StructType(Seq( // hive-core.json:624-648
+      StructField("orderId", u256), StructField("trader", StringType),
+      StructField("newAmount", u256))),
+    "LatestPrice" -> StructType(Seq( // hive-core.json:476-487
+      StructField("price", u256))),
+    "MarketOrderExecuted" -> StructType(Seq( // hive-core.json:489-524
+      StructField("trader", StringType), StructField("amount", u256),
+      StructField("price", u256), StructField("orderType", ByteType),
+      StructField("filledAmount", u256))))
+
+  /** Token dimension for fixed-point scaling (src/models/types.ts:42-47). */
+  val tokenSchema: StructType = StructType(Seq(
+    StructField("address", StringType), StructField("name", StringType),
+    StructField("symbol", StringType), StructField("decimals", IntegerType)))
+
+  /** Parse one wire frame: envelope columns + every payload struct (null for
+    * other types) under `p_<EventType>` — one pass, no per-type scans.
+    */
+  def parse(wire: DataFrame): DataFrame =
+    payloadSchemas.foldLeft(wire) { case (df, (tpe, schema)) =>
+      df.withColumn(s"p_$tpe",
+        when(col("event_type") === tpe, from_json(col("payload"), schema)))
+    }
+
+  /** Normalize parsed frames into the canonical order-event stream: one row
+    * per event with (pool, trader, order key, action, scaled decimal value),
+    * ordered by (block_number, log_index) — the engine's ingest contract
+    * (deliberately NOT the reference's per-type processing order, SURVEY
+    * §7.4). Scaling joins the broadcast token dim on the pool's base token.
+    */
+  def normalize(wire: DataFrame, pools: DataFrame, tokens: DataFrame): DataFrame = {
+    val parsed = parse(wire)
+      .join(broadcast(pools), Seq("pool"), "left")
+      .join(broadcast(tokens.withColumnRenamed("address", "base_token")),
+        Seq("base_token"), "left")
+    val scale = pow(lit(10), col("decimals")).cast("decimal(38,0)")
+    def scaled(c: org.apache.spark.sql.Column) =
+      (c / scale).cast("decimal(38,18)")
+    parsed.select(
+      col("pool"),
+      coalesce(
+        col("p_OrderCreated.trader"), col("p_OrderFilled.trader"),
+        col("p_OrderCancelled.trader"), col("p_OrderUpdated.trader"),
+        col("p_MarketOrderExecuted.trader")).as("trader"),
+      coalesce(
+        col("p_OrderCreated.orderId"), col("p_OrderFilled.orderId"),
+        col("p_OrderCancelled.orderId"), col("p_OrderUpdated.orderId"))
+        .cast("long").as("order_id"),
+      col("event_type"),
+      when(col("event_type") === "OrderCreated",
+          when(col("p_OrderCreated.orderType") === 0, "BUY").otherwise("SELL"))
+        .when(col("event_type") === "MarketOrderExecuted",
+          when(col("p_MarketOrderExecuted.orderType") === 0, "BUY").otherwise("SELL"))
+        .as("side"),
+      scaled(coalesce(
+        col("p_OrderCreated.price"), col("p_LatestPrice.price"),
+        col("p_MarketOrderExecuted.price"))).as("price"),
+      scaled(coalesce(
+        col("p_OrderCreated.amount"), col("p_OrderFilled.amount"),
+        col("p_OrderUpdated.newAmount"), col("p_MarketOrderExecuted.amount")))
+        .as("amount"),
+      col("block_number"), col("log_index"), col("block_time"))
+      .orderBy("block_number", "log_index")
+  }
+}
