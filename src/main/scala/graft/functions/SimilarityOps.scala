@@ -109,11 +109,15 @@ object SimilarityOps {
     val scoredCells = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("label"),
         nativeCosine(spark, "c", "v").cast("decimal(12,8)").as("cscore"))
+    // persist: the assignment feeds both sides of the cell self-join — the
+    // materialized index, not a recomputed subtree (at scale this IS the
+    // stored cell-partitioned table)
     val assigned = scoredCells
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("label"))))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("label").as("cell"))
+      .persist()
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
     val scored = q.join(assigned, Seq("cell"))
@@ -179,7 +183,7 @@ object SimilarityOps {
               nQueries: Long = 20, k: Int = 3): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
-    val buckets = lshBuckets(spark, dir)
+    val buckets = lshBuckets(spark, dir).persist() // feeds both join sides
     val qb = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
     val cand = qb.join(buckets.withColumnRenamed("vec_id", "neighbor_id"),
