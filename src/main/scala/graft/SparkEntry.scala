@@ -68,6 +68,9 @@ object SparkEntry {
     "asof_price_join" -> ((s, d) => AsofJoin.marketOrdersWithAsofPrice(s, d)),
     "label_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
     "ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
+    "embedding_dedup" -> ((s, d) => SimilarityOps.embeddingDedup(s, d)),
+    "token_counts"    -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "quality_filter"  -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -117,5 +120,8 @@ object SparkEntry {
     "asof_price_join" -> TextSql.asofPriceJoinSql,
     "label_centroids" -> TextSql.labelCentroidsSql,
     "ivf_topk"        -> TextSql.ivfTopKSql,
+    "embedding_dedup" -> TextSql.embeddingDedupSql,
+    "token_counts"    -> TextSql.tokenCountsSql,
+    "quality_filter"  -> TextSql.qualityFilterSql,
   )
 }

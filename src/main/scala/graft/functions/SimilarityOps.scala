@@ -132,6 +132,27 @@ object SimilarityOps {
         col("neighbor_id"), col("score"))
   }
 
+  /** Embedding-cosine near-duplicate detection (driver contract): vector
+    * pairs above a cosine threshold, with the canonical keep decision
+    * (min id survives). Brute-force over the bounded corpus here; the scale
+    * path is identical with LSH/IVF candidate generation in front (compose
+    * [[lshTopK]]/[[ivfTopK]]'s candidate stage with this threshold filter).
+    */
+  def embeddingDedup(spark: SparkSession, dir: String,
+                     minCosine: Double = 0.5): DataFrame = {
+    VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        expr("cosine_native(a.v, b.v)").as("raw_cos"))
+      .select(col("id1"), col("id2"),
+        col("raw_cos").cast("decimal(12,8)").as("cos"))
+      .filter(col("cos") >= minCosine)
+      .withColumn("keep_id", least(col("id1"), col("id2")))
+      .withColumn("drop_id", greatest(col("id1"), col("id2")))
+  }
+
   /** Deterministic hyperplane weight for (plane, dim): mdhash-derived
     * integer in [-1000, 1000] (a ×1000-scaled unit weight — the scale factor
     * never changes the dot-product SIGN, so integer weights keep the bucket

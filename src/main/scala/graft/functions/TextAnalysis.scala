@@ -104,6 +104,47 @@ object TextAnalysis {
     * style). The polynomial sum runs in DECIMAL(38,0) so it cannot overflow
     * and is aggregation-order independent.
     */
+  /** Token counting, both contract variants: whitespace split and the
+    * BPE-ish regex (letter runs / digit runs / other-symbol runs counted as
+    * separate tokens — the pre-tokenization shape BPE vocabularies use).
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+        .cast("long").as("n_word_tokens"))
+
+  /** Composite quality filter (driver contract "quality scoring"): integer
+    * sub-scores (length band, stopword presence, repetition) combined into
+    * one score with a pass/fail verdict and a deterministic reject reason —
+    * the shape of a corpus-cleaning pipeline stage. Exact integer
+    * arithmetic throughout.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"),
+        length(col("text")).cast("long").as("n_chars"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("t")).cast("long").as("n_tok"),
+        size(array_distinct(col("t"))).cast("long").as("n_uniq"))
+    d.select(col("doc_id"), col("lang"), col("n_chars"), col("n_tok"), col("n_uniq"),
+        // length band: 2 if comfortably sized, 1 if marginal, 0 otherwise
+        when(col("n_tok").between(30, 2000), 2)
+          .when(col("n_tok").between(10, 5000), 1).otherwise(0).as("len_score"),
+        // repetition: unique-token ratio ≥ 25% (×4 keeps it integer-exact)
+        when(col("n_uniq") * 4 >= col("n_tok"), 1).otherwise(0).as("rep_score"))
+      .withColumn("quality", col("len_score") + col("rep_score"))
+      .withColumn("passed", col("quality") >= 2)
+      .withColumn("reject_reason",
+        when(col("passed"), lit(null).cast("string"))
+          .when(col("len_score") === 0, "length")
+          .when(col("rep_score") === 0, "repetitive")
+          .otherwise("low_quality"))
+  }
+
   /** 31^i mod P for i in 0..7 — shared with the oracle SQL. */
   val polyPows: Seq[Long] = Iterator.iterate(1L)(x => x * 31 % P).take(8).toSeq
 

@@ -305,6 +305,50 @@ object TextSql {
        |  CAST(val - asof_price AS DOUBLE) AS slippage
        |FROM wp WHERE action = 9""".stripMargin
 
+  val embeddingDedupSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.v AS qv, b.v AS v
+       |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT id1, id2, $cosineExpr AS cos FROM pairs)
+       |SELECT id1, id2, cos,
+       |  LEAST(id1, id2) AS keep_id, GREATEST(id1, id2) AS drop_id
+       |FROM scored WHERE cos >= 0.5""".stripMargin
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT)
+      |    AS n_bpe_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word_tokens
+      |FROM documents""".stripMargin
+
+  val qualityFilterSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT)
+      |      AS n_uniq
+      |  FROM documents),
+      |s AS (
+      |  SELECT *,
+      |    CASE WHEN n_tok BETWEEN 30 AND 2000 THEN 2
+      |         WHEN n_tok BETWEEN 10 AND 5000 THEN 1 ELSE 0 END AS len_score,
+      |    CASE WHEN n_uniq * 4 >= n_tok THEN 1 ELSE 0 END AS rep_score
+      |  FROM d)
+      |SELECT doc_id, lang, n_chars, n_tok, n_uniq, len_score, rep_score,
+      |  len_score + rep_score AS quality,
+      |  (len_score + rep_score) >= 2 AS passed,
+      |  CASE WHEN (len_score + rep_score) >= 2 THEN NULL
+      |       WHEN len_score = 0 THEN 'length'
+      |       WHEN rep_score = 0 THEN 'repetitive'
+      |       ELSE 'low_quality' END AS reject_reason
+      |FROM s""".stripMargin
+
   val multimodalMetaSql: String =
     s"""SELECT doc_id,
        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
