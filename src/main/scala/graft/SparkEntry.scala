@@ -71,6 +71,7 @@ object SparkEntry {
     "embedding_dedup" -> ((s, d) => SimilarityOps.embeddingDedup(s, d)),
     "token_counts"    -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "quality_filter"  -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
+    "chunk_docs"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -123,5 +124,6 @@ object SparkEntry {
     "embedding_dedup" -> TextSql.embeddingDedupSql,
     "token_counts"    -> TextSql.tokenCountsSql,
     "quality_filter"  -> TextSql.qualityFilterSql,
+    "chunk_docs"      -> TextSql.chunkDocsSql,
   )
 }

@@ -145,6 +145,35 @@ object TextAnalysis {
           .otherwise("low_quality"))
   }
 
+  /** Document chunking (SURVEY §2.6 "doc-chunking → flatMap/explode"): fixed
+    * token-window chunks with overlap — the context-window prep step of a
+    * training-data pipeline. One-to-many via explode of chunk INDICES (cheap
+    * generator child — see the recompute-trap note on
+    * [[DedupOps.explodedShingles]]); the chunk text reassembles per row from
+    * the token-array attribute. stride = size − overlap; the last chunk may
+    * be short; chunks never split tokens.
+    */
+  def chunkDocs(spark: SparkSession, dir: String,
+                chunkSize: Int = 40, overlap: Int = 10): DataFrame = {
+    require(overlap < chunkSize)
+    val stride = chunkSize - overlap
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      // n_chunks = 1 + ceil(max(n - chunkSize, 0) / stride), integer-exact
+      .withColumn("n_chunks",
+        lit(1) + ceil(greatest(size(col("t")) - chunkSize, lit(0)).cast("double") / stride)
+          .cast("int"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("t"), col("chunk_id") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        least(size(col("t")) - col("chunk_id") * stride, lit(chunkSize))
+          .cast("long").as("n_tokens"))
+  }
+
   /** 31^i mod P for i in 0..7 — shared with the oracle SQL. */
   val polyPows: Seq[Long] = Iterator.iterate(1L)(x => x * 31 % P).take(8).toSeq
 

@@ -349,6 +349,22 @@ object TextSql {
       |       ELSE 'low_quality' END AS reject_reason
       |FROM s""".stripMargin
 
+  // mirrors TextAnalysis.chunkDocs defaults: chunkSize=40, stride=30
+  val chunkDocsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),
+      |tk AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0),
+      |nc AS (SELECT *,
+      |  1 + CAST(ceil(CAST(GREATEST(n - 40, 0) AS DOUBLE) / 30) AS INT) AS n_chunks
+      |  FROM tk),
+      |ex AS (SELECT doc_id, t, n, i AS chunk_id
+      |       FROM nc, UNNEST(generate_series(0, n_chunks - 1)) AS u(i))
+      |SELECT doc_id,
+      |  CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  array_to_string(t[(chunk_id * 30 + 1):(chunk_id * 30 + 40)], ' ') AS chunk_text,
+      |  CAST(LEAST(n - chunk_id * 30, 40) AS BIGINT) AS n_tokens
+      |FROM ex""".stripMargin
+
   val multimodalMetaSql: String =
     s"""SELECT doc_id,
        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
