@@ -57,7 +57,11 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding").as("v"))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val scored = broadcast(q).join(emb, col("vec_id") =!= col("query_id"))
+    // single-file corpus → repartition for compute parallelism (see
+    // embeddingDedup note)
+    val scored = broadcast(q)
+      .join(emb.repartition(spark.sparkContext.defaultParallelism),
+        col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         nativeCosine(spark, "qv", "v").cast("decimal(12,8)").as("score"))
     scored
@@ -143,7 +147,11 @@ object SimilarityOps {
     VectorExpressions.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
-    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // the corpus parquet is one file → one input split; the pair scoring is
+    // compute-bound, so spread the streamed side across the cluster width
+    // and broadcast the other (results are partitioning-independent)
+    emb.repartition(spark.sparkContext.defaultParallelism).as("a")
+      .join(broadcast(emb.as("b")), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         expr("cosine_native(a.v, b.v)").as("raw_cos"))
       .select(col("id1"), col("id2"),
@@ -182,17 +190,28 @@ object SimilarityOps {
     val dims = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       // float → double → decimal (see labelCentroids cast note)
       .withColumn("xd", col("x").cast("double").cast("decimal(18,9)"))
-    val planes = dims.select(col("vec_id"), col("d"), col("xd"),
-        explode(sequence(lit(0), lit(nPlanes - 1))).as("p"))
-      .withColumn("w", planeWeight(col("p"), col("d")))
-    val sums = planes.groupBy("vec_id", "p")
-      .agg(sum(col("w") * col("xd")).as("dp"))
-    sums
-      .withColumn("tbl", (col("p") / LshBits).cast("int"))
-      .groupBy("vec_id", "tbl")
-      .agg(sum(when(col("dp") > 0,
-        expr(s"shiftleft(CAST(1 AS BIGINT), p % $LshBits)"))
-        .otherwise(0L)).as("bucket"))
+    // the |dims|×|planes| weight matrix is tiny and static: materialize it
+    // once (64×16 md5 calls) and broadcast-join on the dimension index,
+    // instead of exploding planes per (vec, dim) row — which re-hashed
+    // md5 2M times per run (measured ~3× slower)
+    val weights = spark.range(64).select(
+      (col("id").cast("int").as("d") +: (0 until nPlanes).map(p =>
+        planeWeight(lit(p), col("id").cast("int")).as(s"w$p"))): _*)
+    val joined = dims.join(broadcast(weights), Seq("d"))
+    val sums = joined.groupBy("vec_id")
+      .agg(
+        (0 until nPlanes).map(p => sum(col(s"w$p") * col("xd")).as(s"dp$p")).head,
+        (0 until nPlanes).map(p => sum(col(s"w$p") * col("xd")).as(s"dp$p")).tail: _*)
+    // one row per (vec, table) via a single explode of cheap attribute
+    // arithmetic — not a 4-way union re-running the aggregation
+    val tableStructs = array((0 until LshTables).map { t =>
+      val bucket = (0 until LshBits).map { b =>
+        when(col(s"dp${t * LshBits + b}") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }: _*)
+    sums.select(col("vec_id"), explode(tableStructs).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
 
   /** LSH-bucketed approximate top-k: candidates collide in ≥1 of the T
