@@ -27,6 +27,12 @@ object GraftCatalog {
     BookViews.marketOrders(ev).createOrReplaceTempView("market_orders")
     BookViews.pools(ev).createOrReplaceTempView("pools")
     VectorExpressions.register(spark)
+    // the A5 fold as a SQL aggregate:
+    //   order_fold(pool, trader, event_id, action, cents, block_time)
+    spark.udf.register("order_fold",
+      org.apache.spark.sql.functions.udaf(
+        new OrderFold.FoldSqlAggregator(),
+        org.apache.spark.sql.Encoders.product[OrderFold.Ev]))
   }
 
   /** The 100 TB layout, concretely (SCALING.md "Data layout"): write the

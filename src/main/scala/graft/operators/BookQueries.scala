@@ -103,12 +103,21 @@ object BookQueries {
             ((in - col("prev_cost")).cast("double") / col("price_lvl"))
               .cast("decimal(18,6)"))
           .otherwise(lit(0).cast("decimal(18,6)")))
-    sim.groupBy("pool").agg(
+    val agg = sim.groupBy("pool").agg(
       sum(col("base_taken")).cast("double").as("amount_out"),
       sum(when(col("base_taken") > 0, 1).otherwise(0)).as("levels_hit"),
       max(when(col("base_taken") > 0, col("price_lvl"))).as("worst_price"),
       (max(col("cum_cost")) < in).as("insufficient_liquidity"))
-      .withColumn("amount_in", in.cast("double"))
+    // pools with an EMPTY opposite side still answer: 0 out, insufficient —
+    // the reference's empty-book branch (order-book.ts:272-279)
+    BookViews.pools(ev).select(col("pool"))
+      .join(agg, Seq("pool"), "left")
+      .select(col("pool"),
+        coalesce(col("amount_out"), lit(0.0)).as("amount_out"),
+        coalesce(col("levels_hit"), lit(0L)).as("levels_hit"),
+        col("worst_price"),
+        coalesce(col("insufficient_liquidity"), lit(true)).as("insufficient_liquidity"),
+        in.cast("double").as("amount_in"))
   }
 
   /** SELL direction: sell `amountIn` base into BUY levels descending
@@ -132,12 +141,20 @@ object BookQueries {
           .when(col("prev_vol") < in, in - col("prev_vol"))
           .otherwise(lit(0).cast("decimal(18,2)")))
       .withColumn("quote_out", col("base_sold") * col("price_lvl"))
-    sim.groupBy("pool").agg(
+    val agg = sim.groupBy("pool").agg(
       sum(col("quote_out")).cast("double").as("amount_out"),
       sum(when(col("base_sold") > 0, 1).otherwise(0)).as("levels_hit"),
       min(when(col("base_sold") > 0, col("price_lvl"))).as("worst_price"),
       (max(col("cum_vol")) < in).as("insufficient_liquidity"))
-      .withColumn("amount_in", in.cast("double"))
+    // empty-book branch (order-book.ts:272-279), as in amountOutBuy
+    BookViews.pools(ev).select(col("pool"))
+      .join(agg, Seq("pool"), "left")
+      .select(col("pool"),
+        coalesce(col("amount_out"), lit(0.0)).as("amount_out"),
+        coalesce(col("levels_hit"), lit(0L)).as("levels_hit"),
+        col("worst_price"),
+        coalesce(col("insufficient_liquidity"), lit(true)).as("insufficient_liquidity"),
+        in.cast("double").as("amount_in"))
   }
 
   /** `GET /pools/:a/:trader/orders` (order-book-controller.ts:44-60) — a

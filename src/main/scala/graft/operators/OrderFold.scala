@@ -96,6 +96,21 @@ object OrderFold {
     def outputEncoder: Encoder[Option[St]] = Encoders.kryo[Option[St]]
   }
 
+  /** SQL-facing variant (SURVEY §4: "a TypedImperativeAggregate … if we want
+    * it available from SQL" — an `Aggregator` + `functions.udaf` covers it):
+    * null output instead of Option so the result is a plain nullable struct
+    * column. Registered as `order_fold(pool, trader, event_id, action,
+    * cents, block_time)` by [[graft.GraftCatalog.register]].
+    */
+  class FoldSqlAggregator extends Aggregator[Ev, Vector[Ev], St] {
+    def zero: Vector[Ev] = Vector.empty
+    def reduce(b: Vector[Ev], e: Ev): Vector[Ev] = b :+ e
+    def merge(a: Vector[Ev], b: Vector[Ev]): Vector[Ev] = a ++ b
+    def finish(b: Vector[Ev]): St = fold(b.sortBy(_.eventId)).orNull
+    def bufferEncoder: Encoder[Vector[Ev]] = Encoders.kryo[Vector[Ev]]
+    def outputEncoder: Encoder[St] = Encoders.product[St]
+  }
+
   /** The normalized order-event DataFrame ([[OrderEvents]]) as a typed
     * Dataset[Ev] (cents conversion is exact: DECIMAL(18,2) × 100).
     */

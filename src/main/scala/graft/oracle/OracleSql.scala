@@ -153,14 +153,23 @@ object OracleSql {
        |                AS DECIMAL(18,6))
        |         ELSE CAST(0 AS DECIMAL(18,6)) END AS base_taken
        |  FROM sim
-       |)
-       |SELECT pool,
-       |  CAST(SUM(base_taken) AS DOUBLE) AS amount_out,
-       |  CAST(SUM(CASE WHEN base_taken > 0 THEN 1 ELSE 0 END) AS BIGINT) AS levels_hit,
-       |  MAX(CASE WHEN base_taken > 0 THEN price_lvl END) AS worst_price,
-       |  (MAX(cum_cost) < 50000.00) AS insufficient_liquidity,
+       |),
+       |agg AS (
+       |  SELECT pool,
+       |    CAST(SUM(base_taken) AS DOUBLE) AS amount_out,
+       |    CAST(SUM(CASE WHEN base_taken > 0 THEN 1 ELSE 0 END) AS BIGINT) AS levels_hit,
+       |    MAX(CASE WHEN base_taken > 0 THEN price_lvl END) AS worst_price,
+       |    (MAX(cum_cost) < 50000.00) AS insufficient_liquidity
+       |  FROM sim2 GROUP BY pool)
+       |-- empty-book pools still answer: 0 out, insufficient (order-book.ts:272-279)
+       |SELECT p.pool,
+       |  COALESCE(agg.amount_out, 0.0) AS amount_out,
+       |  COALESCE(agg.levels_hit, 0) AS levels_hit,
+       |  agg.worst_price,
+       |  COALESCE(agg.insufficient_liquidity, true) AS insufficient_liquidity,
        |  CAST(50000.00 AS DOUBLE) AS amount_in
-       |FROM sim2 GROUP BY pool""".stripMargin
+       |FROM (SELECT DISTINCT pool FROM order_events) p
+       |LEFT JOIN agg ON p.pool = agg.pool""".stripMargin
 
   val amountOutSellSql: String =
     s"""WITH $priceLevelsCte,
@@ -180,14 +189,22 @@ object OracleSql {
        |           CAST(500.00 - (cum_vol - volume) AS DECIMAL(18,2))
        |         ELSE CAST(0 AS DECIMAL(18,2)) END AS base_sold
        |  FROM sim
-       |)
-       |SELECT pool,
-       |  CAST(SUM(base_sold * price_lvl) AS DOUBLE) AS amount_out,
-       |  CAST(SUM(CASE WHEN base_sold > 0 THEN 1 ELSE 0 END) AS BIGINT) AS levels_hit,
-       |  MIN(CASE WHEN base_sold > 0 THEN price_lvl END) AS worst_price,
-       |  (MAX(cum_vol) < 500.00) AS insufficient_liquidity,
+       |),
+       |agg AS (
+       |  SELECT pool,
+       |    CAST(SUM(base_sold * price_lvl) AS DOUBLE) AS amount_out,
+       |    CAST(SUM(CASE WHEN base_sold > 0 THEN 1 ELSE 0 END) AS BIGINT) AS levels_hit,
+       |    MIN(CASE WHEN base_sold > 0 THEN price_lvl END) AS worst_price,
+       |    (MAX(cum_vol) < 500.00) AS insufficient_liquidity
+       |  FROM sim2 GROUP BY pool)
+       |SELECT p.pool,
+       |  COALESCE(agg.amount_out, 0.0) AS amount_out,
+       |  COALESCE(agg.levels_hit, 0) AS levels_hit,
+       |  agg.worst_price,
+       |  COALESCE(agg.insufficient_liquidity, true) AS insufficient_liquidity,
        |  CAST(500.00 AS DOUBLE) AS amount_in
-       |FROM sim2 GROUP BY pool""".stripMargin
+       |FROM (SELECT DISTINCT pool FROM order_events) p
+       |LEFT JOIN agg ON p.pool = agg.pool""".stripMargin
 
   val userOrdersSql: String =
     s"""WITH $ordersCurrentCte

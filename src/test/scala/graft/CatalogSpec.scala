@@ -33,6 +33,29 @@ class CatalogSpec extends SparkSpec {
     assert(sim.length == 5 && sim.forall(r => math.abs(r.getDouble(2)) <= 1.0))
   }
 
+  test("order_fold UDAF from SQL equals the relational fold") {
+    GraftCatalog.register(spark, sfTiny)
+    val viaSql = spark.sql(
+      """SELECT pool, trader, st.orderId, st.remainingCents, st.active
+        |FROM (
+        |  SELECT pool, trader,
+        |    order_fold(pool, trader, event_id, action,
+        |               CAST(val * 100 AS BIGINT), block_time) AS st
+        |  FROM order_events WHERE action <= 7
+        |  GROUP BY pool, trader) t
+        |WHERE st IS NOT NULL""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val relational = spark.sql(
+      """SELECT pool, trader, order_id,
+        |  CAST(remaining * 100 AS BIGINT), active
+        |FROM orders_current""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(viaSql == relational)
+    assert(viaSql.nonEmpty)
+  }
+
   test("bucketed state layout: single-bucket reads for per-pool queries") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     GraftCatalog.writeBucketedState(spark, sfTiny, "oc_bucketed_test", buckets = 4)
