@@ -69,6 +69,34 @@ object MultimodalOps {
     }
   }
 
+  /** One sampled "frame" of a media blob. */
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Long,
+                   n_bytes: Int, frame_hash: String)
+
+  /** STUB frame sampler — the one-to-many decode shape (video → every k-th
+    * frame): `flatMap` over the typed Dataset, emitting fixed-size byte
+    * windows as "frames" with a content hash. A real implementation seeks
+    * keyframes with a codec; the Spark-side contract (typed one-to-many
+    * flatMap, per-partition decoder reuse, bounded output per row) is
+    * identical.
+    */
+  def sampleFramesStub(spark: SparkSession, media: Dataset[MediaRecord],
+                       frameBytes: Int = 64, everyKth: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val nFrames = math.max(r.bytes.length / frameBytes, 1)
+        (0 until nFrames by everyKth).map { i =>
+          val off = i * frameBytes
+          val slice = r.bytes.slice(off, math.min(off + frameBytes, r.bytes.length))
+          Frame(r.doc_id, i, off.toLong, slice.length,
+            md.digest(slice).map("%02x".format(_)).mkString.take(16))
+        }
+      }
+    }
+  }
+
   /** Metadata-only query over the media table (oracle-checkable): schema
     * plumbing + hash-derived fake dimensions, never touching a codec. The
     * parquet scan for this query prunes the bytes column entirely.

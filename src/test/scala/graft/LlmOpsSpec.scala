@@ -78,6 +78,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(feats.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
   }
 
+  test("multimodal frame sampler: deterministic one-to-many with bounded frames") {
+    val media = MultimodalOps.mediaTable(spark, sfTiny)
+    val frames = MultimodalOps.sampleFramesStub(spark, media).collect()
+    assert(frames.nonEmpty)
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc.size == 500) // every doc yields ≥ 1 frame
+    frames.foreach { f =>
+      assert(f.frame_idx % 4 == 0)
+      assert(f.n_bytes > 0 && f.n_bytes <= 64)
+      assert(f.frame_hash.length == 16)
+    }
+    val again = MultimodalOps.sampleFramesStub(spark, media).collect()
+    assert(frames.sortBy(f => (f.doc_id, f.frame_idx)).toSeq ==
+      again.sortBy(f => (f.doc_id, f.frame_idx)).toSeq)
+  }
+
   test("shingles: short docs yield empty shingle sets, not errors") {
     import spark.implicits._
     val df = Seq((1L, "one two"), (2L, "one two three"), (3L, "")).toDF("doc_id", "text")
