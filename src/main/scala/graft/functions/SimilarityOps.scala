@@ -83,12 +83,13 @@ object SimilarityOps {
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
-      // float → DOUBLE → decimal: Spark's direct float→decimal cast rounds
-      // the float's shortest string form; via double both engines round the
-      // same exact binary value
+      // float → DOUBLE → bround(9) → decimal: floats with short dyadic
+      // expansions (e.g. 153/1024 = 0.1494140625) tie exactly at the 10th
+      // decimal digit; Spark's decimal cast rounds HALF_UP while DuckDB's
+      // rounds HALF_EVEN, so ties must be broken half-even (bround) first
       .groupBy("label", "d")
-      .agg((sum(col("x").cast("double").cast("decimal(18,9)")).cast("double") /
-        count(lit(1))).as("mean"))
+      .agg((sum(bround(col("x").cast("double"), 9).cast("decimal(18,9)"))
+        .cast("double") / count(lit(1))).as("mean"))
 
   /** Centroids as (label, c: array<double>), dimension-ordered. */
   def centroidVectors(spark: SparkSession, dir: String): DataFrame =
@@ -189,7 +190,7 @@ object SimilarityOps {
     val emb = Tables.embeddings(spark, dir)
     val dims = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       // float → double → decimal (see labelCentroids cast note)
-      .withColumn("xd", col("x").cast("double").cast("decimal(18,9)"))
+      .withColumn("xd", bround(col("x").cast("double"), 9).cast("decimal(18,9)"))
     // the |dims|×|planes| weight matrix is tiny and static: materialize it
     // once (64×16 md5 calls) and broadcast-join on the dimension index,
     // instead of exploding planes per (vec, dim) row — which re-hashed
