@@ -52,6 +52,10 @@ object SparkEntry {
     "exists_having"       -> ((s, d) => Olap.qExistsHaving(s, d)),
     "grouping_sets"       -> ((s, d) => Olap.qGroupingSets(s, d)),
     "value_stats"         -> ((s, d) => Olap.qValueStats(s, d)),
+    "cube_returns"        -> ((s, d) => Olap.qCube(s, d)),
+    "daily_revenue_delta" -> ((s, d) => Olap.qDailyDelta(s, d)),
+    "set_ops"             -> ((s, d) => Olap.qSetOps(s, d)),
+    "customer_deciles"    -> ((s, d) => Olap.qCustomerDeciles(s, d)),
     // ── LLM-data-pipeline operators (driver contract / SURVEY §7.2 M8) ────
     "text_stats"      -> ((s, d) => TextAnalysis.textStats(s, d)),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -106,6 +110,10 @@ object SparkEntry {
     "exists_having"       -> OlapSql.qExistsHavingSql,
     "grouping_sets"       -> OlapSql.qGroupingSetsSql,
     "value_stats"         -> OlapSql.qValueStatsSql,
+    "cube_returns"        -> OlapSql.qCubeSql,
+    "daily_revenue_delta" -> OlapSql.qDailyDeltaSql,
+    "set_ops"             -> OlapSql.qSetOpsSql,
+    "customer_deciles"    -> OlapSql.qCustomerDecilesSql,
     "text_stats"      -> TextSql.textStatsSql,
     "lang_id"         -> TextSql.langIdSql,
     "fingerprint"     -> TextSql.fingerprintSql,

@@ -346,4 +346,87 @@ object Olap {
       .agg(count(lit(1)).as("n"), sum(col("p_size")).cast("long").as("total_size"),
         max("name_len").cast("long").as("max_name_len"))
   }
+
+  /** Full CUBE over (returnflag, ship year) — all four grouping combinations
+    * in one pass. Spark plans cube as a single Expand + hash agg: the scan is
+    * read once and each row fans into 4 grouping sets map-side, so the
+    * shuffle carries pre-aggregated partials per set, not 4× the input.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.select(col("l_returnflag"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        dec("l_extendedprice").as("price"), dec("l_quantity").as("qty"))
+      .cube("l_returnflag", "ship_year")
+      .agg(sum(col("price")).cast("double").as("sum_price"),
+        sum(col("qty")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("ship_year"), lit(-1L)).as("ship_year"),
+        col("sum_price"), col("sum_qty"), col("n_rows"))
+  }
+
+  /** Per-type daily revenue with lag delta and a 7-row trailing moving
+    * average. Aggregate-first discipline: the windows run over the ~150-row
+    * daily series (|types| × |days|), never the raw events — at 100 TB the
+    * window input is still tiny. Delta is computed in DECIMAL (exact) and
+    * cast at the edge; the moving average divides two exact window values.
+    */
+  def qDailyDelta(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      expr("(ts div 1000) div 86400000000").as("day"),
+      col("value").cast("decimal(12,2)").as("val"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(sum(col("val")).as("rev_dec"), count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val w7 = w.rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("prev_dec", lag(col("rev_dec"), 1).over(w))
+      .withColumn("ma7",
+        sum(col("rev_dec")).over(w7).cast("double") / count(lit(1)).over(w7))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("prev_dec").cast("double").as("prev_revenue"),
+        (col("rev_dec") - col("prev_dec")).cast("double").as("delta"),
+        col("ma7"))
+  }
+
+  /** Set operations (INTERSECT / EXCEPT) — absent from the reference
+    * (SURVEY §2.6), native in Spark: customer sets by two independent
+    * predicates, compared as sets. Spark plans INTERSECT as a distinct
+    * hash aggregation + left-semi join and EXCEPT as + left-anti, shuffling
+    * only the distinct custkeys (8 bytes/row) — never the orders.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val early = ord.filter(col("o_orderdate") < d("1998-01-01"))
+      .select("o_custkey").distinct()
+    val big = ord.filter(col("o_totalprice") > 300000.0)
+      .select("o_custkey").distinct()
+    def counted(df: DataFrame, tag: String) =
+      df.agg(count(lit(1)).as("n")).select(lit(tag).as("set_op"), col("n"))
+    counted(early.intersect(big), "early_and_big")
+      .unionByName(counted(early.except(big), "early_only"))
+      .unionByName(counted(big.except(early), "big_only"))
+  }
+
+  /** Customer spend deciles via ntile over a total order. Aggregate-first:
+    * the global sort ranks the per-customer aggregate (|customers| rows, not
+    * |orders|); at 100 TB the total order would be a range partition on the
+    * aggregated spend, which Spark's sort already is — ntile just needs the
+    * global row position from the range boundaries.
+    */
+  def qCustomerDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val spend = ord.groupBy("o_custkey")
+      .agg(sum(dec("o_totalprice")).as("spend_dec"))
+    val w = Window.orderBy(col("spend_dec").desc, col("o_custkey"))
+    spend.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend_dec")).cast("double").as("total_spend"),
+        min(col("spend_dec")).cast("double").as("min_spend"),
+        max(col("spend_dec")).cast("double").as("max_spend"))
+  }
 }

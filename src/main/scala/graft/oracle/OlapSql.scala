@@ -202,4 +202,60 @@ object OlapSql {
       |FROM part
       |WHERE p_name LIKE '%e%'
       |GROUP BY 1""".stripMargin
+
+  val qCubeSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(ship_year, -1) AS ship_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM (
+      |  SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+      |    l_extendedprice, l_quantity
+      |  FROM lineitem) t
+      |GROUP BY CUBE(l_returnflag, ship_year)""".stripMargin
+
+  val qDailyDeltaSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    SUM(CAST(value AS DECIMAL(12,2))) AS rev_dec, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, n_events,
+      |  CAST(rev_dec AS DOUBLE) AS revenue,
+      |  CAST(LAG(rev_dec) OVER w AS DOUBLE) AS prev_revenue,
+      |  CAST(rev_dec - LAG(rev_dec) OVER w AS DOUBLE) AS delta,
+      |  CAST(SUM(rev_dec) OVER w7 AS DOUBLE) / COUNT(*) OVER w7 AS ma7
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day),
+      |  w7 AS (PARTITION BY event_type ORDER BY day
+      |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  val qSetOpsSql: String =
+    """WITH early AS (
+      |  SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+      |big AS (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+      |SELECT 'early_and_big' AS set_op, COUNT(*) AS n
+      |  FROM (SELECT * FROM early INTERSECT SELECT * FROM big) t1
+      |UNION ALL
+      |SELECT 'early_only', COUNT(*)
+      |  FROM (SELECT * FROM early EXCEPT SELECT * FROM big) t2
+      |UNION ALL
+      |SELECT 'big_only', COUNT(*)
+      |  FROM (SELECT * FROM big EXCEPT SELECT * FROM early) t3""".stripMargin
+
+  val qCustomerDecilesSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend_dec
+      |  FROM orders GROUP BY 1),
+      |d AS (
+      |  SELECT *, CAST(NTILE(10) OVER (ORDER BY spend_dec DESC, o_custkey)
+      |    AS BIGINT) AS decile
+      |  FROM spend)
+      |SELECT decile, COUNT(*) AS n_customers,
+      |  CAST(SUM(spend_dec) AS DOUBLE) AS total_spend,
+      |  CAST(MIN(spend_dec) AS DOUBLE) AS min_spend,
+      |  CAST(MAX(spend_dec) AS DOUBLE) AS max_spend
+      |FROM d GROUP BY decile""".stripMargin
 }
