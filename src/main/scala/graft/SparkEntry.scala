@@ -56,6 +56,10 @@ object SparkEntry {
     "daily_revenue_delta" -> ((s, d) => Olap.qDailyDelta(s, d)),
     "set_ops"             -> ((s, d) => Olap.qSetOps(s, d)),
     "customer_deciles"    -> ((s, d) => Olap.qCustomerDeciles(s, d)),
+    "range_band_join"     -> ((s, d) => Olap.qRangeBandJoin(s, d)),
+    // oracle-less by design: DuckDB's HLL is a different sketch (rows-only
+    // driver check; error bound asserted in QuerySurfaceSpec instead)
+    "approx_distinct"     -> ((s, d) => Olap.qApproxDistinct(s, d)),
     // ── LLM-data-pipeline operators (driver contract / SURVEY §7.2 M8) ────
     "text_stats"      -> ((s, d) => TextAnalysis.textStats(s, d)),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -114,6 +118,7 @@ object SparkEntry {
     "daily_revenue_delta" -> OlapSql.qDailyDeltaSql,
     "set_ops"             -> OlapSql.qSetOpsSql,
     "customer_deciles"    -> OlapSql.qCustomerDecilesSql,
+    "range_band_join"     -> OlapSql.qRangeBandJoinSql,
     "text_stats"      -> TextSql.textStatsSql,
     "lang_id"         -> TextSql.langIdSql,
     "fingerprint"     -> TextSql.fingerprintSql,

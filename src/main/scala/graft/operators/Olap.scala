@@ -411,6 +411,45 @@ object Olap {
       .unionByName(counted(big.except(early), "big_only"))
   }
 
+  /** Non-equi range (band) join — a theta join the reference cannot express:
+    * each order lands in a price band via `lo <= price < hi`. The band dim
+    * is 5 rows, so Spark plans a BroadcastNestedLoopJoin: every executor
+    * holds the bands and classifies its partition locally — zero shuffle of
+    * the facts, O(|orders| × 5) comparisons. At 100 TB an equi-joinable
+    * bucketing (floor(price/width)) would be preferred for fine bands; for
+    * a handful of bands broadcast NLJ is already the right plan.
+    */
+  def qRangeBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val bands = spark.createDataFrame(Seq(
+      ("p0_100k", 0.0, 100000.0), ("p100_200k", 100000.0, 200000.0),
+      ("p200_300k", 200000.0, 300000.0), ("p300_400k", 300000.0, 400000.0),
+      ("p400k_up", 400000.0, Double.MaxValue)))
+      .toDF("band", "lo", "hi")
+    ord.join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("total_price"),
+        min(dec("o_totalprice")).cast("double").as("min_price"),
+        max(dec("o_totalprice")).cast("double").as("max_price"))
+  }
+
+  /** HLL sketch cardinality (approx_count_distinct) next to nothing exact —
+    * deliberately NOT oracle-gated: DuckDB's HLL is a different sketch, so
+    * cross-engine hash equality is impossible by construction. The spec
+    * asserts the documented error bound (±5% rsd default) against the exact
+    * count instead. At 100 TB this is THE distinct-count operator: the
+    * sketch is a few KB per group and merges associatively, where exact
+    * distinct shuffles every key.
+    */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Customer spend deciles via ntile over a total order. Aggregate-first:
     * the global sort ranks the per-customer aggregate (|customers| rows, not
     * |orders|); at 100 TB the total order would be a range partition on the

@@ -245,6 +245,24 @@ object OlapSql {
       |SELECT 'big_only', COUNT(*)
       |  FROM (SELECT * FROM big EXCEPT SELECT * FROM early) t3""".stripMargin
 
+  // Same semantics as the Spark broadcast-NLJ band join, expressed as a CASE
+  // classification — the differential gate compares results, not plans.
+  val qRangeBandJoinSql: String =
+    """SELECT band, COUNT(*) AS n_orders,
+      |  CAST(SUM(p) AS DOUBLE) AS total_price,
+      |  CAST(MIN(p) AS DOUBLE) AS min_price,
+      |  CAST(MAX(p) AS DOUBLE) AS max_price
+      |FROM (
+      |  SELECT CASE
+      |      WHEN o_totalprice < 100000.0 THEN 'p0_100k'
+      |      WHEN o_totalprice < 200000.0 THEN 'p100_200k'
+      |      WHEN o_totalprice < 300000.0 THEN 'p200_300k'
+      |      WHEN o_totalprice < 400000.0 THEN 'p300_400k'
+      |      ELSE 'p400k_up' END AS band,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      |  FROM orders WHERE o_totalprice >= 0.0) t
+      |GROUP BY band""".stripMargin
+
   val qCustomerDecilesSql: String =
     """WITH spend AS (
       |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend_dec

@@ -19,10 +19,29 @@ class QuerySurfaceSpec extends SparkSpec {
   }
 
   test("oracle coverage: every query has oracle SQL") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // sketch-based ops can't hash-match a different engine's sketch; each
+    // member here must carry its own error-bound test in this suite
+    val sketchOnly = Set("approx_distinct")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- sketchOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+
+  test("approx_distinct: HLL estimate within 5% of exact per group") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("approx_distinct")(spark, sfTiny)
+      .select("event_type", "approx_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.events(spark, sfTiny)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05,
+        s"$k: approx $a vs exact $n exceeds 5% rsd")
+    }
   }
 
   test("query outputs are deterministic across runs") {
