@@ -80,6 +80,7 @@ object SparkEntry {
     "token_counts"    -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "quality_filter"  -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     "chunk_docs"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
+    "tfidf_topk"      -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -138,5 +139,6 @@ object SparkEntry {
     "token_counts"    -> TextSql.tokenCountsSql,
     "quality_filter"  -> TextSql.qualityFilterSql,
     "chunk_docs"      -> TextSql.chunkDocsSql,
+    "tfidf_topk"      -> TextSql.tfidfTopKSql,
   )
 }

@@ -145,6 +145,41 @@ object TextAnalysis {
           .otherwise("low_quality"))
   }
 
+  /** TF-IDF top-k terms per document — the canonical keyword-extraction /
+    * feature-weighting op of a training-data pipeline. Shape: explode →
+    * per-(doc, term) count (tf) → per-term doc frequency (df) → score →
+    * per-doc top-k window.
+    *
+    * Scoring uses the log-free rarity weight tf × N ÷ df: integer inputs
+    * and one IEEE double division, which is correctly rounded and therefore
+    * bit-identical across engines — `ln`-damped idf is a one-line swap in
+    * production but transcendentals are not guaranteed ulp-identical, which
+    * would break the differential gate. Ranking ties break on the term.
+    *
+    * Scale: the (doc_id, term) tf aggregation is the big shuffle (bounded
+    * by total token count); df aggregates the tf table (vocabulary-sized);
+    * the tf⋈df join runs sort-merge on term at 100 TB (vocabulary too big
+    * to broadcast) and the top-k window partitions by doc_id with a partial
+    * WindowGroupLimit below the shuffle.
+    */
+  def tfidfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rk").cast("long").as("rk"))
+  }
+
   /** Document chunking (SURVEY §2.6 "doc-chunking → flatMap/explode"): fixed
     * token-window chunks with overlap — the context-window prep step of a
     * training-data pipeline. One-to-many via explode of chunk INDICES (cheap

@@ -373,4 +373,24 @@ object TextSql {
        |  CAST(${mdh("text")} % 640 + 16 AS BIGINT) AS fake_width,
        |  CAST(${mdh("text")} % 480 + 16 AS BIGINT) AS fake_height
        |FROM documents""".stripMargin
+
+  // log-free rarity weight tf × N ÷ df: one correctly-rounded IEEE double
+  // division — bit-identical across engines (see TextAnalysis.tfidfTopK)
+  val tfidfTopKSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    CAST(tf * n AS DOUBLE) / df AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, term) AS rk
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, score, CAST(rk AS BIGINT) AS rk
+      |FROM ranked WHERE rk <= 3""".stripMargin
 }

@@ -117,6 +117,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join matches the batch join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_seconds
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // trades enriched with quotes from the same pool in the 10 s before the
+    // trade — the streaming form of the as-of/interval enrichment, with
+    // watermarks bounding both sides' state
+    val trades = Seq(("A", 100L, 1.0), ("A", 110L, 2.0), ("B", 105L, 3.0),
+      ("A", 130L, 4.0), ("B", 140L, 5.0))
+    val quotes = Seq(("A", 95L, 10.0), ("A", 108L, 11.0), ("B", 100L, 12.0),
+      ("A", 125L, 13.0), ("B", 139L, 14.0), ("B", 150L, 15.0))
+
+    def joinOf(t: org.apache.spark.sql.DataFrame, q: org.apache.spark.sql.DataFrame) =
+      t.join(q, col("pool") === col("qpool") &&
+          col("q_ts") >= col("t_ts") - expr("interval 10 seconds") &&
+          col("q_ts") <= col("t_ts"))
+        .select(col("pool"), col("ts_s"), col("qty"), col("qts_s"), col("px"))
+
+    val ts = MemoryStream[(String, Long, Double)]
+    val qs = MemoryStream[(String, Long, Double)]
+    val tDf = ts.toDS().toDF("pool", "ts_s", "qty")
+      .withColumn("t_ts", timestamp_seconds(col("ts_s")))
+      .withWatermark("t_ts", "10 seconds")
+    val qDf = qs.toDS().toDF("qpool", "qts_s", "px")
+      .withColumn("q_ts", timestamp_seconds(col("qts_s")))
+      .withWatermark("q_ts", "10 seconds")
+    val query = joinOf(tDf, qDf).writeStream
+      .outputMode("append").format("memory").queryName("ssj_out").start()
+    val streamed = try {
+      ts.addData(trades.take(3)); qs.addData(quotes.take(3))
+      query.processAllAvailable()
+      ts.addData(trades.drop(3)); qs.addData(quotes.drop(3))
+      query.processAllAvailable()
+      spark.table("ssj_out").collect().map(_.toString).sorted.toSeq
+    } finally query.stop()
+
+    val tBatch = spark.createDataset(trades).toDF("pool", "ts_s", "qty")
+      .withColumn("t_ts", timestamp_seconds(col("ts_s")))
+    val qBatch = spark.createDataset(quotes).toDF("qpool", "qts_s", "px")
+      .withColumn("q_ts", timestamp_seconds(col("qts_s")))
+    val batch = joinOf(tBatch, qBatch).collect().map(_.toString).sorted.toSeq
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream-stream join mismatch:\nstream=$streamed\nbatch=$batch")
+  }
+
+  test("streaming exact dedup (dropDuplicates) keeps one row per key across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val query = source.toDS().toDF("id", "h").dropDuplicates("h")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    val rows = try {
+      source.addData(Seq((1L, "ha"), (2L, "hb"), (3L, "ha")))
+      query.processAllAvailable()
+      // duplicates arriving in LATER batches must also be suppressed
+      source.addData(Seq((4L, "hb"), (5L, "hc"), (6L, "ha")))
+      query.processAllAvailable()
+      spark.table("dedup_out").collect()
+    } finally query.stop()
+    assert(rows.map(_.getString(1)).sorted.toSeq == Seq("ha", "hb", "hc"))
+    // first arrival wins — the id kept for each hash is the earliest
+    assert(rows.map(r => r.getString(1) -> r.getLong(0)).toMap ==
+      Map("ha" -> 1L, "hb" -> 2L, "hc" -> 5L))
+  }
+
   private def expr(s: String) = org.apache.spark.sql.functions.expr(s)
   private def col(s: String) = org.apache.spark.sql.functions.col(s)
 }
