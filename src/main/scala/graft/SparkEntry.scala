@@ -57,6 +57,8 @@ object SparkEntry {
     "set_ops"             -> ((s, d) => Olap.qSetOps(s, d)),
     "customer_deciles"    -> ((s, d) => Olap.qCustomerDeciles(s, d)),
     "range_band_join"     -> ((s, d) => Olap.qRangeBandJoin(s, d)),
+    "correlated_subquery" -> ((s, d) => Olap.qCorrelatedSubquery(s, d)),
+    "trailing_30d"        -> ((s, d) => Olap.qTrailing30d(s, d)),
     // oracle-less by design: DuckDB's HLL is a different sketch (rows-only
     // driver check; error bound asserted in QuerySurfaceSpec instead)
     "approx_distinct"     -> ((s, d) => Olap.qApproxDistinct(s, d)),
@@ -120,6 +122,8 @@ object SparkEntry {
     "set_ops"             -> OlapSql.qSetOpsSql,
     "customer_deciles"    -> OlapSql.qCustomerDecilesSql,
     "range_band_join"     -> OlapSql.qRangeBandJoinSql,
+    "correlated_subquery" -> OlapSql.qCorrelatedSubquerySql,
+    "trailing_30d"        -> OlapSql.qTrailing30dSql,
     "text_stats"      -> TextSql.textStatsSql,
     "lang_id"         -> TextSql.langIdSql,
     "fingerprint"     -> TextSql.fingerprintSql,

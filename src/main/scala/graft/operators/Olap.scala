@@ -450,6 +450,46 @@ object Olap {
         count(lit(1)).as("n_events"))
   }
 
+  /** Correlated scalar subquery: orders priced above their own customer's
+    * average. Catalyst decorrelates the subquery into an aggregate + join
+    * (DecorrelateInnerQuery) — the per-row "loop" the imperative form
+    * implies never exists in the plan. The comparison is DECIMAL-exact:
+    * avg = sum/count both engines compute identically from exact inputs.
+    */
+  def qCorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    // expressed through the SQL surface — the idiomatic route for a
+    // correlated subquery; same text runs in DuckDB modulo the avg form
+    ord.createOrReplaceTempView("orders_v")
+    spark.sql("""
+      SELECT o_custkey, COUNT(*) AS n_above,
+        CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_above
+      FROM orders_v o
+      WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (
+          SELECT COUNT(*) FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+        > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders_v i
+           WHERE i.o_custkey = o.o_custkey)
+      GROUP BY o_custkey""")
+  }
+
+  /** RANGE-frame window: 30-day trailing revenue per order date. Unlike the
+    * ROWS frames elsewhere, the frame is defined on the VALUE of the sort
+    * key (epoch days), so gaps in the calendar shrink the window. Runs on
+    * the per-day aggregate (aggregate-first), all in DECIMAL.
+    */
+  def qTrailing30d(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val daily = ord
+      .groupBy(expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+      .agg(sum(dec("o_totalprice")).as("rev_dec"), count(lit(1)).as("n_orders"))
+    daily
+      .withColumn("trail30_dec", sum(col("rev_dec")).over(
+        Window.orderBy("day").rangeBetween(-29, Window.currentRow)))
+      .select(col("day"), col("n_orders"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("trail30_dec").cast("double").as("trailing_30d"))
+  }
+
   /** Customer spend deciles via ntile over a total order. Aggregate-first:
     * the global sort ranks the per-customer aggregate (|customers| rows, not
     * |orders|); at 100 TB the total order would be a range partition on the

@@ -263,6 +263,31 @@ object OlapSql {
       |  FROM orders WHERE o_totalprice >= 0.0) t
       |GROUP BY band""".stripMargin
 
+  // cross-multiplied avg comparison (price × n > Σ price): decimal-exact,
+  // engine-independent — a decimal AVG would divide with engine-specific
+  // scale/rounding rules
+  val qCorrelatedSubquerySql: String =
+    """SELECT o_custkey, COUNT(*) AS n_above,
+      |  CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_above
+      |FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (
+      |    SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |  > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders i
+      |     WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY o_custkey""".stripMargin
+
+  val qTrailing30dSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT day, n_orders,
+      |  CAST(rev_dec AS DOUBLE) AS revenue,
+      |  CAST(SUM(rev_dec) OVER (ORDER BY day
+      |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+      |FROM daily""".stripMargin
+
   val qCustomerDecilesSql: String =
     """WITH spend AS (
       |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend_dec
