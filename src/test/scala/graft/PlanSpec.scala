@@ -78,4 +78,18 @@ class PlanSpec extends SparkSpec {
     val plan = physicalPlan(BookQueries.priceLevelsQ(spark, sfTiny))
     assert(plan.contains("HashAggregate"), "no hash aggregation")
   }
+
+  test("range band join: broadcast NLJ — facts never shuffle for the theta join") {
+    val plan = physicalPlan(Olap.qRangeBandJoin(spark, sfTiny))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"theta join did not broadcast the band dim:\n$plan")
+  }
+
+  test("tfidf: per-doc top-k gets a partial WindowGroupLimit below the shuffle") {
+    val df = graft.functions.TextAnalysis.tfidfTopK(spark, sfTiny)
+    df.collect() // AQE finalizes on execution
+    val plan = physicalPlan(df)
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k not pushed below the window shuffle:\n$plan")
+  }
 }
