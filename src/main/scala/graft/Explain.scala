@@ -18,12 +18,28 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    if (showPlan) fn(spark, sfDir).explain("formatted")
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).collect().length
-      println(f"[time] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    val names =
+      if (name == "all") SparkEntry.queries.keys.toSeq.sorted else Seq(name)
+    if (name == "all") {
+      // untimed global warmup: JIT/codegen take ~30-60 s of work to settle,
+      // so without this the first few queries (alphabetically) absorb the
+      // whole warmup and read 10-20× slow
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, sfDir).collect() catch { case _: Throwable => }
+      }
+    }
+    names.foreach { q =>
+      val fn = SparkEntry.queries(q)
+      if (showPlan) fn(spark, sfDir).explain("formatted")
+      val times = (1 to reps).map { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).collect().length
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[time] $q rep$i: $dt%.2f s ($n rows)")
+        dt
+      }
+      // steady state = min over reps (rep1 carries one-time codegen cost)
+      println(f"[steady] $q ${times.min}%.2f s")
     }
     spark.stop()
   }

@@ -104,4 +104,47 @@ class LlmOpsSpec extends SparkSpec {
     assert(sh(2L) == Seq("one two three"))
     assert(sh(3L).isEmpty)
   }
+
+  test("chunking: dropping each chunk's overlap reassembles the original tokens") {
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+    val orig = docs
+      .select(col("doc_id"), concat_ws(" ", TextAnalysis.tokens(col("text"))).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .filter(_._2.nonEmpty)
+    val stride = 30 // chunkSize 40, overlap 10
+    val rebuilt = TextAnalysis.chunkDocs(spark, sfTiny)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        val ordered = rows.sortBy(_.getLong(1))
+        // chunk 0 whole; later chunks contribute tokens after the overlap
+        val toks = ordered.flatMap { r =>
+          val words = r.getString(2).split(" ").toSeq
+          if (r.getLong(1) == 0L) words else words.drop(40 - stride)
+        }
+        id -> toks.mkString(" ")
+      }
+    assert(rebuilt.keySet == orig.keySet)
+    rebuilt.foreach { case (id, s) =>
+      assert(s == orig(id), s"doc $id: chunk reassembly diverges")
+    }
+  }
+
+  test("tfidf: per-doc ranks are consecutive and scores non-increasing") {
+    val rows = TextAnalysis.tfidfTopK(spark, sfTiny)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(4), r.getLong(5)))
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to byRank.length).toSeq,
+        s"doc $doc: ranks not consecutive")
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+            s"doc $doc: rank order violates (score desc, term asc)")
+        case _ =>
+      }
+    }
+    assert(rows.nonEmpty)
+  }
 }
