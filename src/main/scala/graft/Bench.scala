@@ -11,10 +11,17 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM (codegen, classloading, parquet reader paths) so the
-    // first measured query isn't charged ~10s of one-time setup
-    spark.read.parquet(s"$sfDir/region.parquet").collect()
-    spark.sql("SELECT sum(id) FROM range(1000000)").collect()
+    // Untimed warmup pass over the full suite (standard JMH-style
+    // methodology): JIT compilation, whole-stage-codegen compilation, and
+    // parquet reader-path classloading take ~30-60 s of work to settle;
+    // without this the alphabetically-first queries absorb all of it and
+    // the per-query numbers measure warmup, not the engine. Skippable via
+    // SPARK_GRAFT_NO_WARMUP for a cold-start reading.
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) {
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, sfDir).collect() catch { case _: Throwable => }
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // collect(), not count(): count lets Catalyst prune the aggregate
