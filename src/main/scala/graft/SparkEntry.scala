@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_exact"     -> ((s, d) => DedupOps.exactDedup(s, d)),
     "ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccard(s, d)),
     "minhash_lsh"     -> ((s, d) => DedupOps.minhashLsh(s, d)),
+    "dedup_clusters"  -> ((s, d) => DedupOps.dedupClusters(s, d)),
     "simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
     "simhash_pairs"   -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "cosine_topk"     -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
@@ -130,6 +131,7 @@ object SparkEntry {
     "dedup_exact"     -> TextSql.exactDedupSql,
     "ngram_jaccard"   -> TextSql.ngramJaccardSql,
     "minhash_lsh"     -> TextSql.minhashLshSql,
+    "dedup_clusters"  -> TextSql.dedupClustersSql,
     "simhash"         -> TextSql.simhashSql,
     "simhash_pairs"   -> TextSql.simhashPairsSql,
     "cosine_topk"     -> TextSql.cosineTopKSql,

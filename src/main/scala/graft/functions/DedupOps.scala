@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import TextAnalysis.{mdhash, tokens, P}
@@ -154,6 +155,52 @@ object DedupOps {
       when(col(s"s1.m$k") === col(s"s2.m$k"), 1).otherwise(0)).reduce(_ + _)
     est.select(col("id1"), col("id2"),
       (matches.cast("double") / 8).cast("decimal(10,6)").as("est_jaccard"))
+  }
+
+  /** Duplicate clusters: connected components over the MinHash-LSH candidate
+    * graph — the "keep one representative per near-dup cluster" step of a
+    * corpus-dedup pipeline. Iterative min-label propagation: each round every
+    * node takes the minimum label among itself and its neighbors; converges
+    * in O(component diameter) rounds (LSH candidate clusters are tight, so
+    * a handful). Each round is one join + one aggregate on the EDGE set —
+    * the corpus itself is never touched after candidate generation.
+    *
+    * At 100 TB: the same loop with the edge set partitioned by src (the
+    * classic large-star/small-star variant halves rounds); the driver-side
+    * convergence check reads a single count per round, not data.
+    * Output: one row per clustered doc — cluster id = min doc_id in the
+    * component, keep = (doc == representative).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = minhashLsh(spark, dir).select(col("id1"), col("id2"))
+    val sym = edges.union(edges.select(col("id2"), col("id1")))
+      .toDF("src", "dst").persist()
+    var labels = sym.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v")).persist()
+    labels.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val nbrMin = sym.join(labels, col("dst") === col("v"))
+        .groupBy(col("src")).agg(min(col("label")).as("nl"))
+      val next = labels.as("l")
+        .join(nbrMin, col("v") === col("src"), "left")
+        .select(col("v"),
+          least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.withColumnRenamed("label", "old"), "v")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    val w = Window.partitionBy("cluster_id")
+    labels
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
   /** SimHash: 32-bit locality-sensitive fingerprint per document — for each

@@ -108,16 +108,16 @@ object TextSql {
        |WHERE CAST(CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter)
        |           AS DECIMAL(10,6)) >= 0.02""".stripMargin
 
-  val minhashLshSql: String = {
+  // shingles → minhash signatures → banded buckets → candidate pairs:
+  // shared by the LSH estimate query and the duplicate-cluster closure
+  private val candCte: String = {
     val sigCols = DedupOps.perms.zipWithIndex.map { case ((a, b), k) =>
       s"    MIN(($a * (h % $P) + $b) % $P) AS m$k"
     }.mkString(",\n")
     val bands = (0 until 4).map { b =>
       s"  SELECT doc_id, $b AS band, CAST(m${2 * b} AS VARCHAR) || ':' || CAST(m${2 * b + 1} AS VARCHAR) AS bkey FROM sig"
     }.mkString("\n  UNION ALL\n")
-    val matches = (0 until 8)
-      .map(k => s"CASE WHEN s1.m$k = s2.m$k THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH ${shCte()},
+    s"""${shCte()},
        |h AS (SELECT doc_id, ${mdh("s")} AS h FROM sh),
        |sig AS (
        |  SELECT doc_id,
@@ -128,13 +128,40 @@ object TextSql {
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  val minhashLshSql: String = {
+    val matches = (0 until 8)
+      .map(k => s"CASE WHEN s1.m$k = s2.m$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $candCte
        |SELECT id1, id2,
        |  CAST(CAST($matches AS DOUBLE) / 8 AS DECIMAL(10,6)) AS est_jaccard
        |FROM cand
        |JOIN sig s1 ON id1 = s1.doc_id
        |JOIN sig s2 ON id2 = s2.doc_id""".stripMargin
   }
+
+  // connected components of the candidate graph by transitive closure
+  // (recursive CTE); cluster id = min doc_id reachable. The Spark side
+  // computes the same components by min-label propagation — different
+  // algorithm, same fixpoint, which is the point of the differential gate.
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $candCte,
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM cand
+       |  UNION SELECT id2, id1 FROM cand),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  doc_id = cluster_id AS keep
+       |FROM labels""".stripMargin
 
   val simhashSql: String =
     s"""WITH $tokCte,
