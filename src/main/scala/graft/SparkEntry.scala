@@ -84,6 +84,7 @@ object SparkEntry {
     "quality_filter"  -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     "chunk_docs"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "tfidf_topk"      -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
+    "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -146,5 +147,6 @@ object SparkEntry {
     "quality_filter"  -> TextSql.qualityFilterSql,
     "chunk_docs"      -> TextSql.chunkDocsSql,
     "tfidf_topk"      -> TextSql.tfidfTopKSql,
+    "stratified_sample" -> TextSql.stratifiedSampleSql,
   )
 }

@@ -145,6 +145,33 @@ object TextAnalysis {
           .otherwise("low_quality"))
   }
 
+  /** Deterministic stratified sampling — the mix-ratio step of a
+    * training-data pipeline: per-language keep rates applied via hash-mod
+    * on the doc id (NOT a random sampler): `mdhash(doc_id) % 1000 < rate‰`.
+    * Hash-mod sampling is reproducible across engines, runs, and cluster
+    * sizes (no RNG state, no partition sensitivity), trivially auditable,
+    * and exactly what a production corpus pipeline wants for stable mixes.
+    * Output: the per-stratum report (kept/total/realized rate) a mix audit
+    * reads; the kept rows themselves are the same filter without the agg.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rates = Map("en" -> 800, "de" -> 500, "fr" -> 250) // permille
+    val rateCol = rates.foldLeft(lit(100)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, r).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("rate_permille", rateCol.cast("long"))
+      .withColumn("kept", mdhash(col("doc_id").cast("string")) % 1000 < col("rate_permille"))
+      .groupBy("lang")
+      .agg(
+        max(col("rate_permille")).as("rate_permille"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      // integer div on both engines — long "/" would be double division in
+      // Spark but float division in DuckDB
+      .withColumn("realized_permille", expr("n_kept * 1000 div n_total"))
+  }
+
   /** TF-IDF top-k terms per document — the canonical keyword-extraction /
     * feature-weighting op of a training-data pipeline. Shape: explode →
     * per-(doc, term) count (tf) → per-term doc frequency (df) → score →

@@ -401,6 +401,24 @@ object TextSql {
        |  CAST(${mdh("text")} % 480 + 16 AS BIGINT) AS fake_height
        |FROM documents""".stripMargin
 
+  // hash-mod stratified sampling mirror (see TextAnalysis.stratifiedSample)
+  val stratifiedSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    CASE WHEN lang = 'en' THEN 800 WHEN lang = 'de' THEN 500
+       |         WHEN lang = 'fr' THEN 250 ELSE 100 END AS rate_permille,
+       |    ${mdh("CAST(doc_id AS VARCHAR)")} % 1000 <
+       |      CASE WHEN lang = 'en' THEN 800 WHEN lang = 'de' THEN 500
+       |           WHEN lang = 'fr' THEN 250 ELSE 100 END AS kept
+       |  FROM documents)
+       |SELECT lang,
+       |  CAST(MAX(rate_permille) AS BIGINT) AS rate_permille,
+       |  COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) * 1000
+       |    // COUNT(*) AS realized_permille
+       |FROM d GROUP BY lang""".stripMargin
+
   // log-free rarity weight tf × N ÷ df: one correctly-rounded IEEE double
   // division — bit-identical across engines (see TextAnalysis.tfidfTopK)
   val tfidfTopKSql: String =
