@@ -130,6 +130,27 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters: valid components of the candidate graph") {
+    val edges = DedupOps.minhashLsh(spark, sfTiny)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = DedupOps.dedupClusters(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    // every candidate edge's endpoints share a cluster
+    edges.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"edge ($a,$b) spans clusters")
+    }
+    // the representative is the minimum member and the only kept row
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid: id is not the min member")
+      assert(members.count(_._4) == 1 && members.find(_._4).get._1 == cid)
+      assert(members.forall(_._3 == members.length), s"cluster $cid: bad size")
+    }
+    // exactly the edge-incident nodes are clustered
+    assert(rows.map(_._1).toSet == edges.flatMap(e => Seq(e._1, e._2)).toSet)
+  }
+
   test("tfidf: per-doc ranks are consecutive and scores non-increasing") {
     val rows = TextAnalysis.tfidfTopK(spark, sfTiny)
       .collect()
