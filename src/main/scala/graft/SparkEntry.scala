@@ -59,9 +59,10 @@ object SparkEntry {
     "range_band_join"     -> ((s, d) => Olap.qRangeBandJoin(s, d)),
     "correlated_subquery" -> ((s, d) => Olap.qCorrelatedSubquery(s, d)),
     "trailing_30d"        -> ((s, d) => Olap.qTrailing30d(s, d)),
-    // oracle-less by design: DuckDB's HLL is a different sketch (rows-only
-    // driver check; error bound asserted in QuerySurfaceSpec instead)
+    // oracle-less by design: cross-engine sketches differ (rows-only driver
+    // check; error bounds asserted in QuerySurfaceSpec instead)
     "approx_distinct"     -> ((s, d) => Olap.qApproxDistinct(s, d)),
+    "approx_quantiles"    -> ((s, d) => Olap.qApproxQuantiles(s, d)),
     // ── LLM-data-pipeline operators (driver contract / SURVEY §7.2 M8) ────
     "text_stats"      -> ((s, d) => TextAnalysis.textStats(s, d)),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),

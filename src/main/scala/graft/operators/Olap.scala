@@ -490,6 +490,22 @@ object Olap {
         col("trail30_dec").cast("double").as("trailing_30d"))
   }
 
+  /** Sketch percentiles (approx_percentile) — like [[qApproxDistinct]],
+    * deliberately NOT oracle-gated (engine-specific sketch); the spec bounds
+    * it against the exact percentile. At 100 TB this replaces `quantiles`:
+    * the exact form materializes every group's values, the sketch is a
+    * bounded-size mergeable summary with one map-side combine.
+    */
+  def qApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.25, 1000)").as("q25"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("median"),
+        expr("approx_percentile(l_quantity, 0.75, 1000)").as("q75"),
+        count(lit(1)).as("n"))
+  }
+
   /** Customer spend deciles via ntile over a total order. Aggregate-first:
     * the global sort ranks the per-customer aggregate (|customers| rows, not
     * |orders|); at 100 TB the total order would be a range partition on the

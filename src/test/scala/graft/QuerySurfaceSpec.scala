@@ -21,7 +21,7 @@ class QuerySurfaceSpec extends SparkSpec {
   test("oracle coverage: every query has oracle SQL") {
     // sketch-based ops can't hash-match a different engine's sketch; each
     // member here must carry its own error-bound test in this suite
-    val sketchOnly = Set("approx_distinct")
+    val sketchOnly = Set("approx_distinct", "approx_quantiles")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- sketchOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -41,6 +41,23 @@ class QuerySurfaceSpec extends SparkSpec {
       val a = approx(k)
       assert(math.abs(a - n).toDouble / n <= 0.05,
         s"$k: approx $a vs exact $n exceeds 5% rsd")
+    }
+  }
+
+  test("approx_quantiles: sketch percentiles within rank tolerance of exact") {
+    val approx = SparkEntry.queries("approx_quantiles")(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val exact = SparkEntry.queries("quantiles")(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (e25, e50, e75)) =>
+      val (a25, a50, a75) = approx(k)
+      // accuracy=1000 → rank error ≤ n/1000; quantity spans ~[1,50], so a
+      // loose value tolerance of 1.0 covers it comfortably
+      assert(math.abs(a25 - e25) <= 1.0 && math.abs(a50 - e50) <= 1.0 &&
+        math.abs(a75 - e75) <= 1.0, s"$k: approx $approx vs exact $exact")
     }
   }
 
