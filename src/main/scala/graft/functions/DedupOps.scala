@@ -100,11 +100,14 @@ object DedupOps {
     inter
       .join(counts.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
       .join(counts.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      // decimal for the threshold test (cross-engine exact), DOUBLE at the
+      // serving edge — emitted decimals hash differently across engines
       .withColumn("jaccard",
-        (col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")))
+        bround(col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")), 6)
           .cast("decimal(10,6)"))
       .filter(col("jaccard") >= minJaccard)
-      .select("id1", "id2", "n_inter", "n1", "n2", "jaccard")
+      .select(col("id1"), col("id2"), col("n_inter"), col("n1"), col("n2"),
+        col("jaccard").cast("double").as("jaccard"))
   }
 
   /** MinHash permutation constants (a·x + b mod P, P = 2^31−1): fixed public
@@ -153,8 +156,11 @@ object DedupOps {
       .join(sig.as("s2"), col("id2") === col("s2.doc_id"))
     val matches = (0 until 8).map(k =>
       when(col(s"s1.m$k") === col(s"s2.m$k"), 1).otherwise(0)).reduce(_ + _)
+    // k/8 is exactly representable at scale 6 (no rounding tie possible);
+    // emit DOUBLE — decimal outputs hash differently across engines
     est.select(col("id1"), col("id2"),
-      (matches.cast("double") / 8).cast("decimal(10,6)").as("est_jaccard"))
+      (matches.cast("double") / 8).cast("decimal(10,6)").cast("double")
+        .as("est_jaccard"))
   }
 
   /** Duplicate clusters: connected components over the MinHash-LSH candidate
@@ -253,16 +259,42 @@ object DedupOps {
         .otherwise(0L)).as("simhash32"))
   }
 
-  /** SimHash near-dup pairs in a bounded id range: Hamming distance ≤ 6 via
+  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming via
     * bit_count(xor). The fingerprint comparison never touches the text.
+    *
+    * Scale shape (pigeonhole banding, the standard simhash index): split the
+    * 32-bit fingerprint into (maxHamming+1) disjoint bit segments. Two
+    * fingerprints within Hamming ≤ maxHamming differ in ≤ maxHamming
+    * segments, so they AGREE exactly on ≥ 1 segment — candidate generation
+    * is therefore an EQUI-join on (segment_index, segment_value) with
+    * perfect recall, never an all-pairs nested loop. Cost is Σ bucket², like
+    * MinHash banding; the Hamming verify runs only on candidates. The
+    * round-1 version was a bounded cartesian join (`doc_id < maxDocId` was
+    * load-bearing); the bound is now just a demo default, not a crutch —
+    * `PlanSpec` asserts no CartesianProduct/BroadcastNestedLoopJoin here.
     */
   def simhashPairs(spark: SparkSession, dir: String,
                    maxDocId: Long = 300, maxHamming: Int = 6): DataFrame = {
+    val nSeg = maxHamming + 1
+    // segment boundaries: spread 32 bits as evenly as possible (e.g. 7 segs
+    // → widths 5,5,5,5,4,4,4); seg k covers bits [lo(k), lo(k+1))
+    val bounds = (0 to nSeg).map(k => k * 32 / nSeg)
     val fp = simhash(spark, dir, maxDocId)
-    fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val segs = fp.select(col("doc_id"), col("simhash32"),
+      explode(array((0 until nSeg).map { k =>
+        val lo = bounds(k); val width = bounds(k + 1) - lo
+        struct(lit(k).as("seg"),
+          (shiftright(col("simhash32"), lo) % (1L << width)).as("segval"))
+      }: _*)).as("s"))
+      .select(col("doc_id"), col("simhash32"),
+        col("s.seg").as("seg"), col("s.segval").as("segval"))
+    segs.as("a").join(segs.as("b"),
+        col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
+        col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         bit_count(col("a.simhash32").bitwiseXOR(col("b.simhash32"))).cast("long")
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may collide in several segments
   }
 }

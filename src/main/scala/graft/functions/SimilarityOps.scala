@@ -23,6 +23,13 @@ import TextAnalysis.{mdhash, P}
   * Ranking robustness: scores are rounded to DECIMAL(12,8) *before* the
   * rank window, with the neighbor id as residual tie-break — a last-ulp
   * double divergence between engines can therefore never flip a rank.
+  *
+  * Serving-edge type policy: ranks/filters run on the DECIMAL scores, but
+  * every FINAL score column is cast back to DOUBLE. DECIMAL is an internal
+  * determinism device only — emitted decimals hash differently across
+  * engines (representation, HALF_UP vs HALF_EVEN ties), which was exactly
+  * the round-1 driver-gate failure mode on these queries. `bround` before
+  * the decimal cast breaks any half-way tie half-even, matching DuckDB.
   */
 object SimilarityOps {
 
@@ -63,14 +70,14 @@ object SimilarityOps {
       .join(emb.repartition(spark.sparkContext.defaultParallelism),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        nativeCosine(spark, "qv", "v").cast("decimal(12,8)").as("score"))
+        bround(nativeCosine(spark, "qv", "v"), 8).cast("decimal(12,8)").as("score"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("score"))
+        col("neighbor_id"), col("score").cast("double").as("score"))
   }
 
   /** Element-wise per-label centroid of the embedding vectors — the vector
@@ -128,38 +135,64 @@ object SimilarityOps {
     val scored = q.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        nativeCosine(spark, "qv", "v").cast("decimal(12,8)").as("score"))
+        bround(nativeCosine(spark, "qv", "v"), 8).cast("decimal(12,8)").as("score"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("score"))
+        col("neighbor_id"), col("score").cast("double").as("score"))
   }
 
   /** Embedding-cosine near-duplicate detection (driver contract): vector
     * pairs above a cosine threshold, with the canonical keep decision
-    * (min id survives). Brute-force over the bounded corpus here; the scale
-    * path is identical with LSH/IVF candidate generation in front (compose
-    * [[lshTopK]]/[[ivfTopK]]'s candidate stage with this threshold filter).
+    * (min id survives).
+    *
+    * Candidate generation is the multi-table LSH bucket join
+    * ([[lshBuckets]]) — pairs must collide in ≥ 1 of the T tables — and the
+    * exact cosine threshold verifies candidates only. This is the 100 TB
+    * shape: the n² never materializes, cost is Σ_tables Σ_buckets |bucket|²
+    * (round 1 shipped a bounded all-pairs join here; `PlanSpec` now asserts
+    * no cartesian/nested-loop). The DuckDB oracle mirrors the SAME candidate
+    * generation, so the gate checks the pipeline exactly; recall vs the
+    * brute-force scorer is asserted separately in `LlmOpsSpec` (approximate
+    * recall is a property to measure, not to hide inside the oracle).
     */
   def embeddingDedup(spark: SparkSession, dir: String,
                      minCosine: Double = 0.5): DataFrame = {
     VectorExpressions.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
-    // the corpus parquet is one file → one input split; the pair scoring is
-    // compute-bound, so spread the streamed side across the cluster width
-    // and broadcast the other (results are partitioning-independent)
+    val buckets = lshBuckets(spark, dir)
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(emb.select(col("vec_id").as("id2"), col("v").as("v2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        bround(nativeCosine(spark, "v1", "v2"), 8).cast("decimal(12,8)").as("cos"))
+      .filter(col("cos") >= minCosine)
+      .select(col("id1"), col("id2"), col("cos").cast("double").as("cos"),
+        least(col("id1"), col("id2")).as("keep_id"),
+        greatest(col("id1"), col("id2")).as("drop_id"))
+  }
+
+  /** Brute-force version of [[embeddingDedup]] — the recall yardstick for
+    * `LlmOpsSpec`, never a gated query (all-pairs by construction).
+    */
+  def embeddingDedupBruteForce(spark: SparkSession, dir: String,
+                               minCosine: Double = 0.5): DataFrame = {
+    VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
     emb.repartition(spark.sparkContext.defaultParallelism).as("a")
       .join(broadcast(emb.as("b")), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        expr("cosine_native(a.v, b.v)").as("raw_cos"))
-      .select(col("id1"), col("id2"),
-        col("raw_cos").cast("decimal(12,8)").as("cos"))
+        bround(expr("cosine_native(a.v, b.v)"), 8).cast("decimal(12,8)").as("cos"))
       .filter(col("cos") >= minCosine)
-      .withColumn("keep_id", least(col("id1"), col("id2")))
-      .withColumn("drop_id", greatest(col("id1"), col("id2")))
   }
 
   /** Deterministic hyperplane weight for (plane, dim): mdhash-derived
@@ -188,14 +221,19 @@ object SimilarityOps {
   def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
     val nPlanes = LshTables * LshBits
     val emb = Tables.embeddings(spark, dir)
+    // dimensionality from the data (first row — a LIMIT-1 scan, not a full
+    // pass), NOT a hard-coded constant: the weight join is inner, so a
+    // too-small weight matrix would silently drop trailing dimensions while
+    // the oracle (generate_series over len(embedding)) keeps them
+    val nDims = emb.select(size(col("embedding"))).head.getInt(0)
     val dims = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       // float → double → decimal (see labelCentroids cast note)
       .withColumn("xd", bround(col("x").cast("double"), 9).cast("decimal(18,9)"))
     // the |dims|×|planes| weight matrix is tiny and static: materialize it
-    // once (64×16 md5 calls) and broadcast-join on the dimension index,
+    // once (nDims×16 md5 calls) and broadcast-join on the dimension index,
     // instead of exploding planes per (vec, dim) row — which re-hashed
     // md5 2M times per run (measured ~3× slower)
-    val weights = spark.range(64).select(
+    val weights = spark.range(nDims.toLong).select(
       (col("id").cast("int").as("d") +: (0 until nPlanes).map(p =>
         planeWeight(lit(p), col("id").cast("int")).as(s"w$p"))): _*)
     val joined = dims.join(broadcast(weights), Seq("d"))
@@ -237,13 +275,13 @@ object SimilarityOps {
         .withColumnRenamed("v", "qv"), Seq("query_id"))
       .join(emb.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        nativeCosine(spark, "qv", "v").cast("decimal(12,8)").as("score"))
+        bround(nativeCosine(spark, "qv", "v"), 8).cast("decimal(12,8)").as("score"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("score"))
+        col("neighbor_id"), col("score").cast("double").as("score"))
   }
 }

@@ -49,15 +49,18 @@ object TextAnalysis {
       .select(
         col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("n_tokens"), col("n_distinct"),
-        (col("n_distinct").cast("double") / col("n_tokens"))
-          .cast("decimal(10,6)").as("ttr"),
-        (aggregate(transform(col("t"), x => length(x)), lit(0), (acc, x) => acc + x)
-          .cast("double") / col("n_tokens"))
-          .cast("decimal(10,6)").as("avg_token_len"),
-        (size(filter(col("t"), x => array_contains(
+        // bround (HALF_EVEN, = DuckDB's cast) kills int/int ratios that tie
+        // exactly at digit 7 (k/2^7 does); DOUBLE at the edge — emitted
+        // decimals hash differently across engines (round-1 gate failure)
+        bround(col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .cast("decimal(10,6)").cast("double").as("ttr"),
+        bround(aggregate(transform(col("t"), x => length(x)), lit(0), (acc, x) => acc + x)
+          .cast("double") / col("n_tokens"), 6)
+          .cast("decimal(10,6)").cast("double").as("avg_token_len"),
+        bround(size(filter(col("t"), x => array_contains(
             array(lit("the"), lit("a"), lit("of"), lit("to"), lit("in"), lit("is")), x)))
-          .cast("double") / col("n_tokens"))
-          .cast("decimal(10,6)").as("stop_ratio"))
+          .cast("double") / col("n_tokens"), 6)
+          .cast("decimal(10,6)").cast("double").as("stop_ratio"))
   }
 
   // public so the oracle SQL generates from the SAME constants (no drift)

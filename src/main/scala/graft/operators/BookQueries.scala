@@ -107,7 +107,14 @@ object BookQueries {
       sum(col("base_taken")).cast("double").as("amount_out"),
       sum(when(col("base_taken") > 0, 1).otherwise(0)).as("levels_hit"),
       max(when(col("base_taken") > 0, col("price_lvl"))).as("worst_price"),
-      (max(col("cum_cost")) < in).as("insufficient_liquidity"))
+      (max(col("cum_cost")) < in).as("insufficient_liquidity"),
+      // hitPrices[] (types.ts:49-54, filled at order-book.ts:295-306): the
+      // price levels consumed, in hit order (ascending for a buy). Emitted
+      // as a canonical comma-joined string — a scalar the cross-engine hash
+      // treats identically, where list hashing is engine-defined.
+      expr("array_join(transform(sort_array(collect_list(" +
+        "CASE WHEN base_taken > 0 THEN price_lvl END)), x -> CAST(x AS STRING)), ',')")
+        .as("hit_prices"))
     // pools with an EMPTY opposite side still answer: 0 out, insufficient —
     // the reference's empty-book branch (order-book.ts:272-279)
     BookViews.pools(ev).select(col("pool"))
@@ -117,7 +124,8 @@ object BookQueries {
         coalesce(col("levels_hit"), lit(0L)).as("levels_hit"),
         col("worst_price"),
         coalesce(col("insufficient_liquidity"), lit(true)).as("insufficient_liquidity"),
-        in.cast("double").as("amount_in"))
+        in.cast("double").as("amount_in"),
+        coalesce(col("hit_prices"), lit("")).as("hit_prices"))
   }
 
   /** SELL direction: sell `amountIn` base into BUY levels descending
@@ -145,7 +153,11 @@ object BookQueries {
       sum(col("quote_out")).cast("double").as("amount_out"),
       sum(when(col("base_sold") > 0, 1).otherwise(0)).as("levels_hit"),
       min(when(col("base_sold") > 0, col("price_lvl"))).as("worst_price"),
-      (max(col("cum_vol")) < in).as("insufficient_liquidity"))
+      (max(col("cum_vol")) < in).as("insufficient_liquidity"),
+      // hitPrices[] in hit order — DESCENDING for a sell (order-book.ts:300-306)
+      expr("array_join(transform(sort_array(collect_list(" +
+        "CASE WHEN base_sold > 0 THEN price_lvl END), false), x -> CAST(x AS STRING)), ',')")
+        .as("hit_prices"))
     // empty-book branch (order-book.ts:272-279), as in amountOutBuy
     BookViews.pools(ev).select(col("pool"))
       .join(agg, Seq("pool"), "left")
@@ -154,7 +166,8 @@ object BookQueries {
         coalesce(col("levels_hit"), lit(0L)).as("levels_hit"),
         col("worst_price"),
         coalesce(col("insufficient_liquidity"), lit(true)).as("insufficient_liquidity"),
-        in.cast("double").as("amount_in"))
+        in.cast("double").as("amount_in"),
+        coalesce(col("hit_prices"), lit("")).as("hit_prices"))
   }
 
   /** `GET /pools/:a/:trader/orders` (order-book-controller.ts:44-60) — a

@@ -506,18 +506,58 @@ object Olap {
         count(lit(1)).as("n"))
   }
 
-  /** Customer spend deciles via ntile over a total order. Aggregate-first:
-    * the global sort ranks the per-customer aggregate (|customers| rows, not
-    * |orders|); at 100 TB the total order would be a range partition on the
-    * aggregated spend, which Spark's sort already is — ntile just needs the
-    * global row position from the range boundaries.
+  /** Customer spend deciles — NTILE(10) semantics over a total order,
+    * computed WITHOUT a single-partition window (round 1 used
+    * `Window.orderBy(...)`, which funnels every customer row through ONE
+    * task — the classic global-window scale-killer).
+    *
+    * Distributed exact rank, the standard two-phase plan:
+    *  1. range-partition on the sort key (spend desc, custkey) — globally
+    *     ordered, disjoint partitions;
+    *  2. row_number within each range partition (bounded partition-local
+    *     sort, P-way parallel);
+    *  3. global rank = partition offset + local row number, where the P
+    *     per-partition counts are METADATA (one tiny aggregate, collected
+    *     like AQE stats / RangePartitioner samples — never row data);
+    *  4. decile from the exact NTILE fill rule: with n rows, the first
+    *     n%10 buckets take ceil(n/10) rows, the rest floor(n/10).
+    * Result is independent of the partition count — boundaries shift ranks
+    * between partitions but offset+local is the same total order.
     */
   def qCustomerDeciles(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
     val spend = ord.groupBy("o_custkey")
       .agg(sum(dec("o_totalprice")).as("spend_dec"))
-    val w = Window.orderBy(col("spend_dec").desc, col("o_custkey"))
-    spend.withColumn("decile", ntile(10).over(w).cast("long"))
+    val parts = spark.sparkContext.defaultParallelism
+    // persist: the counts job and the main query MUST see the same range
+    // boundaries (the range sampler reseeds per job — unpinned, the offset
+    // map could describe a different partitioning than the one ranked)
+    val ranged = spend
+      .repartitionByRange(parts, col("spend_dec").desc, col("o_custkey"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val local = ranged.withColumn("lrn", row_number().over(
+      Window.partitionBy("pid").orderBy(col("spend_dec").desc, col("o_custkey"))))
+    // P rows of (pid, count): metadata, not data — same category as the
+    // range sampler's own driver-side boundary collect
+    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .collect().map(rw => (rw.getInt(0), rw.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsetRows = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+    val n = acc
+    val offsets = broadcast(
+      spark.createDataFrame(offsetRows.toSeq).toDF("pid", "offset"))
+    val base = n / 10; val r = n % 10
+    val rk = (col("offset") + col("lrn")).cast("long")
+    // NTILE fill rule; ceil(a/b) via floor of a double division — exact for
+    // counts < 2^52, far beyond any customer cardinality
+    val decile =
+      if (base == 0) rk // fewer rows than buckets: row k → bucket k
+      else when(rk <= lit(r * (base + 1)),
+          floor((rk + base) / lit((base + 1).toDouble)))
+        .otherwise(lit(r) + floor((rk - r * (base + 1) + base - 1) / lit(base.toDouble)))
+    local.join(offsets, "pid")
+      .withColumn("decile", decile.cast("long"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend_dec")).cast("double").as("total_spend"),

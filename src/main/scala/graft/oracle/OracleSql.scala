@@ -159,7 +159,9 @@ object OracleSql {
        |    CAST(SUM(base_taken) AS DOUBLE) AS amount_out,
        |    CAST(SUM(CASE WHEN base_taken > 0 THEN 1 ELSE 0 END) AS BIGINT) AS levels_hit,
        |    MAX(CASE WHEN base_taken > 0 THEN price_lvl END) AS worst_price,
-       |    (MAX(cum_cost) < 50000.00) AS insufficient_liquidity
+       |    (MAX(cum_cost) < 50000.00) AS insufficient_liquidity,
+       |    array_to_string(list_sort(list(price_lvl) FILTER (WHERE base_taken > 0)), ',')
+       |      AS hit_prices
        |  FROM sim2 GROUP BY pool)
        |-- empty-book pools still answer: 0 out, insufficient (order-book.ts:272-279)
        |SELECT p.pool,
@@ -167,7 +169,8 @@ object OracleSql {
        |  COALESCE(agg.levels_hit, 0) AS levels_hit,
        |  agg.worst_price,
        |  COALESCE(agg.insufficient_liquidity, true) AS insufficient_liquidity,
-       |  CAST(50000.00 AS DOUBLE) AS amount_in
+       |  CAST(50000.00 AS DOUBLE) AS amount_in,
+       |  COALESCE(agg.hit_prices, '') AS hit_prices
        |FROM (SELECT DISTINCT pool FROM order_events) p
        |LEFT JOIN agg ON p.pool = agg.pool""".stripMargin
 
@@ -195,14 +198,17 @@ object OracleSql {
        |    CAST(SUM(base_sold * price_lvl) AS DOUBLE) AS amount_out,
        |    CAST(SUM(CASE WHEN base_sold > 0 THEN 1 ELSE 0 END) AS BIGINT) AS levels_hit,
        |    MIN(CASE WHEN base_sold > 0 THEN price_lvl END) AS worst_price,
-       |    (MAX(cum_vol) < 500.00) AS insufficient_liquidity
+       |    (MAX(cum_vol) < 500.00) AS insufficient_liquidity,
+       |    array_to_string(list_sort(list(price_lvl) FILTER (WHERE base_sold > 0),
+       |      'DESC'), ',') AS hit_prices
        |  FROM sim2 GROUP BY pool)
        |SELECT p.pool,
        |  COALESCE(agg.amount_out, 0.0) AS amount_out,
        |  COALESCE(agg.levels_hit, 0) AS levels_hit,
        |  agg.worst_price,
        |  COALESCE(agg.insufficient_liquidity, true) AS insufficient_liquidity,
-       |  CAST(500.00 AS DOUBLE) AS amount_in
+       |  CAST(500.00 AS DOUBLE) AS amount_in,
+       |  COALESCE(agg.hit_prices, '') AS hit_prices
        |FROM (SELECT DISTINCT pool FROM order_events) p
        |LEFT JOIN agg ON p.pool = agg.pool""".stripMargin
 

@@ -38,12 +38,13 @@ object TextSql {
        |  CAST(length(text) AS BIGINT) AS n_chars,
        |  CAST(len(t) AS BIGINT) AS n_tokens,
        |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
-       |  CAST(CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS DECIMAL(10,6)) AS ttr,
-       |  CAST(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
-       |       AS DECIMAL(10,6)) AS avg_token_len,
-       |  CAST(CAST(len(list_filter(t, x -> list_contains(
+       |  CAST(CAST(CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+       |       AS DECIMAL(10,6)) AS DOUBLE) AS ttr,
+       |  CAST(CAST(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+       |       AS DECIMAL(10,6)) AS DOUBLE) AS avg_token_len,
+       |  CAST(CAST(CAST(len(list_filter(t, x -> list_contains(
        |         ['the','a','of','to','in','is'], x))) AS DOUBLE) / len(t)
-       |       AS DECIMAL(10,6)) AS stop_ratio
+       |       AS DECIMAL(10,6)) AS DOUBLE) AS stop_ratio
        |FROM tok""".stripMargin
 
   val langIdSql: String = {
@@ -100,8 +101,8 @@ object TextSql {
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id1, id2, n_inter, c1.n_sh AS n1, c2.n_sh AS n2,
-       |  CAST(CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter)
-       |       AS DECIMAL(10,6)) AS jaccard
+       |  CAST(CAST(CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter)
+       |       AS DECIMAL(10,6)) AS DOUBLE) AS jaccard
        |FROM inter
        |JOIN counts c1 ON id1 = c1.doc_id
        |JOIN counts c2 ON id2 = c2.doc_id
@@ -136,7 +137,8 @@ object TextSql {
       .map(k => s"CASE WHEN s1.m$k = s2.m$k THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH $candCte
        |SELECT id1, id2,
-       |  CAST(CAST($matches AS DOUBLE) / 8 AS DECIMAL(10,6)) AS est_jaccard
+       |  CAST(CAST(CAST($matches AS DOUBLE) / 8 AS DECIMAL(10,6)) AS DOUBLE)
+       |    AS est_jaccard
        |FROM cand
        |JOIN sig s1 ON id1 = s1.doc_id
        |JOIN sig s2 ON id2 = s2.doc_id""".stripMargin
@@ -215,7 +217,7 @@ object TextSql {
        |  SELECT query_id, e.vec_id AS neighbor_id,
        |    $cosineExpr AS score
        |  FROM q, emb e WHERE e.vec_id <> q.query_id)
-       |SELECT query_id, rank, neighbor_id, score FROM (
+       |SELECT query_id, rank, neighbor_id, CAST(score AS DOUBLE) AS score FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, neighbor_id) AS rank
        |  FROM scored) t
@@ -269,7 +271,7 @@ object TextSql {
        |  SELECT query_id, neighbor_id,
        |    $cosineExpr AS score
        |  FROM pairs)
-       |SELECT query_id, rank, neighbor_id, score FROM (
+       |SELECT query_id, rank, neighbor_id, CAST(score AS DOUBLE) AS score FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, neighbor_id) AS rank
        |  FROM scored) t
@@ -312,7 +314,7 @@ object TextSql {
        |  FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.query_id),
        |scored AS (
        |  SELECT query_id, neighbor_id, $cosineExpr AS score FROM pairs)
-       |SELECT query_id, rank, neighbor_id, score FROM (
+       |SELECT query_id, rank, neighbor_id, CAST(score AS DOUBLE) AS score FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, neighbor_id) AS rank
        |  FROM scored) t
@@ -332,16 +334,27 @@ object TextSql {
        |  CAST(val - asof_price AS DOUBLE) AS slippage
        |FROM wp WHERE action = 9""".stripMargin
 
+  // candidates from the SAME multi-table LSH bucket join the engine uses
+  // (bucketCte) — the gate checks the whole pipeline; recall vs brute force
+  // is a property asserted in LlmOpsSpec, not hidden in the oracle
   val embeddingDedupSql: String =
-    s"""WITH emb AS (
+    s"""WITH $bucketCte,
+       |emb AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+       |  FROM buckets x
+       |  JOIN buckets y ON x.tbl = y.tbl AND x.bucket = y.bucket
+       |                AND x.vec_id < y.vec_id),
        |pairs AS (
-       |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.v AS qv, b.v AS v
-       |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id),
+       |  SELECT c.id1, c.id2, e1.v AS qv, e2.v AS v
+       |  FROM cand c
+       |  JOIN emb e1 ON e1.vec_id = c.id1
+       |  JOIN emb e2 ON e2.vec_id = c.id2),
        |scored AS (
        |  SELECT id1, id2, $cosineExpr AS cos FROM pairs)
-       |SELECT id1, id2, cos,
+       |SELECT id1, id2, CAST(cos AS DOUBLE) AS cos,
        |  LEAST(id1, id2) AS keep_id, GREATEST(id1, id2) AS drop_id
        |FROM scored WHERE cos >= 0.5""".stripMargin
 

@@ -41,6 +41,34 @@ class LlmOpsSpec extends SparkSpec {
       s"LSH top-1 recall ${hits.toDouble / top1.length} implausibly low")
   }
 
+  test("embedding dedup: LSH candidates are a subset of brute force, recall measured") {
+    val brute = SimilarityOps.embeddingDedupBruteForce(spark, sfTiny)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.embeddingDedup(spark, sfTiny)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soundness: every LSH-found dup IS a true dup (threshold verify is exact)
+    assert(lsh.subsetOf(brute), s"LSH found non-dup pairs: ${lsh -- brute}")
+    // recall: informational unless brute force found enough pairs to judge
+    if (brute.size >= 5)
+      assert(lsh.size.toDouble / brute.size > 0.2,
+        s"LSH dedup recall ${lsh.size.toDouble / brute.size} implausibly low")
+  }
+
+  test("simhash pairs: banded candidates reproduce the exact all-pairs result") {
+    import spark.implicits._
+    // pigeonhole banding has PERFECT recall for hamming <= maxHamming —
+    // the banded join must equal the brute-force pair set exactly
+    val fp = DedupOps.simhash(spark, sfTiny, maxDocId = 300)
+    val brute = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.simhash32").bitwiseXOR(col("b.simhash32"))).cast("long"))
+      .as[(Long, Long, Long)].collect().filter(_._3 <= 6).toSet
+    val banded = DedupOps.simhashPairs(spark, sfTiny)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute,
+      s"banding lost pairs: ${brute -- banded}; invented: ${banded -- brute}")
+  }
+
   test("simhash: near-identical docs land at small Hamming distance") {
     import spark.implicits._
     // doc pairs sharing 95% of tokens should have closer fingerprints than
@@ -57,7 +85,7 @@ class LlmOpsSpec extends SparkSpec {
     rows.foreach { r =>
       val nTokens = r.getAs[Long]("n_tokens")
       val nDistinct = r.getAs[Long]("n_distinct")
-      val ttr = r.getAs[java.math.BigDecimal]("ttr").doubleValue()
+      val ttr = r.getAs[Double]("ttr")
       assert(nDistinct <= nTokens)
       assert(ttr > 0 && ttr <= 1.0)
     }

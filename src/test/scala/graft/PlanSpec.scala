@@ -85,6 +85,22 @@ class PlanSpec extends SparkSpec {
       s"theta join did not broadcast the band dim:\n$plan")
   }
 
+  test("simhash_pairs: pigeonhole banding — no cartesian/nested-loop over doc pairs") {
+    val plan = physicalPlan(graft.functions.DedupOps.simhashPairs(spark, sfTiny))
+    assert(!plan.contains("CartesianProduct"),
+      s"simhash pair generation is an all-pairs cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"simhash pair generation is an all-pairs nested loop:\n$plan")
+  }
+
+  test("embedding_dedup: LSH candidate front-end — no all-pairs join") {
+    val plan = physicalPlan(graft.functions.SimilarityOps.embeddingDedup(spark, sfTiny))
+    assert(!plan.contains("CartesianProduct"),
+      s"embedding dedup is an all-pairs cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"embedding dedup is an all-pairs nested loop:\n$plan")
+  }
+
   test("tfidf: per-doc top-k gets a partial WindowGroupLimit below the shuffle") {
     val df = graft.functions.TextAnalysis.tfidfTopK(spark, sfTiny)
     df.collect() // AQE finalizes on execution

@@ -6,6 +6,7 @@ same parquet tables and compare with the Spark parquet dumps.
 Usage: python3 tools/check.py <sfDir> <outDir>
 """
 import sys, json, glob, math
+from decimal import Decimal
 
 import duckdb
 import pandas as pd
@@ -23,16 +24,28 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cmp_cell(a, b) -> bool:
+    """Mimic the driver's hash comparison: representation-sensitive.
+
+    The driver canonicalizes each cell to a string and hashes, so a
+    Decimal('0.50000000') vs float 0.5 is a FAIL even though the values are
+    numerically equal — round 1 proved the old float-coercing compare here
+    was blind to exactly that (claimed 57/57 while the driver found 7
+    failures). Decimals therefore compare as exact Decimals only against
+    other Decimals; float-vs-Decimal is a type mismatch (the engine should
+    not emit DECIMAL where the oracle emits DOUBLE, or vice versa).
+    """
     if pd.isna(a) and pd.isna(b):
         return True
+    da, db = isinstance(a, Decimal), isinstance(b, Decimal)
+    if da or db:
+        return da and db and a == b
     if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
+        if not (isinstance(a, (float, int)) and isinstance(b, (float, int))):
+            return False
+        fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return fa == fb  # exact — the gate hashes, so we demand exact too
+        return fa == fb  # bit-exact — the gate hashes, so we demand exact too
     return a == b or str(a) == str(b)
 
 
