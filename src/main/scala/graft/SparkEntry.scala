@@ -34,6 +34,14 @@ object SparkEntry {
     "order_lookup"      -> ((s, d) => BookQueries.orderLookup(s, d)),
     "user_market_orders" -> ((s, d) => BookQueries.userMarketOrders(s, d)),
     "pool_info"         -> ((s, d) => BookQueries.poolInfo(s, d)),
+    // the reference's NATIVE core: order_id-keyed fold over the full wire
+    // ingest path (JSON payloads → fixed-point scaling → one hash agg)
+    "wire_orders_current" -> ((s, d) => WireOrderFold.wireOrdersCurrent(s, d)),
+    // fidelity mode: trusts OrderFilled's event-carried running accounting
+    // (order-book.ts:146-167) — identical to derived on a clean stream, so
+    // the same oracle gates both folds
+    "wire_orders_fidelity" -> ((s, d) =>
+      WireOrderFold.wireOrdersCurrent(s, d, fidelity = true)),
     // ── OLAP / bench surface (SURVEY §7.2 M7) ──────────────────────────────
     "q1_pricing_summary"  -> ((s, d) => Olap.q1PricingSummary(s, d)),
     "q6_revenue"          -> ((s, d) => Olap.q6Revenue(s, d)),
@@ -103,6 +111,8 @@ object SparkEntry {
     "order_lookup"      -> OracleSql.orderLookupSql,
     "user_market_orders" -> OracleSql.userMarketOrdersSql,
     "pool_info"         -> OracleSql.poolInfoSql,
+    "wire_orders_current" -> OracleSql.wireOrdersCurrentSql,
+    "wire_orders_fidelity" -> OracleSql.wireOrdersCurrentSql,
     "q1_pricing_summary"  -> OlapSql.q1Sql,
     "q6_revenue"          -> OlapSql.q6Sql,
     "q3_shipping_priority" -> OlapSql.q3Sql,

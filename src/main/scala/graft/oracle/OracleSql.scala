@@ -241,6 +241,47 @@ object OracleSql {
        |  CAST(val AS DOUBLE) AS filled_amount
        |FROM order_events WHERE action = 9 AND trader % 7 = 3""".stripMargin
 
+  /** Oracle for [[graft.operators.WireOrderFold.wireOrdersCurrent]]: the
+    * order_id-keyed fold (the reference's native key, order-book.ts:80-182),
+    * computed directly from `events` — deliberately WITHOUT the JSON/
+    * fixed-point roundtrip the Spark side runs, so the wire ingest path
+    * (payload parse, multi-decimals scaling, enum decode) is verified
+    * end-to-end by an independent derivation. One row per order ever
+    * created, superseded orders included.
+    */
+  val wireOrdersCurrentSql: String =
+    s"""WITH $orderEventsCte,
+       |seg AS (
+       |  SELECT *, MAX(CASE WHEN action <= 3 THEN event_id END) OVER (
+       |      PARTITION BY pool, trader ORDER BY event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_id
+       |  FROM order_events WHERE action <= 7
+       |),
+       |folded AS (
+       |  SELECT pool, order_id,
+       |    MAX(CASE WHEN event_id = order_id THEN trader END) AS trader,
+       |    MAX(CASE WHEN event_id = order_id THEN val END) AS price,
+       |    MAX(CASE WHEN event_id = order_id THEN val * 10 END) AS amount0,
+       |    SUM(CASE WHEN action IN (4,5) THEN val ELSE CAST(0 AS DECIMAL(18,2)) END) AS filled,
+       |    MAX(CASE WHEN action = 6 THEN 1 ELSE 0 END) AS cancelled,
+       |    ARG_MAX(CASE WHEN action = 7 THEN val * 5 END,
+       |            CASE WHEN action = 7 THEN event_id ELSE -1 END) AS upd_amount,
+       |    MAX(CASE WHEN event_id = order_id THEN block_time END) AS created_at
+       |  FROM seg WHERE order_id IS NOT NULL
+       |  GROUP BY pool, order_id
+       |)
+       |SELECT pool, order_id, trader,
+       |  CASE WHEN order_id % 2 = 0 THEN 'BUY' ELSE 'SELL' END AS side,
+       |  CAST(price AS DOUBLE) AS price,
+       |  CAST(CAST(COALESCE(upd_amount, amount0) AS DECIMAL(28,2)) AS DOUBLE) AS amount,
+       |  CAST(CAST(filled AS DECIMAL(28,2)) AS DOUBLE) AS filled,
+       |  CAST(CASE WHEN COALESCE(upd_amount, amount0) > filled
+       |       THEN CAST(COALESCE(upd_amount, amount0) - filled AS DECIMAL(28,2))
+       |       ELSE CAST(0 AS DECIMAL(28,2)) END AS DOUBLE) AS remaining,
+       |  (cancelled = 0 AND COALESCE(upd_amount, amount0) > filled) AS active,
+       |  created_at
+       |FROM folded""".stripMargin
+
   val poolInfoSql: String =
     s"""WITH $orderEventsCte,
        |pools AS (

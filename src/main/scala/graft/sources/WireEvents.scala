@@ -110,6 +110,11 @@ object WireEvents {
         col("p_OrderCreated.amount"), col("p_OrderFilled.amount"),
         col("p_OrderUpdated.newAmount"), col("p_MarketOrderExecuted.amount")))
         .as("amount"),
+      // OrderFilled's authoritative running accounting (hive-core.json:581-623)
+      // — the reference trusts these (order-book.ts:146-167); carried for the
+      // fidelity fold mode (graft.operators.WireOrderFold)
+      scaled(col("p_OrderFilled.filled")).as("filled"),
+      scaled(col("p_OrderFilled.remaining")).as("remaining"),
       col("block_number"), col("log_index"), col("block_time"))
       .orderBy("block_number", "log_index")
   }
