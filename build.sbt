@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked JVM's stdout/stderr raw (no "[info] "/"[error] "
+// prefixes): the bench/verify drivers parse Bench's single JSON stdout
+// line, and sbt's default LoggedOutput prefix broke that parse.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -30,4 +34,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] caused multi-second GC stalls on trivial queries; the box has
   // 125g.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // pre-size the heap: growing from the default initial heap to tens of GB
+  // mid-bench shows up as multi-second full-GC outliers on trivial queries
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM_MIN", "16g")}",
 )
