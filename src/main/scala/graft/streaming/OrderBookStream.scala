@@ -92,35 +92,101 @@ object OrderBookStream {
         col("traded_volume"), col("n_trades"))
   }
 
-  /** S9 durable sink: per-batch MERGE of updated states into a parquet
-    * snapshot (keep existing keys not in the batch, replace the ones that
-    * are — each micro-batch emits at most one state row per key, so the
-    * merge is a keyed anti-join + union). foreachBatch + checkpointing makes
-    * this idempotent under batch replay — strictly stronger than the
-    * reference's non-atomic per-event Redis writes (ST6). On a cluster this
-    * is one `MERGE INTO` against Delta/Iceberg; plain parquet
-    * read-union-overwrite expresses the same semantics container-locally.
+  /** S9 durable sink: per-batch MERGE of updated states into a pool-hash-
+    * BUCKETED parquet snapshot. Layout:
+    *
+    * {{{  snapshotPath/b<bucket>/v<batchId>/part-*.parquet
+    *      snapshotPath/_manifest.json   // {"<bucket>": <currentVersion>} }}}
+    *
+    * Each micro-batch emits at most one state row per key, so the merge per
+    * TOUCHED bucket is a keyed anti-join + union; untouched buckets are not
+    * read, not rewritten, and keep their manifest version — merge I/O is
+    * proportional to changed pools, not total state (the file-pruning
+    * behaviour of a Delta/Iceberg `MERGE INTO ... ON pool`, which is what
+    * this becomes on a cluster). Commit protocol: new `v<batchId>` dirs are
+    * written first, then the manifest is swapped via temp-file +
+    * ATOMIC_MOVE — a crash mid-batch leaves the old manifest pointing at
+    * complete old versions (no window where live data is deleted, unlike a
+    * stage-then-overwrite). Replaying a batch rewrites the same `v<batchId>`
+    * dirs and re-commits an identical manifest: idempotent (ST6). Superseded
+    * version dirs are GC'd after the commit point.
     */
-  def snapshotSink(raw: DataFrame, checkpointDir: String,
-                   snapshotPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+  def snapshotSink(raw: DataFrame, checkpointDir: String, snapshotPath: String,
+                   nBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
     foldStream(toEventStream(raw)).writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[St], _: Long) =>
+      .foreachBatch { (batch: Dataset[St], batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val dir = new java.io.File(snapshotPath)
-        val merged =
-          if (dir.exists()) {
-            val existing = spark.read.parquet(snapshotPath).as[St]
-            val keys = batch.select(col("pool"), col("trader"))
-            existing.join(keys, Seq("pool", "trader"), "left_anti").as[St]
-              .union(batch)
-          } else batch
-        // stage-then-swap: parquet cannot overwrite a path being read
-        val staged = snapshotPath + ".staged"
-        merged.write.mode("overwrite").parquet(staged)
-        spark.read.parquet(staged).write.mode("overwrite").parquet(snapshotPath)
+        val withBucket = batch
+          .withColumn("bucket", pmod(hash(col("pool")), lit(nBuckets)))
+          .persist()
+        // driver sees only the touched BUCKET IDS (≤ nBuckets ints), never data
+        val touched = withBucket.select("bucket").distinct().as[Int].collect()
+        val manifest = readManifest(snapshotPath)
+        touched.foreach { bucket =>
+          val slice = withBucket.filter(col("bucket") === bucket)
+            .drop("bucket").as[St]
+          val merged = manifest.get(bucket) match {
+            case Some(v) =>
+              val existing = spark.read.parquet(s"$snapshotPath/b$bucket/v$v").as[St]
+              existing.join(slice.select(col("pool"), col("trader")),
+                  Seq("pool", "trader"), "left_anti").as[St]
+                .union(slice)
+            case None => slice
+          }
+          merged.write.mode("overwrite").parquet(s"$snapshotPath/b$bucket/v$batchId")
+        }
+        withBucket.unpersist()
+        // commit point: all new version dirs are complete
+        writeManifest(snapshotPath, manifest ++ touched.map(_ -> batchId))
+        // GC superseded versions of the buckets this batch rewrote
+        touched.foreach { bucket =>
+          val dir = new java.io.File(s"$snapshotPath/b$bucket")
+          Option(dir.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName.startsWith("v") && f.getName != s"v$batchId")
+            .foreach(deleteRecursively)
+        }
       }
       .start()
+
+  /** Manifest-aware snapshot reader: the union of every bucket's current
+    * version. The manifest is the single commit point, so this never
+    * observes a half-written batch.
+    */
+  def readSnapshot(spark: SparkSession, snapshotPath: String): Dataset[St] = {
+    import spark.implicits._
+    val manifest = readManifest(snapshotPath)
+    if (manifest.isEmpty) spark.emptyDataset[St]
+    else spark.read.parquet(manifest.toSeq.map {
+      case (b, v) => s"$snapshotPath/b$b/v$v"
+    }: _*).as[St]
+  }
+
+  private def manifestFile(root: String) = java.nio.file.Paths.get(root, "_manifest.json")
+
+  private def readManifest(root: String): Map[Int, Long] = {
+    val p = manifestFile(root)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else "\"(\\d+)\"\\s*:\\s*(\\d+)".r
+      .findAllMatchIn(java.nio.file.Files.readString(p))
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+  }
+
+  private def writeManifest(root: String, m: Map[Int, Long]): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val body = m.toSeq.sorted.map { case (b, v) => s"\"$b\": $v" }
+      .mkString("{", ", ", "}")
+    val tmp = java.nio.file.Paths.get(root, s"_manifest.json.tmp")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp, manifestFile(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
 }

@@ -69,7 +69,7 @@ class ServingSpec extends SparkSpec {
       source.addData(2L); query.processAllAvailable()
     } finally query.stop()
 
-    val snapshot = spark.read.parquet(snapPath).as[St].collect()
+    val snapshot = OrderBookStream.readSnapshot(spark, snapPath).collect()
       .map(s => (s.pool, s.trader) -> s).toMap
     val oracle = OrderFold.toEvents(OrderEvents.derive(rawDf)).collect().toSeq
       .groupBy(e => (e.pool, e.trader))
@@ -77,5 +77,52 @@ class ServingSpec extends SparkSpec {
       .toMap
     assert(snapshot == oracle, "snapshot diverged from batch fold")
     assert(snapshot.nonEmpty)
+  }
+
+  test("snapshot sink rewrites only buckets whose pools changed") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snap-scope")
+    val snapPath = s"$tmp/state"
+    val ckpt = s"$tmp/ckpt"
+
+    val all = spark.read.parquet(s"$sfTiny/events.parquet").limit(300)
+    val schema = all.schema
+    val pools = all.select("event_type").distinct().as[String].collect().sorted
+    val onlyPool = pools.head // batch 1 touches a single pool
+    val raw0 = all.filter(col("event_type") =!= onlyPool).collect()
+    val raw1 = all.filter(col("event_type") === onlyPool).collect()
+    val source = MemoryStream[Long]
+    def df(rows: Array[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
+    val stream = source.toDS().toDF("tick")
+      .join(df(raw0).withColumn("tick", lit(0L))
+          .union(df(raw1).withColumn("tick", lit(1L))),
+        Seq("tick")).drop("tick")
+    val query = OrderBookStream.snapshotSink(stream, ckpt, snapPath)
+    def versions: Map[String, Set[String]] =
+      new java.io.File(snapPath).listFiles().filter(_.getName.startsWith("b"))
+        .map(b => b.getName -> b.listFiles().map(_.getName).toSet).toMap
+    try {
+      source.addData(0L); query.processAllAvailable()
+      val v0 = versions
+      source.addData(1L); query.processAllAvailable()
+      val v1 = versions
+      // exactly one bucket advanced; every other bucket kept its v0 dir
+      // untouched (merge I/O ∝ changed pools, not total state)
+      val advanced = v1.filter { case (b, vs) => v0.getOrElse(b, Set.empty) != vs }
+      assert(advanced.keySet.size == 1,
+        s"expected 1 rewritten bucket, got: $advanced")
+    } finally query.stop()
+
+    // convergence is still exact after the partial rewrite
+    val snapshot = OrderBookStream.readSnapshot(spark, snapPath).collect()
+      .map(s => (s.pool, s.trader) -> s).toMap
+    val oracle = OrderFold.toEvents(OrderEvents.derive(df(raw0) union df(raw1)))
+      .collect().toSeq
+      .groupBy(e => (e.pool, e.trader))
+      .flatMap { case (k, g) => OrderFold.fold(g.sortBy(_.eventId)).map(k -> _) }
+      .toMap
+    assert(snapshot == oracle)
   }
 }
