@@ -175,9 +175,13 @@ object BookQueries {
     * filter, order-book.ts:351-359 — replicated; it's semantics, SURVEY §7.4).
     * The trader secondary index (S8/J2) is just a pushed-down filter here.
     */
-  def userOrders(spark: SparkSession, dir: String): DataFrame = {
+  def userOrders(spark: SparkSession, dir: String, pool: String, trader: Long): DataFrame =
+    userOrders(spark, dir, col("pool") === pool && col("trader") === trader)
+
+  def userOrders(spark: SparkSession, dir: String,
+                 where: org.apache.spark.sql.Column = col("trader") % 7 === 3): DataFrame = {
     val (_, oc) = views(spark, dir)
-    oc.filter(col("trader") % 7 === 3)
+    oc.filter(where)
       .select(
         col("pool"), col("trader"), col("order_id"), col("side"),
         col("price").cast("double").as("price"),
@@ -190,9 +194,14 @@ object BookQueries {
   /** `GET /pools/:a/orders/:id` (order-book-controller.ts:78-97) — point
     * lookup of one order; S6 KV `GET` becomes a pushed-down predicate.
     */
-  def orderLookup(spark: SparkSession, dir: String): DataFrame = {
+  def orderLookup(spark: SparkSession, dir: String, pool: String, orderId: Long): DataFrame =
+    orderLookup(spark, dir, col("pool") === pool && col("order_id") === orderId)
+
+  def orderLookup(spark: SparkSession, dir: String,
+                  where: org.apache.spark.sql.Column =
+                    col("pool") === "click" && col("trader") === 42): DataFrame = {
     val (_, oc) = views(spark, dir)
-    oc.filter(col("pool") === "click" && col("trader") === 42)
+    oc.filter(where)
       .select(
         col("pool"), col("trader"), col("order_id"), col("side"),
         col("price").cast("double").as("price"),
