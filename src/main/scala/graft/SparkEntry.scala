@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
-import graft.functions.{DedupOps, MultimodalOps, SimilarityOps, TextAnalysis}
+import graft.functions.{CurationOps, DedupOps, MultimodalOps, SimilarityOps, TextAnalysis}
 import graft.oracle.{OlapSql, OracleSql, TextSql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -79,6 +79,9 @@ object SparkEntry {
     "ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccard(s, d)),
     "minhash_lsh"     -> ((s, d) => DedupOps.minhashLsh(s, d)),
     "dedup_clusters"  -> ((s, d) => DedupOps.dedupClusters(s, d)),
+    "dedup_select"    -> ((s, d) => CurationOps.dedupSelect(s, d)),
+    "decontaminate"   -> ((s, d) => CurationOps.decontaminate(s, d)),
+    "embed_quantize"  -> ((s, d) => CurationOps.embedQuantize(s, d)),
     "simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
     "simhash_pairs"   -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "cosine_topk"     -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
@@ -144,6 +147,9 @@ object SparkEntry {
     "ngram_jaccard"   -> TextSql.ngramJaccardSql,
     "minhash_lsh"     -> TextSql.minhashLshSql,
     "dedup_clusters"  -> TextSql.dedupClustersSql,
+    "dedup_select"    -> TextSql.dedupSelectSql,
+    "decontaminate"   -> TextSql.decontaminateSql,
+    "embed_quantize"  -> TextSql.embedQuantizeSql,
     "simhash"         -> TextSql.simhashSql,
     "simhash_pairs"   -> TextSql.simhashPairsSql,
     "cosine_topk"     -> TextSql.cosineTopKSql,

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Training-data curation operators beyond the reference's surface (builder
+  * contract: the ops a large-scale training-data pipeline needs as
+  * first-class citizens): benchmark decontamination, embedding quantization,
+  * and content-aware canonical-document selection over near-dup clusters.
+  *
+  * Scale notes are per-operator; the common discipline is the same as the
+  * dedup family ([[DedupOps]]): shuffle 60-bit hashes or small aggregates,
+  * never text; keep every edge cast DOUBLE after a `bround` so the result is
+  * engine- and partitioning-independent.
+  */
+object CurationOps {
+
+  import TextAnalysis.mdhash
+
+  /** Benchmark decontamination: which held-out documents share any word
+    * 3-gram with the training split (the n-gram-overlap test used to strip
+    * eval contamination from pretraining corpora). Split is deterministic:
+    * train = doc_id % 10 < 8, test = the rest.
+    *
+    * 100 TB shape: explode to (doc, shingle-hash), aggregate the train side
+    * to a DISTINCT hash set, and LEFT JOIN test shingles against it — both
+    * sides shuffle on the 60-bit hash, text never moves, and the train set
+    * is an aggregate (tiny vs the corpus). No broadcast assumption: at
+    * real scale the train-hash set is itself huge, and a shuffle join on
+    * the hash is exactly the plan that survives.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.explodedShingles(spark, dir)
+      .select(col("doc_id"), mdhash(col("s")).as("h"))
+    val train = sh.filter(col("doc_id") % 10 < 8)
+      .select(col("h")).distinct()
+      .withColumn("hit", lit(1))
+    sh.filter(col("doc_id") % 10 >= 8)
+      .join(train, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_contaminated"))
+      .select(
+        col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        bround(col("n_contaminated").cast("double") / col("n_shingles"), 6)
+          .cast("decimal(10,6)").cast("double").as("contamination_ratio"),
+        (col("n_contaminated") > 0).as("contaminated"))
+  }
+
+  /** Symmetric int8 quantization of L2-normalized embeddings:
+    * q_d = ⌊127·x_d / ‖x‖ + 0.5⌋. One row per (vec_id, dimension).
+    *
+    * Zero-shuffle: the norm is a row-local fold over the vector and the
+    * explode is row-local too — the whole operator is a single codegen'd
+    * scan, which is the point at 100 TB (quantization is a write-side
+    * transform, it must stream). `floor(x + 0.5)` instead of `round`:
+    * floor is exact on doubles and identical across engines, while
+    * HALF_UP/HALF_EVEN tie policies differ (the round-1 decimal lesson).
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val xs = transform(col("embedding"), x => x.cast("double"))
+    val norm = sqrt(aggregate(xs, lit(0.0), (acc, x) => acc + x * x))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), norm.as("norm"),
+        posexplode(xs).as(Seq("d", "x")))
+      .filter(col("norm") > 0)
+      .select(
+        col("vec_id"), col("label"), col("d"),
+        floor(col("x") * 127 / col("norm") + 0.5).cast("int").as("q"))
+  }
+
+  /** Content-aware canonical selection over near-dup clusters: within each
+    * [[DedupOps.dedupClusters]] component keep the LONGEST document
+    * (ties → lowest doc_id) — the usual curation policy (keep the superset
+    * document, drop truncations), vs the cluster fold's id-min `keep`.
+    *
+    * Scale: clusters are bounded-size components of the LSH candidate
+    * graph, so the per-cluster window never sees more rows than a cluster
+    * has members — no global window, no skew hazard beyond the cluster
+    * size itself.
+    */
+  def dedupSelect(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = DedupOps.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    clusters.join(docs, Seq("doc_id"))
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+        col("canonical_id"), (col("doc_id") === col("canonical_id")).as("keep"))
+  }
+}

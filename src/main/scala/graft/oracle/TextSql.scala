@@ -451,4 +451,61 @@ object TextSql {
       |  FROM scored)
       |SELECT doc_id, term, tf, df, score, CAST(rk AS BIGINT) AS rk
       |FROM ranked WHERE rk <= 3""".stripMargin
+
+  // train/test word-3-gram overlap (mirror of CurationOps.decontaminate):
+  // train = doc_id % 10 < 8, test shingles LEFT JOIN the distinct train
+  // hash set
+  val decontaminateSql: String =
+    s"""WITH ${shCte()},
+       |h AS (SELECT doc_id, ${mdh("s")} AS h FROM sh),
+       |tr AS (SELECT DISTINCT h FROM h WHERE doc_id % 10 < 8),
+       |te AS (SELECT doc_id, h.h AS h, tr.h AS hit
+       |       FROM h LEFT JOIN tr USING (h) WHERE doc_id % 10 >= 8)
+       |SELECT doc_id,
+       |  COUNT(*) AS n_shingles,
+       |  COUNT(hit) AS n_contaminated,
+       |  CAST(CAST(CAST(COUNT(hit) AS DOUBLE) / COUNT(*) AS DECIMAL(10,6))
+       |       AS DOUBLE) AS contamination_ratio,
+       |  COUNT(hit) > 0 AS contaminated
+       |FROM te GROUP BY doc_id""".stripMargin
+
+  // symmetric int8 quantization (mirror of CurationOps.embedQuantize);
+  // floor(x + 0.5) on a DOUBLE is tie-policy-free across engines
+  val embedQuantizeSql: String =
+    """WITH xs AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+      |  FROM xs)
+      |SELECT vec_id, label, CAST(i - 1 AS INT) AS d,
+      |  CAST(floor(v[i] * 127 / norm + 0.5) AS INT) AS q
+      |FROM n, UNNEST(generate_series(1, len(v))) AS u(i)
+      |WHERE norm > 0""".stripMargin
+
+  // longest-document-wins canonical selection over the near-dup clusters
+  // (mirror of CurationOps.dedupSelect on top of the dedup_clusters CTE)
+  val dedupSelectSql: String =
+    s"""WITH RECURSIVE $candCte,
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM cand
+       |  UNION SELECT id2, id1 FROM cand),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |sized AS (
+       |  SELECT l.doc_id, l.cluster_id, d.n_chars
+       |  FROM labels l JOIN documents d USING (doc_id))
+       |SELECT doc_id, cluster_id, n_chars,
+       |  FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+       |    ORDER BY n_chars DESC, doc_id ASC) AS canonical_id,
+       |  doc_id = FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+       |    ORDER BY n_chars DESC, doc_id ASC) AS keep
+       |FROM sized""".stripMargin
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.CurationOps
+
+/** Curation operators: values are oracle-gated (decontaminate /
+  * embed_quantize / dedup_select rows in CORRECTNESS); these specs pin the
+  * properties and the plan shapes that matter at scale.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("embed_quantize is a zero-shuffle scan with bounded codes") {
+    val q = CurationOps.embedQuantize(spark, sfTiny)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"quantization must not shuffle — it is a write-side stream transform:\n$plan")
+    val bad = q.filter(col("q") > 127 || col("q") < -127).count()
+    assert(bad == 0, "int8 code out of range")
+    // quantized norm ≈ 127 for every vector (the scale was per-vector L2)
+    val norms = q.groupBy("vec_id")
+      .agg(sqrt(sum(col("q") * col("q"))).as("qn"))
+      .filter(col("qn") < 120 || col("qn") > 134).count()
+    assert(norms == 0, "quantized vector norm far from 127")
+  }
+
+  test("decontaminate covers exactly the test split, ratios consistent") {
+    val d = CurationOps.decontaminate(spark, sfTiny)
+    assert(d.filter(col("doc_id") % 10 < 8).count() == 0,
+      "train docs leaked into the report")
+    assert(d.filter(col("n_contaminated") > col("n_shingles")).count() == 0)
+    assert(d.filter(col("contaminated") =!= (col("n_contaminated") > 0)).count() == 0)
+    assert(d.count() > 0)
+  }
+
+  test("dedup_select keeps exactly one canonical per cluster, longest wins") {
+    val s = CurationOps.dedupSelect(spark, sfTiny).cache()
+    val perCluster = s.groupBy("cluster_id")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("n_keep"),
+        max(col("n_chars")).as("max_chars"))
+    assert(perCluster.filter(col("n_keep") =!= 1).count() == 0,
+      "every cluster must elect exactly one canonical")
+    // the canonical's n_chars is the cluster max
+    val canon = s.filter(col("keep"))
+      .join(perCluster, Seq("cluster_id"))
+      .filter(col("n_chars") =!= col("max_chars"))
+    assert(canon.count() == 0, "canonical is not the longest document")
+  }
+}
