@@ -42,6 +42,9 @@ object SparkEntry {
     // the same oracle gates both folds
     "wire_orders_fidelity" -> ((s, d) =>
       WireOrderFold.wireOrdersCurrent(s, d, fidelity = true)),
+    // factory stream → pool registry (S3/S4 + QuoteTokenAdded through the
+    // wire parse path)
+    "wire_pool_catalog" -> ((s, d) => WireCatalog.wirePoolCatalog(s, d)),
     // ── OLAP / bench surface (SURVEY §7.2 M7) ──────────────────────────────
     "q1_pricing_summary"  -> ((s, d) => Olap.q1PricingSummary(s, d)),
     "q6_revenue"          -> ((s, d) => Olap.q6Revenue(s, d)),
@@ -116,6 +119,7 @@ object SparkEntry {
     "pool_info"         -> OracleSql.poolInfoSql,
     "wire_orders_current" -> OracleSql.wireOrdersCurrentSql,
     "wire_orders_fidelity" -> OracleSql.wireOrdersCurrentSql,
+    "wire_pool_catalog" -> OracleSql.wirePoolCatalogSql,
     "q1_pricing_summary"  -> OlapSql.q1Sql,
     "q6_revenue"          -> OlapSql.q6Sql,
     "q3_shipping_priority" -> OlapSql.q3Sql,

@@ -282,6 +282,24 @@ object OracleSql {
        |  created_at
        |FROM folded""".stripMargin
 
+  /** Oracle for [[graft.operators.WireCatalog.wirePoolCatalog]]: the factory
+    * registry derived directly from the pool universe — independent of the
+    * JSON envelope roundtrip the Spark side parses.
+    */
+  val wirePoolCatalogSql: String =
+    """WITH pools AS (SELECT DISTINCT event_type AS pool FROM events),
+      |q AS (
+      |  SELECT pool, 'q' || i || '_' || pool AS qt
+      |  FROM (SELECT pool, 1 + ascii(substring(pool, 1, 1)) % 3 AS nq FROM pools) n,
+      |       UNNEST(generate_series(0, nq - 1)) AS u(i))
+      |SELECT pool,
+      |  'tok_' || pool AS base_token,
+      |  'quote_' || pool AS quote_token,
+      |  CAST(COUNT(*) AS BIGINT) AS n_quote_tokens,
+      |  string_agg(qt, ',' ORDER BY qt) AS quote_tokens,
+      |  CAST(0 AS BIGINT) AS created_block
+      |FROM q GROUP BY pool""".stripMargin
+
   val poolInfoSql: String =
     s"""WITH $orderEventsCte,
        |pools AS (

@@ -53,6 +53,40 @@ object WireFixture {
       upper(substring(col("pool"), 1, 3)).as("symbol"),
       tokenDecimals(col("pool")).cast("int").as("decimals"))
 
+  /** Factory event frames ([[WireEvents.envelopeSchema]]): one
+    * HiveCoreCreated per pool at block 0 (hive-factory.json:152-176) plus a
+    * deterministic 1 + ascii(pool[0]) mod 3 QuoteTokenAdded frames
+    * (hive-factory.json:177-189) — the pool-discovery / quote-registry
+    * stream the reference bootstraps from (hive-listener.ts:54-111).
+    */
+  def factoryFrames(spark: SparkSession, dir: String): DataFrame = {
+    val p = pools(spark, dir)
+    val t0 = timestamp_micros(lit(0L))
+    val created = p.select(
+      lit(0L).as("block_number"),
+      (ascii(substring(col("pool"), 1, 1)) % 50).cast("int").as("log_index"),
+      t0.as("block_time"),
+      col("pool"),
+      lit("HiveCoreCreated").as("event_type"),
+      to_json(struct(
+        col("pool").as("hiveCoreAddress"),
+        col("base_token").as("baseToken"),
+        col("quote_token").as("quoteToken"))).as("payload"))
+    val nQuote = lit(1) + ascii(substring(col("pool"), 1, 1)) % 3
+    val quotes = p
+      .withColumn("k", explode(sequence(lit(0), nQuote - 1)))
+      .select(
+        lit(0L).as("block_number"),
+        (lit(100) + col("k")).cast("int").as("log_index"),
+        t0.as("block_time"),
+        col("pool"),
+        lit("QuoteTokenAdded").as("event_type"),
+        to_json(struct(
+          concat(lit("q"), col("k"), lit("_"), col("pool")).as("quoteToken")))
+          .as("payload"))
+    created.unionByName(quotes)
+  }
+
   /** events parquet → wire frames conforming to [[WireEvents.envelopeSchema]]. */
   def frames(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(
