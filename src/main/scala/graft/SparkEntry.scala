@@ -85,6 +85,7 @@ object SparkEntry {
     "dedup_select"    -> ((s, d) => CurationOps.dedupSelect(s, d)),
     "decontaminate"   -> ((s, d) => CurationOps.decontaminate(s, d)),
     "embed_quantize"  -> ((s, d) => CurationOps.embedQuantize(s, d)),
+    "pack_chunks"     -> ((s, d) => CurationOps.packChunks(s, d)),
     "simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
     "simhash_pairs"   -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "cosine_topk"     -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
@@ -154,6 +155,7 @@ object SparkEntry {
     "dedup_select"    -> TextSql.dedupSelectSql,
     "decontaminate"   -> TextSql.decontaminateSql,
     "embed_quantize"  -> TextSql.embedQuantizeSql,
+    "pack_chunks"     -> TextSql.packChunksSql,
     "simhash"         -> TextSql.simhashSql,
     "simhash_pairs"   -> TextSql.simhashPairsSql,
     "cosine_topk"     -> TextSql.cosineTopKSql,

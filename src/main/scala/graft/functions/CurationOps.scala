@@ -82,6 +82,32 @@ object CurationOps {
     * has members — no global window, no skew hazard beyond the cluster
     * size itself.
     */
+  /** Sequence packing: assign [[TextAnalysis.chunkDocs]] chunks to
+    * fixed-token-budget training bins, greedily in (doc_id, chunk_id) order
+    * within each (lang, source) shard. `bin_id = prefix_tokens div budget`
+    * over a running window sum — the greedy-fill policy as pure window
+    * arithmetic (a bin may overflow by at most one chunk; packers that
+    * split chunks lose sample boundaries). Deterministic: no RNG, no
+    * engine-dependent order.
+    *
+    * Scale: packing is inherently sequential WITHIN a shard, so the
+    * parallelism unit is the shard key — (lang, source) here; at 100 TB the
+    * same query packs per (lang, source, date-bucket) with shard sizes
+    * chosen to fit a task. No global window exists.
+    */
+  def packChunks(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val chunks = TextAnalysis.chunkDocs(spark, dir)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"))
+    val dims = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("source"))
+    val w = Window.partitionBy("lang", "source").orderBy("doc_id", "chunk_id")
+    chunks.join(dims, Seq("doc_id"))
+      .withColumn("prefix_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(
+        col("lang"), col("source"), col("doc_id"), col("chunk_id"), col("n_tokens"),
+        expr(s"prefix_before div $budget").as("bin_id"),
+        (col("prefix_before") % budget).as("bin_offset"))
+  }
+
   def dedupSelect(spark: SparkSession, dir: String): DataFrame = {
     val clusters = DedupOps.dedupClusters(spark, dir)
       .select(col("doc_id"), col("cluster_id"))

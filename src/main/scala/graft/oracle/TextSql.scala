@@ -452,6 +452,29 @@ object TextSql {
       |SELECT doc_id, term, tf, df, score, CAST(rk AS BIGINT) AS rk
       |FROM ranked WHERE rk <= 3""".stripMargin
 
+  // sequence packing (mirror of CurationOps.packChunks): running window sum
+  // of chunk token counts per (lang, source) shard, integer-divided by the
+  // bin budget
+  val packChunksSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),
+      |tk AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0),
+      |nc AS (SELECT *,
+      |  1 + CAST(ceil(CAST(GREATEST(n - 40, 0) AS DOUBLE) / 30) AS INT) AS n_chunks
+      |  FROM tk),
+      |ex AS (SELECT doc_id, n, i AS chunk_id
+      |       FROM nc, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)),
+      |ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |       CAST(LEAST(n - chunk_id * 30, 40) AS BIGINT) AS n_tokens FROM ex),
+      |p AS (SELECT d.lang, d.source, ch.doc_id, ch.chunk_id, ch.n_tokens,
+      |  SUM(ch.n_tokens) OVER (PARTITION BY d.lang, d.source
+      |    ORDER BY ch.doc_id, ch.chunk_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ch.n_tokens AS pb
+      |  FROM ch JOIN documents d USING (doc_id))
+      |SELECT lang, source, doc_id, chunk_id, n_tokens,
+      |  pb // 512 AS bin_id, pb % 512 AS bin_offset
+      |FROM p""".stripMargin
+
   // train/test word-3-gram overlap (mirror of CurationOps.decontaminate):
   // train = doc_id % 10 < 8, test shingles LEFT JOIN the distinct train
   // hash set

@@ -79,7 +79,8 @@ object WireEvents {
     * (deliberately NOT the reference's per-type processing order, SURVEY
     * §7.4). Scaling joins the broadcast token dim on the pool's base token.
     */
-  def normalize(wire: DataFrame, pools: DataFrame, tokens: DataFrame): DataFrame = {
+  def normalize(wire: DataFrame, pools: DataFrame, tokens: DataFrame,
+                sort: Boolean = true): DataFrame = {
     val parsed = parse(wire)
       .join(broadcast(pools), Seq("pool"), "left")
       .join(broadcast(tokens.withColumnRenamed("address", "base_token")),
@@ -87,7 +88,7 @@ object WireEvents {
     val scale = pow(lit(10), col("decimals")).cast("decimal(38,0)")
     def scaled(c: org.apache.spark.sql.Column) =
       (c / scale).cast("decimal(38,18)")
-    parsed.select(
+    val selected = parsed.select(
       col("pool"),
       coalesce(
         col("p_OrderCreated.trader"), col("p_OrderFilled.trader"),
@@ -116,6 +117,9 @@ object WireEvents {
       scaled(col("p_OrderFilled.filled")).as("filled"),
       scaled(col("p_OrderFilled.remaining")).as("remaining"),
       col("block_number"), col("log_index"), col("block_time"))
-      .orderBy("block_number", "log_index")
+    // batch output is presented in stream order; the streaming path passes
+    // sort=false (a global sort is not a streamable op, and the downstream
+    // fold is order-independent by construction)
+    if (sort) selected.orderBy("block_number", "log_index") else selected
   }
 }

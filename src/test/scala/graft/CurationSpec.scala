@@ -32,6 +32,21 @@ class CurationSpec extends SparkSpec {
     assert(d.count() > 0)
   }
 
+  test("pack_chunks: greedy bins are dense, ordered, and bounded") {
+    val p = CurationOps.packChunks(spark, sfTiny, budget = 512).cache()
+    assert(p.filter(col("bin_offset") < 0 || col("bin_offset") >= 512).count() == 0,
+      "bin_offset out of [0, budget)")
+    // bin ids are monotone non-decreasing along the shard order and start at 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "source").orderBy("doc_id", "chunk_id")
+    val bad = p.withColumn("prev", lag(col("bin_id"), 1).over(w))
+      .filter(col("prev").isNotNull && col("bin_id") < col("prev")).count()
+    assert(bad == 0, "bin_id not monotone within shard")
+    val firsts = p.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(firsts.filter(col("bin_id") =!= 0 || col("bin_offset") =!= 0).count() == 0,
+      "every shard must start at bin 0 offset 0")
+  }
+
   test("dedup_select keeps exactly one canonical per cluster, longest wins") {
     val s = CurationOps.dedupSelect(spark, sfTiny).cache()
     val perCluster = s.groupBy("cluster_id")

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.WireOrderFold
+import graft.sources.{WireEvents, WireFixture}
+import graft.streaming.WireStream
+
+/** The wire ingest as a STREAMING pipeline: JSON parse → stream-static
+  * token-dim scaling join → order_id-keyed streaming aggregation. The whole
+  * batch fold [[WireOrderFold.ordersByOrderId]] runs unchanged as a
+  * streaming aggregation — this spec proves the plan is streamable and that
+  * incremental state across micro-batch boundaries converges to the batch
+  * fold (the engine's one-fold-definition discipline, extended to the wire
+  * path).
+  */
+object WireStreamSpec {
+  // top-level: inner case classes can't be encoded by MemoryStream
+  case class Frame(block_number: Long, log_index: Int,
+                   block_time: java.sql.Timestamp,
+                   pool: String, event_type: String, payload: String)
+}
+
+class WireStreamSpec extends SparkSpec {
+  import WireStreamSpec.Frame
+
+  test("streaming wire fold across micro-batches == batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val frames = WireFixture.frames(spark, sfTiny)
+    val pools = WireFixture.pools(spark, sfTiny)
+    val tokens = WireFixture.tokens(spark, sfTiny)
+
+    val all = frames.collect().map(r => Frame(
+      r.getAs[Long]("block_number"), r.getAs[Int]("log_index"),
+      r.getAs[java.sql.Timestamp]("block_time"),
+      r.getAs[String]("pool"), r.getAs[String]("event_type"),
+      r.getAs[String]("payload"))).sortBy(f => (f.block_number, f.log_index))
+
+    val source = MemoryStream[Frame]
+    val folded = WireStream.wireOrdersStream(source.toDF(), pools, tokens)
+
+    // Update-mode sink: keep the LAST emitted state per key
+    val state = scala.collection.mutable.Map.empty[(String, Long), Row]
+    val query = folded.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          state((r.getAs[String]("pool"), r.getAs[Long]("order_id"))) = r
+        }
+      }
+      .start()
+    try {
+      // three prefix-ordered micro-batches (offset order, ST1/ST4)
+      val cut1 = all.length / 3
+      val cut2 = 2 * all.length / 3
+      source.addData(all.slice(0, cut1).toIndexedSeq); query.processAllAvailable()
+      source.addData(all.slice(cut1, cut2).toIndexedSeq); query.processAllAvailable()
+      source.addData(all.slice(cut2, all.length).toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val batchRows = WireOrderFold.wireOrdersCurrent(spark, sfTiny).collect()
+    assert(batchRows.nonEmpty && state.nonEmpty)
+    val batchMap = batchRows
+      .map(r => (r.getAs[String]("pool"), r.getAs[Long]("order_id")) -> r.toSeq).toMap
+    val streamMap = state.view.mapValues(_.toSeq).toMap
+    assert(streamMap.keySet == batchMap.keySet,
+      "streaming fold emitted a different key set than the batch fold")
+    val diverged = batchMap.collect {
+      case (k, v) if streamMap(k) != v => k
+    }
+    assert(diverged.isEmpty, s"state diverged for keys: ${diverged.take(5)}")
+  }
+}
