@@ -66,6 +66,18 @@ object WireEvents {
 
   /** Parse one wire frame: envelope columns + every payload struct (null for
     * other types) under `p_<EventType>` — one pass, no per-type scans.
+    *
+    * The `when(event_type === tpe, from_json(...))` guard is load-bearing
+    * for performance, not just nullability: CaseWhen branches evaluate
+    * LAZILY per row, so each row runs exactly ONE small-schema JSON parse
+    * (its own type's), and downstream `coalesce(p_A.f, p_B.f, …)` stops at
+    * the first non-null arm. The tempting "parse once against a merged
+    * superset schema, then rebuild typed structs" is ~3× SLOWER (measured
+    * 6.5 s vs 2.3 s at sf0.1): nested-column pruning
+    * (NestedColumnAliasing) rewrites each pruned field access into its own
+    * `from_json(payload, prunedSchema).field` copy — one full JSON parse
+    * per referenced field per row — and no CSE applies because the copies
+    * sit inside conditional branches.
     */
   def parse(wire: DataFrame): DataFrame =
     payloadSchemas.foldLeft(wire) { case (df, (tpe, schema)) =>
