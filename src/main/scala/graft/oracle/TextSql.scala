@@ -472,7 +472,8 @@ object TextSql {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ch.n_tokens AS pb
       |  FROM ch JOIN documents d USING (doc_id))
       |SELECT lang, source, doc_id, chunk_id, n_tokens,
-      |  pb // 512 AS bin_id, pb % 512 AS bin_offset
+      |  CAST(pb // 512 AS BIGINT) AS bin_id,
+      |  CAST(pb % 512 AS BIGINT) AS bin_offset
       |FROM p""".stripMargin
 
   // train/test word-3-gram overlap (mirror of CurationOps.decontaminate):

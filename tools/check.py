@@ -40,12 +40,15 @@ def cmp_cell(a, b) -> bool:
     if da or db:
         return da and db and a == b
     if isinstance(a, float) or isinstance(b, float):
-        if not (isinstance(a, (float, int)) and isinstance(b, (float, int))):
+        # int-vs-float is a FAIL: the driver hashes string renderings, so
+        # Spark int64 40 vs DuckDB float64 40.0 ("40" vs "40.0") mismatches.
+        # DuckDB HUGEINT outputs (e.g. window SUM(BIGINT) descendants) land
+        # in pandas as float64 — the oracle SQL must CAST them to BIGINT.
+        if not (isinstance(a, float) and isinstance(b, float)):
             return False
-        fa, fb = float(a), float(b)
-        if math.isnan(fa) and math.isnan(fb):
+        if math.isnan(a) and math.isnan(b):
             return True
-        return fa == fb  # bit-exact — the gate hashes, so we demand exact too
+        return a == b  # bit-exact — the gate hashes, so we demand exact too
     return a == b or str(a) == str(b)
 
 
