@@ -35,8 +35,15 @@ object WireOrderFold {
     * identical in Spark and DuckDB regardless of internal scale.
     */
   def ordersByOrderId(norm: DataFrame, fidelity: Boolean = false): DataFrame = {
-    // total event order within a block stream: (block_number, log_index)
-    val evOrder = col("block_number") * 10 + col("log_index")
+    // total event order within a block stream: (block_number, log_index),
+    // encoded injectively as block·2^32 + log_index. EVM blocks routinely
+    // carry hundreds of logs (hive-listener.ts:153-175 scans whole block
+    // ranges), so any small-base encode (block·10 + log) collides across
+    // blocks and can mis-pick the "last" update. A struct ordering key would
+    // be injective too, but a struct in the max_by buffer demotes the agg to
+    // SortAggregate (see fixed-width note below) — the shifted LONG keeps
+    // HashAggregate. log_index < 2^32 always (a block holds < 4B logs).
+    val evOrder = shiftleft(col("block_number"), 32) + col("log_index")
     // HashAggregate (not the SortAggregate fallback) requires every agg
     // BUFFER field to be fixed-width (UnsafeRow.isMutable): no strings.
     // `trader` rides on every order event payload (hive-core.json:525-648),

@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   * Mapping (same action decode as [[graft.operators.OrderEvents]]):
   * `action := event_id % 10` → 0-3 OrderCreated, 4-5 OrderFilled,
   * 6 OrderCancelled, 7 OrderUpdated, 8 LatestPrice, 9 MarketOrderExecuted.
+  * Stream position: `block_number := event_id div 25`,
+  * `log_index := event_id mod 25` — 25 logs per block, so log_index exceeds
+  * one decimal digit and the fold's (block, log) ordering encode is
+  * collision-tested by the oracle gate itself (not just a unit spec).
   *
   * `order_id` := the governing OrderCreated's event_id per (pool, trader) —
   * a running-max window. In production wire data every fill/cancel/update
@@ -93,8 +97,12 @@ object WireFixture {
       col("event_type").as("pool"),
       col("user_id").as("trader"),
       col("event_id"),
-      (col("event_id") / 10).cast("long").as("block_number"),
-      (col("event_id") % 10).cast("int").as("log_index"),
+      // 25 logs per block: log_index runs past one decimal digit, so a
+      // small-base ordering encode (block·10 + log_index) COLLIDES and
+      // mis-orders across block boundaries — the oracle gate itself now
+      // regresses WireOrderFold's injective (block, log) encoding
+      (col("event_id") / 25).cast("long").as("block_number"),
+      (col("event_id") % 25).cast("int").as("log_index"),
       // parquet nanos (read as long) → micros: both engines' precision floor
       timestamp_micros(expr("ts div 1000")).as("block_time"),
       (col("event_id") % 10).cast("int").as("action"),

@@ -58,6 +58,40 @@ class WireFoldSpec extends SparkSpec {
     assert(joined.isEmpty, "fixed-point roundtrip diverged")
   }
 
+  test("event ordering survives blocks with more than 10 logs") {
+    // EVM blocks carry hundreds of logs; the fold's max_by ordering key must
+    // be injective over (block_number, log_index). This scenario is built so
+    // the naive block·10+log encode INVERTS the order (block 1 log 16 → 26
+    // vs block 2 log 5 → 25): the last OrderUpdated amount and the last
+    // authoritative OrderFilled accounting must come from block 2.
+    import spark.implicits._
+    val norm = Seq(
+      ("OrderCreated", 0L, 0, "100", null: String),
+      ("OrderFilled", 1L, 15, "10", "10"),   // naive encode 25
+      ("OrderUpdated", 1L, 16, "50", null: String), // naive encode 26
+      ("OrderFilled", 2L, 4, "20", "30"),    // naive encode 24 < 25: inverted
+      ("OrderUpdated", 2L, 5, "70", null: String))  // naive encode 25 < 26: inverted
+      .toDF("event_type", "block_number", "log_index", "amt", "fill")
+      .select(
+        lit("poolX").as("pool"), lit("7").as("trader"), lit(1L).as("order_id"),
+        col("event_type"),
+        when(col("event_type") === "OrderCreated", "BUY").as("side"),
+        lit("3").cast("decimal(38,18)").as("price"),
+        col("amt").cast("decimal(38,18)").as("amount"),
+        col("fill").cast("decimal(38,18)").as("filled"),
+        lit(null).cast("decimal(38,18)").as("remaining"),
+        col("block_number"), col("log_index"),
+        timestamp_micros(lit(0L)).as("block_time"))
+    val derived = WireOrderFold.ordersByOrderId(norm).collect().head
+    assert(derived.getAs[Double]("amount") == 70.0,
+      "last OrderUpdated must be block 2's, not the colliding block 1 encode")
+    assert(derived.getAs[Double]("filled") == 30.0) // Σ fills: 10 + 20
+    val fidelity =
+      WireOrderFold.ordersByOrderId(norm, fidelity = true).collect().head
+    assert(fidelity.getAs[Double]("filled") == 30.0,
+      "authoritative filled must come from block 2's OrderFilled")
+  }
+
   test("wire fold is one hash aggregation — no window exchange") {
     // with order_id on every event the fold needs NO segmentation window:
     // the physical plan must contain zero WindowExec beyond the synthetic
