@@ -45,6 +45,13 @@ object SparkEntry {
     // factory stream → pool registry (S3/S4 + QuoteTokenAdded through the
     // wire parse path)
     "wire_pool_catalog" -> ((s, d) => WireCatalog.wirePoolCatalog(s, d)),
+    // the remaining reference views through the wire path: latest_price
+    // (order-book.ts:361-368), per-trader market-order history (:184-194),
+    // and amount-out composed over the wire-built book (:262-333) — the full
+    // ingest→fold→view→scan chain under one oracle
+    "wire_latest_price"  -> ((s, d) => WireViews.wireLatestPrice(s, d)),
+    "wire_market_orders" -> ((s, d) => WireViews.wireMarketOrders(s, d)),
+    "wire_amount_out"    -> ((s, d) => WireViews.wireAmountOutBuy(s, d)),
     // ── OLAP / bench surface (SURVEY §7.2 M7) ──────────────────────────────
     "q1_pricing_summary"  -> ((s, d) => Olap.q1PricingSummary(s, d)),
     "q6_revenue"          -> ((s, d) => Olap.q6Revenue(s, d)),
@@ -121,6 +128,9 @@ object SparkEntry {
     "wire_orders_current" -> OracleSql.wireOrdersCurrentSql,
     "wire_orders_fidelity" -> OracleSql.wireOrdersCurrentSql,
     "wire_pool_catalog" -> OracleSql.wirePoolCatalogSql,
+    "wire_latest_price"  -> OracleSql.wireLatestPriceSql,
+    "wire_market_orders" -> OracleSql.wireMarketOrdersSql,
+    "wire_amount_out"    -> OracleSql.wireAmountOutBuySql,
     "q1_pricing_summary"  -> OlapSql.q1Sql,
     "q6_revenue"          -> OlapSql.q6Sql,
     "q3_shipping_priority" -> OlapSql.q3Sql,

@@ -85,7 +85,20 @@ object BookQueries {
                    amountIn: BigDecimal = BigDecimal("50000.00"),
                    maxLevels: Int = 100): DataFrame = {
     val (ev, oc) = views(spark, dir)
-    val asks = BookViews.priceLevels(oc).filter(col("side") === "SELL")
+    amountOutBuyFrom(BookViews.pools(ev), BookViews.priceLevels(oc),
+      amountIn, maxLevels)
+  }
+
+  /** The swap-scan core over ANY price-level view — shared by the
+    * synthetic-book gate above and the wire-built book
+    * ([[WireViews.wireAmountOutBuy]]). `pools` is the pool universe (for the
+    * empty-book branch); `levels` must carry (pool, side, price_lvl, volume)
+    * with volume in exact DECIMAL.
+    */
+  private[graft] def amountOutBuyFrom(pools: DataFrame, levels: DataFrame,
+                                      amountIn: BigDecimal,
+                                      maxLevels: Int): DataFrame = {
+    val asks = levels.filter(col("side") === "SELL")
     val rankW = Window.partitionBy("pool").orderBy("price_lvl")
     val cumW = rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val in = lit(amountIn.underlying).cast("decimal(28,2)")
@@ -117,7 +130,7 @@ object BookQueries {
         .as("hit_prices"))
     // pools with an EMPTY opposite side still answer: 0 out, insufficient —
     // the reference's empty-book branch (order-book.ts:272-279)
-    BookViews.pools(ev).select(col("pool"))
+    pools.select(col("pool"))
       .join(agg, Seq("pool"), "left")
       .select(col("pool"),
         coalesce(col("amount_out"), lit(0.0)).as("amount_out"),
@@ -135,7 +148,15 @@ object BookQueries {
                     amountIn: BigDecimal = BigDecimal("500.00"),
                     maxLevels: Int = 100): DataFrame = {
     val (ev, oc) = views(spark, dir)
-    val bids = BookViews.priceLevels(oc).filter(col("side") === "BUY")
+    amountOutSellFrom(BookViews.pools(ev), BookViews.priceLevels(oc),
+      amountIn, maxLevels)
+  }
+
+  /** SELL-direction swap-scan core; see [[amountOutBuyFrom]]. */
+  private[graft] def amountOutSellFrom(pools: DataFrame, levels: DataFrame,
+                                       amountIn: BigDecimal,
+                                       maxLevels: Int): DataFrame = {
+    val bids = levels.filter(col("side") === "BUY")
     val rankW = Window.partitionBy("pool").orderBy(col("price_lvl").desc)
     val cumW = rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val in = lit(amountIn.underlying).cast("decimal(28,2)")
@@ -159,7 +180,7 @@ object BookQueries {
         "CASE WHEN base_sold > 0 THEN price_lvl END), false), x -> CAST(x AS STRING)), ',')")
         .as("hit_prices"))
     // empty-book branch (order-book.ts:272-279), as in amountOutBuy
-    BookViews.pools(ev).select(col("pool"))
+    pools.select(col("pool"))
       .join(agg, Seq("pool"), "left")
       .select(col("pool"),
         coalesce(col("amount_out"), lit(0.0)).as("amount_out"),

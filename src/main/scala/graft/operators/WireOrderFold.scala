@@ -29,21 +29,27 @@ object WireOrderFold {
 
   private val dec0_38_18 = lit(0).cast("decimal(38,18)")
 
-  /** Normalized wire events (see [[WireEvents.normalize]]) → one row per
-    * (pool, order_id). All money arithmetic DECIMAL; scale reduced to 2 at
-    * the edge (values are exact 2-dp) so the DOUBLE serving cast is
-    * identical in Spark and DuckDB regardless of internal scale.
+  /** Injective total event order within a block stream: (block_number,
+    * log_index) encoded as block·2^32 + log_index. EVM blocks routinely
+    * carry hundreds of logs (hive-listener.ts:153-175 scans whole block
+    * ranges), so any small-base encode (block·10 + log) collides across
+    * blocks and can mis-pick the "last" update. A struct ordering key would
+    * be injective too, but a struct in the max_by buffer demotes the agg to
+    * SortAggregate (see fixed-width note in [[ordersByOrderIdExact]]) — the
+    * shifted LONG keeps HashAggregate. log_index < 2^32 always.
     */
-  def ordersByOrderId(norm: DataFrame, fidelity: Boolean = false): DataFrame = {
-    // total event order within a block stream: (block_number, log_index),
-    // encoded injectively as block·2^32 + log_index. EVM blocks routinely
-    // carry hundreds of logs (hive-listener.ts:153-175 scans whole block
-    // ranges), so any small-base encode (block·10 + log) collides across
-    // blocks and can mis-pick the "last" update. A struct ordering key would
-    // be injective too, but a struct in the max_by buffer demotes the agg to
-    // SortAggregate (see fixed-width note below) — the shifted LONG keeps
-    // HashAggregate. log_index < 2^32 always (a block holds < 4B logs).
-    val evOrder = shiftleft(col("block_number"), 32) + col("log_index")
+  private[graft] def evOrder: org.apache.spark.sql.Column =
+    shiftleft(col("block_number"), 32) + col("log_index")
+
+  /** Normalized wire events (see [[WireEvents.normalize]]) → one row per
+    * (pool, order_id), money columns as exact DECIMAL(28,2) — the form
+    * downstream views (price levels, swap scan) consume so their sums stay
+    * order-independent. [[ordersByOrderId]] is the serving-edge DOUBLE cast.
+    * All money arithmetic DECIMAL; scale reduced to 2 here (values are exact
+    * 2-dp) so the DOUBLE serving cast is identical in Spark and DuckDB
+    * regardless of internal scale.
+    */
+  def ordersByOrderIdExact(norm: DataFrame, fidelity: Boolean = false): DataFrame = {
     // HashAggregate (not the SortAggregate fallback) requires every agg
     // BUFFER field to be fixed-width (UnsafeRow.isMutable): no strings.
     // `trader` rides on every order event payload (hive-core.json:525-648),
@@ -81,23 +87,36 @@ object WireOrderFold {
     val remaining =
       when(amount > filled, amount - filled).otherwise(dec0_38_18)
 
-    // scale-2 reduction before the DOUBLE edge cast: at scale 18 a sum's
-    // unscaled int128 can exceed 2^53 and DuckDB's decimal→double pathway
-    // (int→double, then ÷10^scale) rounds differently from BigDecimal's
-    // correctly-rounded toDouble; every value here is exact at 2 dp.
-    def edge(c: org.apache.spark.sql.Column) = c.cast("decimal(28,2)").cast("double")
+    // scale-2 reduction here, ahead of any DOUBLE edge cast: at scale 18 a
+    // sum's unscaled int128 can exceed 2^53 and DuckDB's decimal→double
+    // pathway (int→double, then ÷10^scale) rounds differently from
+    // BigDecimal's correctly-rounded toDouble; every value is exact at 2 dp.
+    def exact(c: org.apache.spark.sql.Column) = c.cast("decimal(28,2)")
     folded.select(
       col("pool"), col("order_id"),
       col("trader").cast("long").as("trader"),
       when(col("side_code") === 0, "BUY").when(col("side_code") === 1, "SELL")
         .as("side"),
-      edge(col("price")).as("price"),
-      edge(amount).as("amount"),
-      edge(filled).as("filled"),
-      edge(remaining).as("remaining"),
+      exact(col("price")).as("price"),
+      exact(amount).as("amount"),
+      exact(filled).as("filled"),
+      exact(remaining).as("remaining"),
       (col("cancelled") === 0 && remaining > dec0_38_18).as("active"),
-      unix_micros(col("created_at")).as("created_at"))
+      col("created_at"))
   }
+
+  /** Serving-edge form: exact fold with money columns cast to DOUBLE and
+    * created_at to epoch-micros (the oracle-gated shape).
+    */
+  def ordersByOrderId(norm: DataFrame, fidelity: Boolean = false): DataFrame =
+    ordersByOrderIdExact(norm, fidelity).select(
+      col("pool"), col("order_id"), col("trader"), col("side"),
+      col("price").cast("double").as("price"),
+      col("amount").cast("double").as("amount"),
+      col("filled").cast("double").as("filled"),
+      col("remaining").cast("double").as("remaining"),
+      col("active"),
+      unix_micros(col("created_at")).as("created_at"))
 
   /** The gated query: fixture frames → full wire ingest → order_id fold. */
   def wireOrdersCurrent(spark: SparkSession, dir: String,

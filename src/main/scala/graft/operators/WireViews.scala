@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{WireEvents, WireFixture}
+
+/** Wire-path materialized views beyond the order fold: the remaining state
+  * the reference maintains per pool — `latest_price`
+  * (`src/models/order-book.ts:361-368`) and the per-trader market-order
+  * history (`src/models/order-book.ts:184-194`) — plus the swap-simulation
+  * endpoint composed over the wire-built book. Each is fed by the FULL wire
+  * ingest (JSON payload parse → fixed-point scaling → fold), so every
+  * materialized view the reference keeps now has an oracle gate through the
+  * ingest path, not only over the synthetic columnar table
+  * ([[BookViews]] covers that form).
+  */
+object WireViews {
+
+  private def norm(spark: SparkSession, dir: String): DataFrame =
+    WireEvents.normalize(
+      WireFixture.frames(spark, dir),
+      WireFixture.pools(spark, dir),
+      WireFixture.tokens(spark, dir))
+
+  private def edge(c: Column): Column = c.cast("decimal(28,2)").cast("double")
+
+  /** `latest_price` maintained from LatestPrice frames: last-write-wins over
+    * the injective (block, log_index) total order — one hash agg, shuffling
+    * only (pool, price, order) triples (A4 through the wire path).
+    */
+  def wireLatestPrice(spark: SparkSession, dir: String): DataFrame =
+    norm(spark, dir)
+      .filter(col("event_type") === "LatestPrice")
+      .groupBy("pool")
+      .agg(max_by(col("price"), WireOrderFold.evOrder).as("p"))
+      .select(col("pool"), edge(col("p")).as("latest_price"))
+
+  /** `GET /pools/:a/:trader/market-orders` through the wire path: the
+    * reference appends each MarketOrderExecuted to a per-trader array;
+    * relationally it is a filtered projection of the parsed stream (A6).
+    * The trader predicate mirrors the endpoint's parameterization and is
+    * pushed into the scan.
+    */
+  def wireMarketOrders(spark: SparkSession, dir: String): DataFrame =
+    norm(spark, dir)
+      .filter(col("event_type") === "MarketOrderExecuted" &&
+        col("trader").cast("long") % 7 === 3)
+      .select(
+        col("pool"), col("trader").cast("long").as("trader"),
+        col("block_number"), col("log_index"),
+        col("side"),
+        edge(col("amount")).as("amount"),
+        edge(col("price")).as("price"),
+        edge(col("filled")).as("filled_amount"),
+        unix_micros(col("block_time")).as("executed_at"))
+
+  /** `get-amount-out` over the WIRE-built book: ingest → order_id fold →
+    * price levels → greedy cumulative swap scan (order-book.ts:262-333) —
+    * the reference's full read path (§3.3) chained under ONE oracle. The
+    * order_id fold keeps every order (the reference's native key space), so
+    * this book is denser than the synthetic latest-per-(pool, trader) one —
+    * a genuinely distinct gate, not a re-run of `amount_out_buy`. Volume
+    * stays exact DECIMAL from fold to scan ([[WireOrderFold.ordersByOrderIdExact]]).
+    */
+  def wireAmountOutBuy(spark: SparkSession, dir: String,
+                       amountIn: BigDecimal = BigDecimal("50000.00")): DataFrame = {
+    val oc = WireOrderFold.ordersByOrderIdExact(norm(spark, dir))
+    BookQueries.amountOutBuyFrom(
+      WireFixture.pools(spark, dir),
+      BookViews.priceLevels(oc), amountIn, maxLevels = 100)
+  }
+}

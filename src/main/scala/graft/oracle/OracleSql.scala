@@ -134,45 +134,52 @@ object OracleSql {
        |  MAX(price_lvl) AS max_price
        |FROM book GROUP BY pool, side""".stripMargin
 
+  /** The BUY-direction swap-scan tail: runs against whichever `price_levels`
+    * CTE precedes it (synthetic book or wire-built book) — mirrors
+    * [[graft.operators.BookQueries.amountOutBuyFrom]].
+    */
+  private val amountOutBuyTail: String =
+    """sim AS (
+      |  SELECT *, SUM(cost) OVER (PARTITION BY pool ORDER BY price_lvl
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
+      |  FROM (
+      |    SELECT *, volume * price_lvl AS cost,
+      |      ROW_NUMBER() OVER (PARTITION BY pool ORDER BY price_lvl) AS lvl_rank
+      |    FROM price_levels WHERE side = 'SELL') t
+      |  WHERE lvl_rank <= 100
+      |),
+      |sim2 AS (
+      |  SELECT *,
+      |    CASE WHEN cum_cost <= 50000.00 THEN CAST(volume AS DECIMAL(18,6))
+      |         WHEN (cum_cost - cost) < 50000.00 THEN
+      |           CAST(CAST(50000.00 - (cum_cost - cost) AS DOUBLE) / price_lvl
+      |                AS DECIMAL(18,6))
+      |         ELSE CAST(0 AS DECIMAL(18,6)) END AS base_taken
+      |  FROM sim
+      |),
+      |agg AS (
+      |  SELECT pool,
+      |    CAST(SUM(base_taken) AS DOUBLE) AS amount_out,
+      |    CAST(SUM(CASE WHEN base_taken > 0 THEN 1 ELSE 0 END) AS BIGINT) AS levels_hit,
+      |    MAX(CASE WHEN base_taken > 0 THEN price_lvl END) AS worst_price,
+      |    (MAX(cum_cost) < 50000.00) AS insufficient_liquidity,
+      |    array_to_string(list_sort(list(price_lvl) FILTER (WHERE base_taken > 0)), ',')
+      |      AS hit_prices
+      |  FROM sim2 GROUP BY pool)
+      |-- empty-book pools still answer: 0 out, insufficient (order-book.ts:272-279)
+      |SELECT p.pool,
+      |  COALESCE(agg.amount_out, 0.0) AS amount_out,
+      |  COALESCE(agg.levels_hit, 0) AS levels_hit,
+      |  agg.worst_price,
+      |  COALESCE(agg.insufficient_liquidity, true) AS insufficient_liquidity,
+      |  CAST(50000.00 AS DOUBLE) AS amount_in,
+      |  COALESCE(agg.hit_prices, '') AS hit_prices
+      |FROM (SELECT DISTINCT pool FROM order_events) p
+      |LEFT JOIN agg ON p.pool = agg.pool""".stripMargin
+
   val amountOutBuySql: String =
     s"""WITH $priceLevelsCte,
-       |sim AS (
-       |  SELECT *, SUM(cost) OVER (PARTITION BY pool ORDER BY price_lvl
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
-       |  FROM (
-       |    SELECT *, volume * price_lvl AS cost,
-       |      ROW_NUMBER() OVER (PARTITION BY pool ORDER BY price_lvl) AS lvl_rank
-       |    FROM price_levels WHERE side = 'SELL') t
-       |  WHERE lvl_rank <= 100
-       |),
-       |sim2 AS (
-       |  SELECT *,
-       |    CASE WHEN cum_cost <= 50000.00 THEN CAST(volume AS DECIMAL(18,6))
-       |         WHEN (cum_cost - cost) < 50000.00 THEN
-       |           CAST(CAST(50000.00 - (cum_cost - cost) AS DOUBLE) / price_lvl
-       |                AS DECIMAL(18,6))
-       |         ELSE CAST(0 AS DECIMAL(18,6)) END AS base_taken
-       |  FROM sim
-       |),
-       |agg AS (
-       |  SELECT pool,
-       |    CAST(SUM(base_taken) AS DOUBLE) AS amount_out,
-       |    CAST(SUM(CASE WHEN base_taken > 0 THEN 1 ELSE 0 END) AS BIGINT) AS levels_hit,
-       |    MAX(CASE WHEN base_taken > 0 THEN price_lvl END) AS worst_price,
-       |    (MAX(cum_cost) < 50000.00) AS insufficient_liquidity,
-       |    array_to_string(list_sort(list(price_lvl) FILTER (WHERE base_taken > 0)), ',')
-       |      AS hit_prices
-       |  FROM sim2 GROUP BY pool)
-       |-- empty-book pools still answer: 0 out, insufficient (order-book.ts:272-279)
-       |SELECT p.pool,
-       |  COALESCE(agg.amount_out, 0.0) AS amount_out,
-       |  COALESCE(agg.levels_hit, 0) AS levels_hit,
-       |  agg.worst_price,
-       |  COALESCE(agg.insufficient_liquidity, true) AS insufficient_liquidity,
-       |  CAST(50000.00 AS DOUBLE) AS amount_in,
-       |  COALESCE(agg.hit_prices, '') AS hit_prices
-       |FROM (SELECT DISTINCT pool FROM order_events) p
-       |LEFT JOIN agg ON p.pool = agg.pool""".stripMargin
+       |$amountOutBuyTail""".stripMargin
 
   val amountOutSellSql: String =
     s"""WITH $priceLevelsCte,
@@ -249,8 +256,12 @@ object OracleSql {
     * end-to-end by an independent derivation. One row per order ever
     * created, superseded orders included.
     */
-  val wireOrdersCurrentSql: String =
-    s"""WITH $orderEventsCte,
+  /** Shared CTE chain: the order_id-keyed wire fold (one row per order ever
+    * created) — used by `wire_orders_current` and the wire-built-book
+    * amount-out gate.
+    */
+  private val wireFoldCte: String =
+    s"""$orderEventsCte,
        |seg AS (
        |  SELECT *, MAX(CASE WHEN action <= 3 THEN event_id END) OVER (
        |      PARTITION BY pool, trader ORDER BY event_id
@@ -269,7 +280,10 @@ object OracleSql {
        |    MAX(CASE WHEN event_id = order_id THEN block_time END) AS created_at
        |  FROM seg WHERE order_id IS NOT NULL
        |  GROUP BY pool, order_id
-       |)
+       |)""".stripMargin
+
+  val wireOrdersCurrentSql: String =
+    s"""WITH $wireFoldCte
        |SELECT pool, order_id, trader,
        |  CASE WHEN order_id % 2 = 0 THEN 'BUY' ELSE 'SELL' END AS side,
        |  CAST(price AS DOUBLE) AS price,
@@ -281,6 +295,58 @@ object OracleSql {
        |  (cancelled = 0 AND COALESCE(upd_amount, amount0) > filled) AS active,
        |  created_at
        |FROM folded""".stripMargin
+
+  /** Oracle for [[graft.operators.WireViews.wireLatestPrice]]: identical
+    * values to the synthetic `latest_price` gate, but the Spark side arrives
+    * through the wire path (JSON parse → fixed-point scaling → max_by over
+    * the injective (block, log) order) — this derivation stays independent.
+    */
+  val wireLatestPriceSql: String =
+    s"""WITH $orderEventsCte
+       |SELECT pool,
+       |  CAST(ARG_MAX(val, event_id) AS DOUBLE) AS latest_price
+       |FROM order_events WHERE action = 8 GROUP BY pool""".stripMargin
+
+  /** Oracle for [[graft.operators.WireViews.wireMarketOrders]]: block/log
+    * position and orderType parity re-derived from event_id exactly as the
+    * fixture encodes them (block := id div 25, log := id mod 25,
+    * orderType := block % 2).
+    */
+  val wireMarketOrdersSql: String =
+    s"""WITH $orderEventsCte
+       |SELECT pool, trader,
+       |  CAST(FLOOR(event_id / 25) AS BIGINT) AS block_number,
+       |  CAST(event_id % 25 AS INT) AS log_index,
+       |  CASE WHEN CAST(FLOOR(event_id / 25) AS BIGINT) % 2 = 0
+       |       THEN 'BUY' ELSE 'SELL' END AS side,
+       |  CAST(val AS DOUBLE) AS amount,
+       |  CAST(val AS DOUBLE) AS price,
+       |  CAST(val AS DOUBLE) AS filled_amount,
+       |  block_time AS executed_at
+       |FROM order_events WHERE action = 9 AND trader % 7 = 3""".stripMargin
+
+  /** Oracle for [[graft.operators.WireViews.wireAmountOutBuy]]: the full
+    * §3.3 read chain — order_id fold → active price levels → greedy
+    * cumulative swap scan — rebuilt independently from `events`. The book
+    * here keeps EVERY order (order_id key space), unlike `amount_out_buy`'s
+    * latest-per-(pool, trader) book.
+    */
+  val wireAmountOutBuySql: String =
+    s"""WITH $wireFoldCte,
+       |oc AS (
+       |  SELECT pool, price,
+       |    CASE WHEN order_id % 2 = 0 THEN 'BUY' ELSE 'SELL' END AS side,
+       |    CASE WHEN COALESCE(upd_amount, amount0) > filled
+       |         THEN CAST(COALESCE(upd_amount, amount0) - filled AS DECIMAL(28,2))
+       |         ELSE CAST(0 AS DECIMAL(28,2)) END AS remaining,
+       |    (cancelled = 0 AND COALESCE(upd_amount, amount0) > filled) AS active
+       |  FROM folded),
+       |price_levels AS (
+       |  SELECT pool, side, CAST(FLOOR(price) AS BIGINT) AS price_lvl,
+       |         SUM(remaining) AS volume, COUNT(*) AS n_orders
+       |  FROM oc WHERE active
+       |  GROUP BY 1, 2, 3),
+       |$amountOutBuyTail""".stripMargin
 
   /** Oracle for [[graft.operators.WireCatalog.wirePoolCatalog]]: the factory
     * registry derived directly from the pool universe — independent of the

@@ -125,8 +125,11 @@ object WireEvents {
         .as("amount"),
       // OrderFilled's authoritative running accounting (hive-core.json:581-623)
       // — the reference trusts these (order-book.ts:146-167); carried for the
-      // fidelity fold mode (graft.operators.WireOrderFold)
-      scaled(col("p_OrderFilled.filled")).as("filled"),
+      // fidelity fold mode (graft.operators.WireOrderFold). Market orders'
+      // filledAmount (hive-core.json:489-524) shares the slot: the event
+      // types are disjoint and the fold never reads it (order_id is null).
+      scaled(coalesce(col("p_OrderFilled.filled"),
+        col("p_MarketOrderExecuted.filledAmount"))).as("filled"),
       scaled(col("p_OrderFilled.remaining")).as("remaining"),
       col("block_number"), col("log_index"), col("block_time"))
     // batch output is presented in stream order; the streaming path passes
