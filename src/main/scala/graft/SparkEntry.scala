@@ -77,8 +77,9 @@ object SparkEntry {
     "range_band_join"     -> ((s, d) => Olap.qRangeBandJoin(s, d)),
     "correlated_subquery" -> ((s, d) => Olap.qCorrelatedSubquery(s, d)),
     "trailing_30d"        -> ((s, d) => Olap.qTrailing30d(s, d)),
-    // oracle-less by design: cross-engine sketches differ (rows-only driver
-    // check; error bounds asserted in QuerySurfaceSpec instead)
+    // sketch CLAIM queries: cross-engine sketches differ, so the gated
+    // output is (exact side, within_bound) — the estimate is computed but
+    // never hashed; the oracle checks the exact columns and the claim
     "approx_distinct"     -> ((s, d) => Olap.qApproxDistinct(s, d)),
     "approx_quantiles"    -> ((s, d) => Olap.qApproxQuantiles(s, d)),
     // ── LLM-data-pipeline operators (driver contract / SURVEY §7.2 M8) ────
@@ -155,6 +156,8 @@ object SparkEntry {
     "range_band_join"     -> OlapSql.qRangeBandJoinSql,
     "correlated_subquery" -> OlapSql.qCorrelatedSubquerySql,
     "trailing_30d"        -> OlapSql.qTrailing30dSql,
+    "approx_distinct"     -> OlapSql.qApproxDistinctSql,
+    "approx_quantiles"    -> OlapSql.qApproxQuantilesSql,
     "text_stats"      -> TextSql.textStatsSql,
     "lang_id"         -> TextSql.langIdSql,
     "fingerprint"     -> TextSql.fingerprintSql,

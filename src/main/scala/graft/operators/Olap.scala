@@ -435,19 +435,27 @@ object Olap {
         max(dec("o_totalprice")).cast("double").as("max_price"))
   }
 
-  /** HLL sketch cardinality (approx_count_distinct) next to nothing exact —
-    * deliberately NOT oracle-gated: DuckDB's HLL is a different sketch, so
-    * cross-engine hash equality is impossible by construction. The spec
-    * asserts the documented error bound (±5% rsd default) against the exact
-    * count instead. At 100 TB this is THE distinct-count operator: the
-    * sketch is a few KB per group and merges associatively, where exact
+  /** HLL sketch cardinality (approx_count_distinct) — cross-engine hash
+    * equality on the raw estimate is impossible by construction (DuckDB's
+    * HLL is a different sketch), so the gated output carries the CLAIM
+    * instead: the exact count plus `within_bound`, computed in-query from
+    * the real estimate (|est − exact| ≤ 15% + 3 — 3× the 5% rsd, and HLL is
+    * order-independent so the estimate is deterministic). The oracle checks
+    * the exact side and the constant-true claim; the spec additionally
+    * asserts the tighter 5% rsd. At 100 TB the sketch is THE distinct-count
+    * operator: a few KB per group, merged associatively, where exact
     * distinct shuffles every key.
     */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     ev.groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        count(lit(1)).as("n_events"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("est"))
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * 0.15 + 3.0).as("within_bound"))
   }
 
   /** Correlated scalar subquery: orders priced above their own customer's
@@ -490,20 +498,34 @@ object Olap {
         col("trail30_dec").cast("double").as("trailing_30d"))
   }
 
-  /** Sketch percentiles (approx_percentile) — like [[qApproxDistinct]],
-    * deliberately NOT oracle-gated (engine-specific sketch); the spec bounds
-    * it against the exact percentile. At 100 TB this replaces `quantiles`:
-    * the exact form materializes every group's values, the sketch is a
-    * bounded-size mergeable summary with one map-side combine.
+  /** Sketch percentiles (approx_percentile) — like [[qApproxDistinct]], the
+    * raw estimate is engine-specific, so the gated output carries the exact
+    * percentiles plus per-percentile `within_bound` claims computed in-query:
+    * accuracy=1000 guarantees rank error ≤ n/1000, so the estimate must lie
+    * between the exact percentiles at p ± 0.005 (5× slack; holds for groups
+    * ≥ ~750 rows — the smallest gated group is ~1.5k at sf0.001). At 100 TB
+    * this replaces `quantiles`: the exact form materializes every group's
+    * values, the sketch is a bounded-size mergeable summary with one
+    * map-side combine.
     */
   def qApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.groupBy("l_returnflag")
       .agg(
-        expr("approx_percentile(l_quantity, 0.25, 1000)").as("q25"),
-        expr("approx_percentile(l_quantity, 0.5, 1000)").as("median"),
-        expr("approx_percentile(l_quantity, 0.75, 1000)").as("q75"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("ex"),
+        expr("percentile(l_quantity, array(0.245, 0.495, 0.745))").as("lo"),
+        expr("percentile(l_quantity, array(0.255, 0.505, 0.755))").as("hi"),
+        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
+          .as("est"))
+      .select(col("l_returnflag"), col("n"),
+        col("ex")(0).as("q25"), col("ex")(1).as("median"), col("ex")(2).as("q75"),
+        (col("est")(0) >= col("lo")(0) && col("est")(0) <= col("hi")(0))
+          .as("q25_within_bound"),
+        (col("est")(1) >= col("lo")(1) && col("est")(1) <= col("hi")(1))
+          .as("median_within_bound"),
+        (col("est")(2) >= col("lo")(2) && col("est")(2) <= col("hi")(2))
+          .as("q75_within_bound"))
   }
 
   /** Customer spend deciles — NTILE(10) semantics over a total order,

@@ -165,6 +165,28 @@ object OlapSql {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Oracle for the HLL-sketch claim query: the exact side is re-derived;
+    * `within_bound` is the constant-true claim the Spark side computes from
+    * its real estimate (the estimate itself is engine-specific and never
+    * hashed).
+    */
+  val qApproxDistinctSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS within_bound
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Oracle for the percentile-sketch claim query — see [[qApproxDistinctSql]]. */
+  val qApproxQuantilesSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.5) AS median,
+      |  quantile_cont(l_quantity, 0.75) AS q75,
+      |  TRUE AS q25_within_bound,
+      |  TRUE AS median_within_bound,
+      |  TRUE AS q75_within_bound
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val qExistsHavingSql: String =
     """SELECT o_orderstatus,
       |  COUNT(*) AS n_orders,

@@ -19,45 +19,57 @@ class QuerySurfaceSpec extends SparkSpec {
   }
 
   test("oracle coverage: every query has oracle SQL") {
-    // sketch-based ops can't hash-match a different engine's sketch; each
-    // member here must carry its own error-bound test in this suite
-    val sketchOnly = Set("approx_distinct", "approx_quantiles")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- sketchOnly
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without query: $orphans")
   }
 
-  test("approx_distinct: HLL estimate within 5% of exact per group") {
+  test("approx_distinct: claim holds and HLL estimate is within 5% of exact") {
     import org.apache.spark.sql.functions._
-    val approx = SparkEntry.queries("approx_distinct")(spark, sfTiny)
-      .select("event_type", "approx_users").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = graft.sources.Tables.events(spark, sfTiny)
-      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (k, n) =>
-      val a = approx(k)
+    // the gated claim (15% + 3 slack) must be all-true…
+    val gated = SparkEntry.queries("approx_distinct")(spark, sfTiny).collect()
+    assert(gated.forall(_.getAs[Boolean]("within_bound")),
+      s"gated within_bound claim failed: ${gated.mkString(",")}")
+    // …and the raw sketch also meets the tighter documented 5% rsd
+    val both = graft.sources.Tables.events(spark, sfTiny)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"),
+        approx_count_distinct(col("user_id")).as("a"))
+      .collect()
+    both.foreach { r =>
+      val (n, a) = (r.getAs[Long]("n"), r.getAs[Long]("a"))
       assert(math.abs(a - n).toDouble / n <= 0.05,
-        s"$k: approx $a vs exact $n exceeds 5% rsd")
+        s"${r.getString(0)}: approx $a vs exact $n exceeds 5% rsd")
     }
   }
 
-  test("approx_quantiles: sketch percentiles within rank tolerance of exact") {
-    val approx = SparkEntry.queries("approx_quantiles")(spark, sfTiny).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+  test("approx_quantiles: claims hold and sketch is within value tolerance") {
+    val gated = SparkEntry.queries("approx_quantiles")(spark, sfTiny).collect()
+    gated.foreach { r =>
+      assert(r.getAs[Boolean]("q25_within_bound") &&
+        r.getAs[Boolean]("median_within_bound") &&
+        r.getAs[Boolean]("q75_within_bound"),
+        s"gated rank-bound claim failed: $r")
+    }
+    // value-level tolerance against the exact gate (quantity spans ~[1,50]):
+    // accuracy=1000 → rank error ≤ n/1000 → value error ≤ 1.0 here
+    import org.apache.spark.sql.functions._
+    val approx = graft.sources.Tables.lineitem(spark, sfTiny)
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 1000)")
+        .as("e"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Any](1).map(_.toString.toDouble))
       .toMap
     val exact = SparkEntry.queries("quantiles")(spark, sfTiny).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
       .toMap
     assert(approx.keySet == exact.keySet)
     exact.foreach { case (k, (e25, e50, e75)) =>
-      val (a25, a50, a75) = approx(k)
-      // accuracy=1000 → rank error ≤ n/1000; quantity spans ~[1,50], so a
-      // loose value tolerance of 1.0 covers it comfortably
+      val Seq(a25, a50, a75) = approx(k)
       assert(math.abs(a25 - e25) <= 1.0 && math.abs(a50 - e50) <= 1.0 &&
-        math.abs(a75 - e75) <= 1.0, s"$k: approx $approx vs exact $exact")
+        math.abs(a75 - e75) <= 1.0, s"$k: approx ${approx(k)} vs exact $exact")
     }
   }
 
