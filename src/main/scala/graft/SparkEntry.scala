@@ -88,6 +88,9 @@ object SparkEntry {
     "fingerprint"     -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "dedup_exact"     -> ((s, d) => DedupOps.exactDedup(s, d)),
     "ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccard(s, d)),
+    // the scale-path composition: exact jaccard verify on LSH candidates
+    // only, no doc-id bound (the all-pairs form above is the yardstick)
+    "ngram_jaccard_lsh" -> ((s, d) => DedupOps.ngramJaccardLsh(s, d)),
     "minhash_lsh"     -> ((s, d) => DedupOps.minhashLsh(s, d)),
     "dedup_clusters"  -> ((s, d) => DedupOps.dedupClusters(s, d)),
     "dedup_select"    -> ((s, d) => CurationOps.dedupSelect(s, d)),
@@ -163,6 +166,7 @@ object SparkEntry {
     "fingerprint"     -> TextSql.fingerprintSql,
     "dedup_exact"     -> TextSql.exactDedupSql,
     "ngram_jaccard"   -> TextSql.ngramJaccardSql,
+    "ngram_jaccard_lsh" -> TextSql.ngramJaccardLshSql,
     "minhash_lsh"     -> TextSql.minhashLshSql,
     "dedup_clusters"  -> TextSql.dedupClustersSql,
     "dedup_select"    -> TextSql.dedupSelectSql,

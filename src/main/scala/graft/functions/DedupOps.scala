@@ -83,11 +83,28 @@ object DedupOps {
     if (distinctShingles) base.distinct() else base
   }
 
+  /** Shared Jaccard tail: per-pair intersection counts + per-doc shingle
+    * counts → |A∩B| / |A∪B|, thresholded in exact DECIMAL, DOUBLE at the
+    * serving edge (emitted decimals hash differently across engines).
+    */
+  private def jaccardFromInter(inter: DataFrame, counts: DataFrame,
+                               minJaccard: Double): DataFrame =
+    inter
+      .join(counts.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(counts.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn("jaccard",
+        bround(col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")), 6)
+          .cast("decimal(10,6)"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("n_inter"), col("n1"), col("n2"),
+        col("jaccard").cast("double").as("jaccard"))
+
   /** Exact n-gram Jaccard over all pairs in a bounded id range: explode
     * distinct shingles, self-join on shingle (the intersection), derive the
     * union from per-doc counts. The id bound keeps the demonstration
-    * quadratic-free; at scale this exact verify runs only on LSH candidates
-    * (see [[minhashLsh]]).
+    * quadratic-free — this form is the yardstick; the SCALE path is
+    * [[ngramJaccardLsh]], which runs the identical exact verify on LSH
+    * candidates only, with no id bound.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
                    maxDocId: Long = 200, minJaccard: Double = 0.02): DataFrame = {
@@ -97,17 +114,27 @@ object DedupOps {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
-      .join(counts.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
-      // decimal for the threshold test (cross-engine exact), DOUBLE at the
-      // serving edge — emitted decimals hash differently across engines
-      .withColumn("jaccard",
-        bround(col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")), 6)
-          .cast("decimal(10,6)"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id1"), col("id2"), col("n_inter"), col("n1"), col("n2"),
-        col("jaccard").cast("double").as("jaccard"))
+    jaccardFromInter(inter, counts, minJaccard)
+  }
+
+  /** The 100 TB n-gram verify: exact Jaccard computed ONLY on
+    * [[minhashLsh]] candidate pairs — banding generates candidates, the
+    * exact verify confirms them, and nothing quadratic ever materializes
+    * (no doc-id bound; `PlanSpec` forbids cartesian/nested-loop here).
+    * Shuffle shape: candidates join the exploded shingles on id1, then on
+    * (id2, shingle) — cost is Σ over candidates |shingles|, not n².
+    */
+  def ngramJaccardLsh(spark: SparkSession, dir: String,
+                      minJaccard: Double = 0.02): DataFrame = {
+    val cand = minhashLsh(spark, dir).select(col("id1"), col("id2"))
+    val ex = explodedShingles(spark, dir)
+    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(ex.as("a"), col("id1") === col("a.doc_id"))
+      .join(ex.as("b"), col("id2") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_inter"))
+    jaccardFromInter(inter, counts, minJaccard)
   }
 
   /** MinHash permutation constants (a·x + b mod P, P = 2^31−1): fixed public

@@ -144,6 +144,28 @@ object TextSql {
        |JOIN sig s2 ON id2 = s2.doc_id""".stripMargin
   }
 
+  /** Exact Jaccard on LSH candidates (the scale-path composition): the
+    * candidate CTE feeds the same intersection/union arithmetic as
+    * [[ngramJaccardSql]], with no doc-id bound.
+    */
+  val ngramJaccardLshSql: String =
+    s"""WITH $candCte,
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id1, c.id2, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh a ON c.id1 = a.doc_id
+       |  JOIN sh b ON c.id2 = b.doc_id AND a.s = b.s
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, n_inter, c1.n_sh AS n1, c2.n_sh AS n2,
+       |  CAST(CAST(CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter)
+       |       AS DECIMAL(10,6)) AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN counts c1 ON id1 = c1.doc_id
+       |JOIN counts c2 ON id2 = c2.doc_id
+       |WHERE CAST(CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter)
+       |           AS DECIMAL(10,6)) >= 0.02""".stripMargin
+
   // connected components of the candidate graph by transitive closure
   // (recursive CTE); cluster id = min doc_id reachable. The Spark side
   // computes the same components by min-label propagation — different

@@ -93,6 +93,14 @@ class PlanSpec extends SparkSpec {
       s"simhash pair generation is an all-pairs nested loop:\n$plan")
   }
 
+  test("ngram_jaccard_lsh: exact verify on LSH candidates — no all-pairs join") {
+    val plan = physicalPlan(graft.functions.DedupOps.ngramJaccardLsh(spark, sfTiny))
+    assert(!plan.contains("CartesianProduct"),
+      s"LSH-composed jaccard verify is an all-pairs cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH-composed jaccard verify is an all-pairs nested loop:\n$plan")
+  }
+
   test("embedding_dedup: LSH candidate front-end — no all-pairs join") {
     val plan = physicalPlan(graft.functions.SimilarityOps.embeddingDedup(spark, sfTiny))
     assert(!plan.contains("CartesianProduct"),
