@@ -93,6 +93,9 @@ object SparkEntry {
     "ngram_jaccard_lsh" -> ((s, d) => DedupOps.ngramJaccardLsh(s, d)),
     "minhash_lsh"     -> ((s, d) => DedupOps.minhashLsh(s, d)),
     "dedup_clusters"  -> ((s, d) => DedupOps.dedupClusters(s, d)),
+    // the un-memoized fixpoint: same result, but BENCH times the iterative
+    // algorithm here while dedup_clusters times the materialized-view read
+    "dedup_clusters_fresh" -> ((s, d) => DedupOps.dedupClustersFresh(s, d)),
     "dedup_select"    -> ((s, d) => CurationOps.dedupSelect(s, d)),
     "decontaminate"   -> ((s, d) => CurationOps.decontaminate(s, d)),
     "embed_quantize"  -> ((s, d) => CurationOps.embedQuantize(s, d)),
@@ -169,6 +172,7 @@ object SparkEntry {
     "ngram_jaccard_lsh" -> TextSql.ngramJaccardLshSql,
     "minhash_lsh"     -> TextSql.minhashLshSql,
     "dedup_clusters"  -> TextSql.dedupClustersSql,
+    "dedup_clusters_fresh" -> TextSql.dedupClustersSql,
     "dedup_select"    -> TextSql.dedupSelectSql,
     "decontaminate"   -> TextSql.decontaminateSql,
     "embed_quantize"  -> TextSql.embedQuantizeSql,
