@@ -58,20 +58,12 @@ class WireFoldSpec extends SparkSpec {
     assert(joined.isEmpty, "fixed-point roundtrip diverged")
   }
 
-  test("event ordering survives blocks with more than 10 logs") {
-    // EVM blocks carry hundreds of logs; the fold's max_by ordering key must
-    // be injective over (block_number, log_index). This scenario is built so
-    // the naive block·10+log encode INVERTS the order (block 1 log 16 → 26
-    // vs block 2 log 5 → 25): the last OrderUpdated amount and the last
-    // authoritative OrderFilled accounting must come from block 2.
+  /** Hand-built normalized stream for one order: rows of
+    * (event_type, block_number, log_index, amount, authoritative filled).
+    */
+  private def mkNorm(rows: Seq[(String, Long, Int, String, String)]) = {
     import spark.implicits._
-    val norm = Seq(
-      ("OrderCreated", 0L, 0, "100", null: String),
-      ("OrderFilled", 1L, 15, "10", "10"),   // naive encode 25
-      ("OrderUpdated", 1L, 16, "50", null: String), // naive encode 26
-      ("OrderFilled", 2L, 4, "20", "30"),    // naive encode 24 < 25: inverted
-      ("OrderUpdated", 2L, 5, "70", null: String))  // naive encode 25 < 26: inverted
-      .toDF("event_type", "block_number", "log_index", "amt", "fill")
+    rows.toDF("event_type", "block_number", "log_index", "amt", "fill")
       .select(
         lit("poolX").as("pool"), lit("7").as("trader"), lit(1L).as("order_id"),
         col("event_type"),
@@ -82,6 +74,20 @@ class WireFoldSpec extends SparkSpec {
         lit(null).cast("decimal(38,18)").as("remaining"),
         col("block_number"), col("log_index"),
         timestamp_micros(lit(0L)).as("block_time"))
+  }
+
+  test("event ordering survives blocks with more than 10 logs") {
+    // EVM blocks carry hundreds of logs; the fold's max_by ordering key must
+    // be injective over (block_number, log_index). This scenario is built so
+    // the naive block·10+log encode INVERTS the order (block 1 log 16 → 26
+    // vs block 2 log 5 → 25): the last OrderUpdated amount and the last
+    // authoritative OrderFilled accounting must come from block 2.
+    val norm = mkNorm(Seq(
+      ("OrderCreated", 0L, 0, "100", null),
+      ("OrderFilled", 1L, 15, "10", "10"),   // naive encode 25
+      ("OrderUpdated", 1L, 16, "50", null),  // naive encode 26
+      ("OrderFilled", 2L, 4, "20", "30"),    // naive encode 24 < 25: inverted
+      ("OrderUpdated", 2L, 5, "70", null)))  // naive encode 25 < 26: inverted
     val derived = WireOrderFold.ordersByOrderId(norm).collect().head
     assert(derived.getAs[Double]("amount") == 70.0,
       "last OrderUpdated must be block 2's, not the colliding block 1 encode")
@@ -90,6 +96,28 @@ class WireFoldSpec extends SparkSpec {
       WireOrderFold.ordersByOrderId(norm, fidelity = true).collect().head
     assert(fidelity.getAs[Double]("filled") == 30.0,
       "authoritative filled must come from block 2's OrderFilled")
+  }
+
+  test("fidelity and derived modes diverge on a correction stream") {
+    // The two modes are equivalent only on clean streams (the first test).
+    // When the contract emits a correction — the last OrderFilled's
+    // authoritative running total (12) disagreeing with Σ fill amounts
+    // (10 + 5 = 15) — they must diverge exactly as documented
+    // (WireOrderFold scaladoc vs order-book.ts:146-167): derived trusts
+    // nothing and re-sums; fidelity trusts the event's own accounting.
+    val norm = mkNorm(Seq(
+      ("OrderCreated", 0L, 0, "100", null),
+      ("OrderFilled", 1L, 0, "10", "10"),
+      ("OrderFilled", 2L, 0, "5", "12"))) // correction: says 12, not 15
+    val derived = WireOrderFold.ordersByOrderId(norm).collect().head
+    assert(derived.getAs[Double]("filled") == 15.0 &&
+      derived.getAs[Double]("remaining") == 85.0,
+      s"derived mode must re-sum fill amounts: $derived")
+    val fidelity =
+      WireOrderFold.ordersByOrderId(norm, fidelity = true).collect().head
+    assert(fidelity.getAs[Double]("filled") == 12.0 &&
+      fidelity.getAs[Double]("remaining") == 88.0,
+      s"fidelity mode must trust the last authoritative total: $fidelity")
   }
 
   test("wire fold is one hash aggregation — no window exchange") {
