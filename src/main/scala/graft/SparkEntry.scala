@@ -115,6 +115,7 @@ object SparkEntry {
     "chunk_docs"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "tfidf_topk"      -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
+    "rep_signals"     -> ((s, d) => TextAnalysis.repSignals(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -192,5 +193,6 @@ object SparkEntry {
     "chunk_docs"      -> TextSql.chunkDocsSql,
     "tfidf_topk"      -> TextSql.tfidfTopKSql,
     "stratified_sample" -> TextSql.stratifiedSampleSql,
+    "rep_signals"     -> TextSql.repSignalsSql,
   )
 }

@@ -239,6 +239,54 @@ object TextAnalysis {
           .cast("long").as("n_tokens"))
   }
 
+  /** Repetition quality signals (Gopher-style filters, Rae et al. 2021
+    * §A.1.1): per document, the fraction of tokens taken by the single most
+    * frequent token and the fraction of bigram occurrences that are repeats.
+    * High values mark degenerate/boilerplate text a training pipeline drops.
+    *
+    * One explode produces unigrams AND bigrams tagged with `n`, so the whole
+    * operator costs ONE shuffle on (doc_id, n, gram) with map-side partial
+    * counts, then a second per-doc rollup on the same doc_id prefix (AQE
+    * coalesces; key cardinality is bounded by corpus token count, no skew —
+    * the gram is in the key). Linear in corpus size at 100 TB; no per-doc
+    * quadratic HOF scan, so million-token documents are fine.
+    */
+  def repSignals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(concat(
+          transform(col("t"), x => struct(lit(1).as("n"), x.as("gram"))),
+          transform(
+            slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+            (x, i) => struct(lit(2).as("n"),
+              concat_ws(" ", x, element_at(col("t"), i + 2)).as("gram")))
+        )).as("g"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("g.n").as("n"), col("g.gram").as("gram"))
+    def frac(num: Column, den: Column): Column =
+      bround(num.cast("double") / den, 6).cast("decimal(10,6)").cast("double")
+    grams
+      .groupBy("doc_id", "lang", "source", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "lang", "source")
+      .agg(
+        sum(when(col("n") === 1, col("cnt"))).as("n_tokens"),
+        max(when(col("n") === 1, col("cnt"))).as("top_token_count"),
+        coalesce(sum(when(col("n") === 2, col("cnt"))), lit(0L)).as("n_bigrams"),
+        coalesce(sum(when(col("n") === 2, col("cnt") - 1)), lit(0L))
+          .as("dup_bigram_excess"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("top_token_count"),
+        frac(col("top_token_count"), col("n_tokens")).as("top_token_frac"),
+        col("n_bigrams"), col("dup_bigram_excess"),
+        when(col("n_bigrams") > 0,
+          frac(col("dup_bigram_excess"), col("n_bigrams")))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+  }
+
   /** 31^i mod P for i in 0..7 — shared with the oracle SQL. */
   val polyPows: Seq[Long] = Iterator.iterate(1L)(x => x * 31 % P).take(8).toSeq
 

@@ -554,4 +554,37 @@ object TextSql {
        |  doc_id = FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
        |    ORDER BY n_chars DESC, doc_id ASC) AS keep
        |FROM sized""".stripMargin
+
+  /** Mirror of [[TextAnalysis.repSignals]]: unigram/bigram tagged counts,
+    * per-doc rollup. SUM(BIGINT) is HUGEINT in DuckDB → explicit BIGINT
+    * casts; ratio columns use the shared bround-as-DECIMAL(10,6) bridge.
+    */
+  val repSignalsSql: String =
+    s"""WITH $tokCte,
+       |g AS (
+       |  SELECT doc_id, lang, source, 1 AS n, t[i] AS gram
+       |  FROM tok, UNNEST(generate_series(1, len(t))) AS u(i)
+       |  UNION ALL
+       |  SELECT doc_id, lang, source, 2 AS n, t[i] || ' ' || t[i+1] AS gram
+       |  FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+       |  WHERE len(t) >= 2),
+       |c AS (
+       |  SELECT doc_id, lang, source, n, gram, COUNT(*) AS cnt
+       |  FROM g GROUP BY doc_id, lang, source, n, gram)
+       |SELECT doc_id, lang, source,
+       |  CAST(SUM(CASE WHEN n = 1 THEN cnt END) AS BIGINT) AS n_tokens,
+       |  CAST(MAX(CASE WHEN n = 1 THEN cnt END) AS BIGINT) AS top_token_count,
+       |  CAST(CAST(CAST(MAX(CASE WHEN n = 1 THEN cnt END) AS DOUBLE)
+       |       / SUM(CASE WHEN n = 1 THEN cnt END)
+       |       AS DECIMAL(10,6)) AS DOUBLE) AS top_token_frac,
+       |  CAST(COALESCE(SUM(CASE WHEN n = 2 THEN cnt END), 0) AS BIGINT)
+       |    AS n_bigrams,
+       |  CAST(COALESCE(SUM(CASE WHEN n = 2 THEN cnt - 1 END), 0) AS BIGINT)
+       |    AS dup_bigram_excess,
+       |  CASE WHEN COALESCE(SUM(CASE WHEN n = 2 THEN cnt END), 0) > 0 THEN
+       |    CAST(CAST(CAST(SUM(CASE WHEN n = 2 THEN cnt - 1 END) AS DOUBLE)
+       |         / SUM(CASE WHEN n = 2 THEN cnt END)
+       |         AS DECIMAL(10,6)) AS DOUBLE)
+       |  ELSE 0.0 END AS dup_bigram_frac
+       |FROM c GROUP BY doc_id, lang, source""".stripMargin
 }

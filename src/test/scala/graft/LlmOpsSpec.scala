@@ -54,6 +54,27 @@ class LlmOpsSpec extends SparkSpec {
         s"LSH dedup recall ${lsh.size.toDouble / brute.size} implausibly low")
   }
 
+  test("repetition signals match a straight-line recomputation") {
+    val got = TextAnalysis.repSignals(spark, sfTiny).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").collect()
+    assert(docs.nonEmpty && got.size == docs.length)
+    docs.foreach { d =>
+      val toks = "[a-z0-9]+".r.findAllIn(d.getString(1)).toSeq
+      val bigrams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val row = got(d.getLong(0))
+      assert(row.getAs[Long]("n_tokens") == toks.size)
+      assert(row.getAs[Long]("top_token_count") ==
+        toks.groupBy(identity).values.map(_.size).max)
+      assert(row.getAs[Long]("n_bigrams") == bigrams.size)
+      assert(row.getAs[Long]("dup_bigram_excess") ==
+        bigrams.size - bigrams.distinct.size)
+      val f = row.getAs[Double]("dup_bigram_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
   test("simhash pairs: banded candidates reproduce the exact all-pairs result") {
     import spark.implicits._
     // pigeonhole banding has PERFECT recall for hamming <= maxHamming —
