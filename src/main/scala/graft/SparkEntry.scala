@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
-import graft.functions.{CurationOps, DedupOps, MultimodalOps, SimilarityOps, TextAnalysis}
+import graft.functions.{CurationOps, DedupOps, FrequentItems, MultimodalOps, SimilarityOps, TextAnalysis}
 import graft.oracle.{OlapSql, OracleSql, TextSql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -116,6 +116,7 @@ object SparkEntry {
     "tfidf_topk"      -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "rep_signals"     -> ((s, d) => TextAnalysis.repSignals(s, d)),
+    "approx_topk"     -> ((s, d) => FrequentItems.approxTopK(s, d)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -194,5 +195,6 @@ object SparkEntry {
     "tfidf_topk"      -> TextSql.tfidfTopKSql,
     "stratified_sample" -> TextSql.stratifiedSampleSql,
     "rep_signals"     -> TextSql.repSignalsSql,
+    "approx_topk"     -> TextSql.approxTopKSql,
   )
 }

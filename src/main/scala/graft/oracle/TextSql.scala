@@ -555,6 +555,19 @@ object TextSql {
        |    ORDER BY n_chars DESC, doc_id ASC) AS keep
        |FROM sized""".stripMargin
 
+  /** Mirror of [[graft.functions.FrequentItems.approxTopK]]'s exact side;
+    * the `within_bound` MG claim is constant-true by the mergeable-summary
+    * guarantee (see the Scaladoc there), so the oracle pins it to TRUE.
+    */
+  val approxTopKSql: String =
+    s"""WITH $tokCte,
+       |c AS (
+       |  SELECT t[i] AS token, COUNT(*) AS cnt
+       |  FROM tok, UNNEST(generate_series(1, len(t))) AS u(i)
+       |  GROUP BY t[i])
+       |SELECT token, CAST(cnt AS BIGINT) AS exact_cnt, TRUE AS within_bound
+       |FROM c ORDER BY cnt DESC, token ASC LIMIT 5""".stripMargin
+
   /** Mirror of [[TextAnalysis.repSignals]]: unigram/bigram tagged counts,
     * per-doc rollup. SUM(BIGINT) is HUGEINT in DuckDB → explicit BIGINT
     * casts; ratio columns use the shared bround-as-DECIMAL(10,6) bridge.

@@ -44,6 +44,37 @@ class QuerySurfaceSpec extends SparkSpec {
     }
   }
 
+  test("approx_topk: MG guarantee holds on a crafted stream and on the gated query") {
+    import graft.functions.MisraGriesAgg
+    // crafted stream: one heavy item (40%), the rest spread thin
+    val n = 2000
+    val stream = (0 until n).map(i =>
+      if (i % 5 < 2) "heavy" else s"t${i % 97}")
+    val k = 16
+    val agg = new MisraGriesAgg(k)
+    // split into 8 "partitions", reduce each, merge pairwise in a skewed
+    // order — the guarantee must not depend on merge shape
+    val parts = stream.grouped(n / 8).toSeq
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+    val sketch = parts.reduceLeft(agg.merge)
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(sketch.size <= k)
+    sketch.foreach { case (t, est) =>
+      assert(est <= exact(t), s"$t overestimated: $est > ${exact(t)}")
+    }
+    exact.foreach { case (t, c) =>
+      val est = sketch.getOrElse(t, 0L)
+      assert((c - est) * (k + 1) <= n, s"$t bound violated: $est vs $c")
+    }
+    // an item heavier than n/(k+1) can never be evicted to zero
+    assert(sketch.getOrElse("heavy", 0L) > 0)
+    // gated claim: all-true at sfTiny
+    val gated = SparkEntry.queries("approx_topk")(spark, sfTiny).collect()
+    assert(gated.length == 5)
+    assert(gated.forall(_.getAs[Boolean]("within_bound")),
+      s"gated MG claim failed: ${gated.mkString(",")}")
+  }
+
   test("approx_quantiles: claims hold and sketch is within value tolerance") {
     val gated = SparkEntry.queries("approx_quantiles")(spark, sfTiny).collect()
     gated.foreach { r =>
