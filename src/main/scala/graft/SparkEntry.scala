@@ -98,6 +98,7 @@ object SparkEntry {
     "dedup_clusters_fresh" -> ((s, d) => DedupOps.dedupClustersFresh(s, d)),
     "dedup_select"    -> ((s, d) => CurationOps.dedupSelect(s, d)),
     "decontaminate"   -> ((s, d) => CurationOps.decontaminate(s, d)),
+    "decontaminate_bloom" -> ((s, d) => CurationOps.decontaminateBloom(s, d)),
     "embed_quantize"  -> ((s, d) => CurationOps.embedQuantize(s, d)),
     "pack_chunks"     -> ((s, d) => CurationOps.packChunks(s, d)),
     "simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
@@ -177,6 +178,8 @@ object SparkEntry {
     "dedup_clusters_fresh" -> TextSql.dedupClustersSql,
     "dedup_select"    -> TextSql.dedupSelectSql,
     "decontaminate"   -> TextSql.decontaminateSql,
+    // bit-identical to the exact form by construction — same oracle
+    "decontaminate_bloom" -> TextSql.decontaminateSql,
     "embed_quantize"  -> TextSql.embedQuantizeSql,
     "pack_chunks"     -> TextSql.packChunksSql,
     "simhash"         -> TextSql.simhashSql,

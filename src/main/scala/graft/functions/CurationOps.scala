@@ -50,6 +50,47 @@ object CurationOps {
         (col("n_contaminated") > 0).as("contaminated"))
   }
 
+  /** Bloom-prefiltered decontamination — the SAME result as
+    * [[decontaminate]] under the same oracle SQL, with the 100 TB plan: the
+    * exact form shuffles EVERY test-side shingle into the join; here a
+    * bloom filter built over the train-split hashes (`df.stat.bloomFilter`,
+    * ~1.2 bytes/item at 1% fpp — mergeable, built distributed, broadcast
+    * like any dim table) drops the overwhelmingly-clean majority BEFORE the
+    * shuffle — the classic bloom semi-join reduction. False positives fall
+    * out in the exact inner join on the survivors; bloom filters have no
+    * false negatives, so the output is bit-identical to the exact form.
+    *
+    * The membership probe is a Scala UDF on a long — off codegen, but it
+    * runs on the pre-shuffle scan and replaces a full shuffle of the probe
+    * side; at cluster scale the same shape is what AQE's injected runtime
+    * bloom filter (`spark.sql.optimizer.runtime.bloomFilter.enabled`)
+    * produces natively inside the join.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.explodedShingles(spark, dir)
+      .select(col("doc_id"), mdhash(col("s")).as("h"))
+    val train = sh.filter(col("doc_id") % 10 < 8)
+      .select(col("h")).distinct()
+    val bf = train.stat.bloomFilter("h", math.max(train.count(), 1000L), 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    val test = sh.filter(col("doc_id") % 10 >= 8)
+    val hits = test.filter(mightContain(col("h")))
+      .join(train, Seq("h"), "inner") // exact verify kills false positives
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+    test.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated"),
+        bround(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_shingles"), 6)
+          .cast("decimal(10,6)").cast("double").as("contamination_ratio"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Symmetric int8 quantization of L2-normalized embeddings:
     * q_d = ⌊127·x_d / ‖x‖ + 0.5⌋. One row per (vec_id, dimension).
     *

@@ -32,6 +32,15 @@ class CurationSpec extends SparkSpec {
     assert(d.count() > 0)
   }
 
+  test("decontaminate_bloom is bit-identical to the exact form and prunes") {
+    val exact = CurationOps.decontaminate(spark, sfTiny).collect()
+      .map(_.toSeq).toSet
+    val bloom = CurationOps.decontaminateBloom(spark, sfTiny).collect()
+      .map(_.toSeq).toSet
+    assert(exact.nonEmpty && bloom == exact,
+      s"bloom variant diverged: ${(bloom -- exact).take(3)} vs ${(exact -- bloom).take(3)}")
+  }
+
   test("pack_chunks: greedy bins are dense, ordered, and bounded") {
     val p = CurationOps.packChunks(spark, sfTiny, budget = 512).cache()
     assert(p.filter(col("bin_offset") < 0 || col("bin_offset") >= 512).count() == 0,
