@@ -116,4 +116,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"rank<=k not pushed below the window shuffle:\n$plan")
   }
+
+  test("rep_signals: prunes to the 4 used columns, counts-only shuffles with map-side combine") {
+    val df = graft.functions.TextAnalysis.repSignals(spark, sfTiny)
+    val plan = physicalPlan(df)
+    // only doc_id/lang/source/text leave the scan — n_chars must be pruned
+    assert(!plan.contains("n_chars"), s"scan reads unneeded n_chars:\n$plan")
+    // both aggregations combine map-side: partial then final HashAggregate
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"no map-side partial aggregation before the gram shuffle:\n$plan")
+    assert(shuffles(df) <= 2,
+      s"repetition signals should cost at most two count shuffles:\n$plan")
+  }
+
+  test("decontaminate_bloom: membership probe filters the probe side below the join") {
+    val df = graft.functions.CurationOps.decontaminateBloom(spark, sfTiny)
+    val plan = physicalPlan(df)
+    // the UDF probe must sit under the exact-verify join, not above it —
+    // that ordering is the entire semi-join reduction
+    val joinAt = plan.indexOf("SortMergeJoin")
+    val probeAt = plan.lastIndexOf("UDF")
+    assert(probeAt >= 0, s"bloom membership probe missing from the plan:\n$plan")
+    assert(joinAt < 0 || probeAt > joinAt,
+      s"bloom probe not below the exact-verify join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
