@@ -65,16 +65,38 @@ object CurationOps {
     * side; at cluster scale the same shape is what AQE's injected runtime
     * bloom filter (`spark.sql.optimizer.runtime.bloomFilter.enabled`)
     * produces natively inside the join.
+    *
+    * Cost accounting, honestly: this variant SCANS the exploded corpus more
+    * often than the exact form (bloom build + train set + two test
+    * branches; predicate pushdown below the distincts defeats
+    * ReuseExchange, so the subtrees don't share). At bench scale scans
+    * dominate and the bloom form reads ~2× the exact one; at cluster scale
+    * the economics invert — scans are the cheap embarrassingly-parallel
+    * part and the probe-side shuffle it removes (~99% of test shingles on
+    * a clean corpus) is the expensive part. BENCH carries both forms so
+    * the tradeoff stays measured.
     */
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
-    val sh = DedupOps.explodedShingles(spark, dir)
+    // non-distinct exploded stream for everything keyed on h alone: the
+    // bloom build needs NO shuffle at all (duplicate inserts are idempotent)
+    // and the train set needs one distinct on h, not the (doc_id, s)
+    // distinct + a second h distinct the naive composition pays
+    val raw = DedupOps.explodedShingles(spark, dir, distinctShingles = false)
       .select(col("doc_id"), mdhash(col("s")).as("h"))
-    val train = sh.filter(col("doc_id") % 10 < 8)
-      .select(col("h")).distinct()
-    val bf = train.stat.bloomFilter("h", math.max(train.count(), 1000L), 0.01)
+    val trainRaw = raw.filter(col("doc_id") % 10 < 8)
+    // size the filter from parquet row-count metadata (docs × a generous
+    // shingles-per-doc bound), not an exact distinct count — an
+    // overestimate only pads the bit array
+    val expected = math.max(Tables.documents(spark, dir).count() * 200L, 1000L)
+    val bf = trainRaw.stat.bloomFilter("h", expected, 0.01)
     val bfB = spark.sparkContext.broadcast(bf)
     val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
-    val test = sh.filter(col("doc_id") % 10 >= 8)
+    val train = trainRaw.select(col("h")).distinct()
+    // test side keeps the (doc_id, s)-level distinct of the exact form —
+    // n_shingles counts distinct SHINGLES, not distinct hashes
+    val test = DedupOps.explodedShingles(spark, dir)
+      .select(col("doc_id"), mdhash(col("s")).as("h"))
+      .filter(col("doc_id") % 10 >= 8)
     val hits = test.filter(mightContain(col("h")))
       .join(train, Seq("h"), "inner") // exact verify kills false positives
       .groupBy("doc_id")
