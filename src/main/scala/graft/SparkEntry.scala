@@ -52,6 +52,7 @@ object SparkEntry {
     "wire_latest_price"  -> ((s, d) => WireViews.wireLatestPrice(s, d)),
     "wire_market_orders" -> ((s, d) => WireViews.wireMarketOrders(s, d)),
     "wire_amount_out"    -> ((s, d) => WireViews.wireAmountOutBuy(s, d)),
+    "wire_amount_out_sell" -> ((s, d) => WireViews.wireAmountOutSell(s, d)),
     // ── OLAP / bench surface (SURVEY §7.2 M7) ──────────────────────────────
     "q1_pricing_summary"  -> ((s, d) => Olap.q1PricingSummary(s, d)),
     "q6_revenue"          -> ((s, d) => Olap.q6Revenue(s, d)),
@@ -99,6 +100,7 @@ object SparkEntry {
     "dedup_select"    -> ((s, d) => CurationOps.dedupSelect(s, d)),
     "decontaminate"   -> ((s, d) => CurationOps.decontaminate(s, d)),
     "decontaminate_bloom" -> ((s, d) => CurationOps.decontaminateBloom(s, d)),
+    "domain_mix"      -> ((s, d) => CurationOps.domainMix(s, d)),
     "embed_quantize"  -> ((s, d) => CurationOps.embedQuantize(s, d)),
     "pack_chunks"     -> ((s, d) => CurationOps.packChunks(s, d)),
     "simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
@@ -141,6 +143,7 @@ object SparkEntry {
     "wire_latest_price"  -> OracleSql.wireLatestPriceSql,
     "wire_market_orders" -> OracleSql.wireMarketOrdersSql,
     "wire_amount_out"    -> OracleSql.wireAmountOutBuySql,
+    "wire_amount_out_sell" -> OracleSql.wireAmountOutSellSql,
     "q1_pricing_summary"  -> OlapSql.q1Sql,
     "q6_revenue"          -> OlapSql.q6Sql,
     "q3_shipping_priority" -> OlapSql.q3Sql,
@@ -180,6 +183,7 @@ object SparkEntry {
     "decontaminate"   -> TextSql.decontaminateSql,
     // bit-identical to the exact form by construction — same oracle
     "decontaminate_bloom" -> TextSql.decontaminateSql,
+    "domain_mix"      -> TextSql.domainMixSql,
     "embed_quantize"  -> TextSql.embedQuantizeSql,
     "pack_chunks"     -> TextSql.packChunksSql,
     "simhash"         -> TextSql.simhashSql,

@@ -113,6 +113,43 @@ object CurationOps {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Domain-mix rebalancing: the corpus-mixing audit+plan of a training
+    * pipeline. Per (lang, source) stratum: actual mix share, the uniform
+    * target share, an integer keep rate that rebalances toward the target
+    * (capped at 1000‰ — undersampled strata are kept whole, upsampling is a
+    * repeat factor decided downstream), and the realized kept count under
+    * the same deterministic hash-mod rule as [[TextAnalysis.stratifiedSample]]
+    * — reproducible across engines, runs, and cluster sizes, no RNG state.
+    *
+    * Everything is INTEGER arithmetic (permille via integer division), so
+    * the gate is exact by construction. Scale shape: the stratum plan is an
+    * aggregate of the corpus (strata-count rows — the global window runs
+    * over that tiny frame, not the data); applying it back is a broadcast
+    * join + pre-aggregated count shuffle. Docs themselves never shuffle.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val strata = docs.groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(lit(1))
+    val plan = strata
+      .withColumn("tot", sum("n_docs").over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .select(col("lang"), col("source"), col("n_docs"),
+        expr("n_docs * 1000 div tot").as("mix_permille"),
+        expr("1000 div k").as("target_permille"),
+        least(lit(1000L), expr("tot * 1000 div (k * n_docs)"))
+          .as("keep_permille"))
+    val kept = docs
+      .join(broadcast(plan.select("lang", "source", "keep_permille")),
+        Seq("lang", "source"))
+      .filter(TextAnalysis.mdhash(col("doc_id").cast("string")) % 1000 <
+        col("keep_permille"))
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_kept"))
+    plan.join(kept, Seq("lang", "source"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+  }
+
   /** Symmetric int8 quantization of L2-normalized embeddings:
     * q_d = ⌊127·x_d / ‖x‖ + 0.5⌋. One row per (vec_id, dimension).
     *

@@ -69,4 +69,16 @@ object WireViews {
       WireFixture.pools(spark, dir),
       BookViews.priceLevels(oc), amountIn, maxLevels = 100)
   }
+
+  /** SELL direction of [[wireAmountOutBuy]]: the bid-side cumulative volume
+    * scan over the same wire-built book — completes W4 parity through the
+    * ingest path in both trade directions.
+    */
+  def wireAmountOutSell(spark: SparkSession, dir: String,
+                        amountIn: BigDecimal = BigDecimal("500.00")): DataFrame = {
+    val oc = WireOrderFold.ordersByOrderIdExact(norm(spark, dir))
+    BookQueries.amountOutSellFrom(
+      WireFixture.pools(spark, dir),
+      BookViews.priceLevels(oc), amountIn, maxLevels = 100)
+  }
 }

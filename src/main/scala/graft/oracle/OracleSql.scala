@@ -181,9 +181,8 @@ object OracleSql {
     s"""WITH $priceLevelsCte,
        |$amountOutBuyTail""".stripMargin
 
-  val amountOutSellSql: String =
-    s"""WITH $priceLevelsCte,
-       |sim AS (
+  private val amountOutSellTail: String =
+    """sim AS (
        |  SELECT *, SUM(volume) OVER (PARTITION BY pool ORDER BY price_lvl DESC
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vol
        |  FROM (
@@ -218,6 +217,10 @@ object OracleSql {
        |  COALESCE(agg.hit_prices, '') AS hit_prices
        |FROM (SELECT DISTINCT pool FROM order_events) p
        |LEFT JOIN agg ON p.pool = agg.pool""".stripMargin
+
+  val amountOutSellSql: String =
+    s"""WITH $priceLevelsCte,
+       |$amountOutSellTail""".stripMargin
 
   val userOrdersSql: String =
     s"""WITH $ordersCurrentCte
@@ -347,6 +350,26 @@ object OracleSql {
        |  FROM oc WHERE active
        |  GROUP BY 1, 2, 3),
        |$amountOutBuyTail""".stripMargin
+
+  /** SELL direction of [[wireAmountOutBuySql]] — same wire-fold book, the
+    * bid-side cumulative volume scan.
+    */
+  val wireAmountOutSellSql: String =
+    s"""WITH $wireFoldCte,
+       |oc AS (
+       |  SELECT pool, price,
+       |    CASE WHEN order_id % 2 = 0 THEN 'BUY' ELSE 'SELL' END AS side,
+       |    CASE WHEN COALESCE(upd_amount, amount0) > filled
+       |         THEN CAST(COALESCE(upd_amount, amount0) - filled AS DECIMAL(28,2))
+       |         ELSE CAST(0 AS DECIMAL(28,2)) END AS remaining,
+       |    (cancelled = 0 AND COALESCE(upd_amount, amount0) > filled) AS active
+       |  FROM folded),
+       |price_levels AS (
+       |  SELECT pool, side, CAST(FLOOR(price) AS BIGINT) AS price_lvl,
+       |         SUM(remaining) AS volume, COUNT(*) AS n_orders
+       |  FROM oc WHERE active
+       |  GROUP BY 1, 2, 3),
+       |$amountOutSellTail""".stripMargin
 
   /** Oracle for [[graft.operators.WireCatalog.wirePoolCatalog]]: the factory
     * registry derived directly from the pool universe — independent of the

@@ -555,6 +555,34 @@ object TextSql {
        |    ORDER BY n_chars DESC, doc_id ASC) AS keep
        |FROM sized""".stripMargin
 
+  /** Mirror of [[graft.functions.CurationOps.domainMix]] — pure integer
+    * permille arithmetic (`//` ≙ Spark `div`), hash-mod keep rule shared
+    * with [[stratifiedSampleSql]].
+    */
+  val domainMixSql: String =
+    s"""WITH s AS (
+       |  SELECT lang, source, COUNT(*) AS n_docs
+       |  FROM documents GROUP BY lang, source),
+       |p AS (
+       |  SELECT lang, source, n_docs,
+       |    n_docs * 1000 // SUM(n_docs) OVER () AS mix_permille,
+       |    1000 // COUNT(*) OVER () AS target_permille,
+       |    LEAST(1000, SUM(n_docs) OVER () * 1000
+       |      // (COUNT(*) OVER () * n_docs)) AS keep_permille
+       |  FROM s),
+       |k AS (
+       |  SELECT d.lang, d.source, COUNT(*) AS n_kept
+       |  FROM documents d JOIN p USING (lang, source)
+       |  WHERE ${mdh("CAST(d.doc_id AS VARCHAR)")} % 1000 < p.keep_permille
+       |  GROUP BY d.lang, d.source)
+       |SELECT p.lang, p.source,
+       |  CAST(p.n_docs AS BIGINT) AS n_docs,
+       |  CAST(p.mix_permille AS BIGINT) AS mix_permille,
+       |  CAST(p.target_permille AS BIGINT) AS target_permille,
+       |  CAST(p.keep_permille AS BIGINT) AS keep_permille,
+       |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+       |FROM p LEFT JOIN k USING (lang, source)""".stripMargin
+
   /** Mirror of [[graft.functions.FrequentItems.approxTopK]]'s exact side;
     * the `within_bound` MG claim is constant-true by the mergeable-summary
     * guarantee (see the Scaladoc there), so the oracle pins it to TRUE.

@@ -41,6 +41,27 @@ class CurationSpec extends SparkSpec {
       s"bloom variant diverged: ${(bloom -- exact).take(3)} vs ${(exact -- bloom).take(3)}")
   }
 
+  test("domain_mix: undersampled strata kept whole, oversampled strata cut toward target") {
+    val rows = CurationOps.domainMix(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    val tot = rows.map(_.getAs[Long]("n_docs")).sum
+    val k = rows.length
+    rows.foreach { r =>
+      val (n, keep, kept) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("keep_permille"), r.getAs[Long]("n_kept"))
+      assert(kept <= n)
+      if (n * k <= tot) { // at or below the uniform target share
+        assert(keep == 1000L, s"undersampled stratum cut: $r")
+        assert(kept == n, s"keep_permille=1000 must keep everything: $r")
+      } else {
+        assert(keep < 1000L, s"oversampled stratum not cut: $r")
+        // integer-division plan: realized keep tracks the planned rate
+        // loosely (hash-mod is uniform, strata here are small)
+        assert(kept <= n, s"kept more than present: $r")
+      }
+    }
+  }
+
   test("pack_chunks: greedy bins are dense, ordered, and bounded") {
     val p = CurationOps.packChunks(spark, sfTiny, budget = 512).cache()
     assert(p.filter(col("bin_offset") < 0 || col("bin_offset") >= 512).count() == 0,
