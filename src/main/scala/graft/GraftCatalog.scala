@@ -33,6 +33,10 @@ object GraftCatalog {
       org.apache.spark.sql.functions.udaf(
         new OrderFold.FoldSqlAggregator(),
         org.apache.spark.sql.Encoders.product[OrderFold.Ev]))
+    // the heavy-hitters sketch as a SQL aggregate: mg_topk(token) → map
+    spark.udf.register("mg_topk",
+      org.apache.spark.sql.functions.udaf(
+        new graft.functions.MisraGriesAgg(64)))
   }
 
   /** The 100 TB layout, concretely (SCALING.md "Data layout"): write the

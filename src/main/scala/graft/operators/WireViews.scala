@@ -29,7 +29,14 @@ object WireViews {
     * only (pool, price, order) triples (A4 through the wire path).
     */
   def wireLatestPrice(spark: SparkSession, dir: String): DataFrame =
-    norm(spark, dir)
+    latestPriceFrom(norm(spark, dir))
+
+  /** Core of [[wireLatestPrice]], shared verbatim with the streaming lift
+    * ([[graft.streaming.WireStream.latestPriceStream]]) — one
+    * implementation, no batch/stream drift.
+    */
+  private[graft] def latestPriceFrom(normalized: DataFrame): DataFrame =
+    normalized
       .filter(col("event_type") === "LatestPrice")
       .groupBy("pool")
       .agg(max_by(col("price"), WireOrderFold.evOrder).as("p"))

@@ -30,4 +30,16 @@ object WireStream {
                        fidelity: Boolean = false): DataFrame =
     WireOrderFold.ordersByOrderId(
       WireEvents.normalize(frames, pools, tokens, sort = false), fidelity)
+
+  /** `latest_price` as a streaming aggregation: the SAME
+    * [[graft.operators.WireViews.latestPriceFrom]] `max_by` over the
+    * injective (block, log_index) order runs in Update mode — per-pool
+    * last-trade state is a single (price, order) pair per key in the state
+    * store, emitted on change (≙ the reference's LatestPrice Redis upsert,
+    * `src/models/order-book.ts:361-368`).
+    */
+  def latestPriceStream(frames: DataFrame, pools: DataFrame,
+                        tokens: DataFrame): DataFrame =
+    graft.operators.WireViews.latestPriceFrom(
+      WireEvents.normalize(frames, pools, tokens, sort = false))
 }

@@ -56,6 +56,26 @@ class CatalogSpec extends SparkSpec {
     assert(viaSql.nonEmpty)
   }
 
+  test("mg_topk UDAF from SQL: sketch estimates undercount and find the heavy head") {
+    GraftCatalog.register(spark, sfTiny)
+    val row = spark.sql(
+      """SELECT mg_topk(tok) AS mg, COUNT(*) AS n FROM (
+        |  SELECT explode(regexp_extract_all(text, '[a-z0-9]+', 0)) AS tok
+        |  FROM documents) t""".stripMargin).collect()(0)
+    val mg = row.getMap[String, Long](0)
+    val n = row.getLong(1)
+    assert(mg.nonEmpty && mg.size <= 64)
+    val exact = spark.sql(
+      """SELECT tok, COUNT(*) AS c FROM (
+        |  SELECT explode(regexp_extract_all(text, '[a-z0-9]+', 0)) AS tok
+        |  FROM documents) t GROUP BY tok""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    mg.foreach { case (t, est) => assert(est <= exact(t), s"overestimate for $t") }
+    exact.foreach { case (t, c) =>
+      assert((c - mg.getOrElse(t, 0L)) * 65 <= n, s"MG bound violated for $t")
+    }
+  }
+
   test("bucketed state layout: single-bucket reads for per-pool queries") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     GraftCatalog.writeBucketedState(spark, sfTiny, "oc_bucketed_test", buckets = 4)

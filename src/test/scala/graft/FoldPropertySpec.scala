@@ -56,4 +56,37 @@ class FoldPropertySpec extends AnyFunSuite {
     assert(OrderFold.fold(Nil).isEmpty)
     assert(OrderFold.fold(List(Ev("p", 1, 0, 4, 100, 0), Ev("p", 1, 1, 6, 0, 0))).isEmpty)
   }
+
+  test("Misra-Gries: est ≤ true and true − est ≤ n/(k+1) under random streams and merge shapes") {
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val k = 2 + rnd.nextInt(30)
+      val n = 1 + rnd.nextInt(3000)
+      // skewed alphabet: small vocab + a zipf-ish hot head
+      val vocab = 1 + rnd.nextInt(150)
+      val stream = Seq.fill(n) {
+        if (rnd.nextInt(3) == 0) "hot" else s"w${rnd.nextInt(vocab)}"
+      }
+      val agg = new graft.functions.MisraGriesAgg(k)
+      // random partitioning into 1..8 chunks, random fold order of merges
+      val chunks = {
+        val nc = 1 + rnd.nextInt(8)
+        val cuts = (Seq(0, n) ++ Seq.fill(nc - 1)(rnd.nextInt(n + 1)))
+          .distinct.sorted
+        cuts.zip(cuts.tail).map { case (a, b) => stream.slice(a, b) }
+      }
+      val partials = rnd.shuffle(chunks.map(_.foldLeft(agg.zero)(agg.reduce)))
+      val sketch = partials.reduceLeft(agg.merge)
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(sketch.size <= k, s"k=$k overflowed: ${sketch.size}")
+      sketch.foreach { case (t, est) =>
+        assert(est <= exact.getOrElse(t, 0L), s"overestimate for $t")
+      }
+      exact.foreach { case (t, c) =>
+        val est = sketch.getOrElse(t, 0L)
+        assert((c - est) * (k + 1) <= n,
+          s"bound violated: k=$k n=$n item=$t exact=$c est=$est")
+      }
+    }
+  }
 }

@@ -74,4 +74,42 @@ class WireStreamSpec extends SparkSpec {
     }
     assert(diverged.isEmpty, s"state diverged for keys: ${diverged.take(5)}")
   }
+
+  test("streaming latest_price across micro-batches == batch view") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val frames = WireFixture.frames(spark, sfTiny)
+    val pools = WireFixture.pools(spark, sfTiny)
+    val tokens = WireFixture.tokens(spark, sfTiny)
+    val all = frames.collect().map(r => Frame(
+      r.getAs[Long]("block_number"), r.getAs[Int]("log_index"),
+      r.getAs[java.sql.Timestamp]("block_time"),
+      r.getAs[String]("pool"), r.getAs[String]("event_type"),
+      r.getAs[String]("payload"))).sortBy(f => (f.block_number, f.log_index))
+
+    val source = MemoryStream[Frame]
+    val lp = WireStream.latestPriceStream(source.toDF(), pools, tokens)
+    val state = scala.collection.mutable.Map.empty[String, Double]
+    val query = lp.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          state(r.getAs[String]("pool")) = r.getAs[Double]("latest_price")
+        }
+      }
+      .start()
+    try {
+      val cut = all.length / 2
+      source.addData(all.slice(0, cut).toIndexedSeq); query.processAllAvailable()
+      source.addData(all.slice(cut, all.length).toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val batchLp = graft.operators.WireViews.wireLatestPrice(spark, sfTiny)
+      .collect().map(r => r.getAs[String]("pool") -> r.getAs[Double]("latest_price"))
+      .toMap
+    assert(batchLp.nonEmpty)
+    assert(state.toMap == batchLp,
+      s"streaming latest_price diverged: ${state.toMap} vs $batchLp")
+  }
 }
