@@ -244,18 +244,21 @@ object TextAnalysis {
     * frequent token and the fraction of bigram occurrences that are repeats.
     * High values mark degenerate/boilerplate text a training pipeline drops.
     *
-    * One explode produces unigrams AND bigrams tagged with `n`, so the whole
-    * operator costs ONE shuffle on (doc_id, n, gram) with map-side partial
-    * counts, then a second per-doc rollup on the same doc_id prefix (AQE
-    * coalesces; key cardinality is bounded by corpus token count, no skew —
-    * the gram is in the key). Linear in corpus size at 100 TB; no per-doc
-    * quadratic HOF scan, so million-token documents are fine.
+    * One explode produces unigrams AND bigrams tagged with `n`; the ONLY
+    * shuffle is a doc_id repartition of the raw documents BEFORE the
+    * explode — HashPartitioning(doc_id) satisfies the clustering
+    * requirement of both the (doc_id, n, gram) count and the per-doc
+    * rollup, so the gram stream never crosses the network (shuffling text
+    * once beats shuffling the ~2× larger gram-count stream twice). Linear
+    * in corpus size at 100 TB; no per-doc quadratic HOF scan, so
+    * million-token documents are fine.
     */
   def repSignals(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val grams = docs
       .select(col("doc_id"), col("lang"), col("source"),
         tokens(col("text")).as("t"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"),
         explode(concat(
           transform(col("t"), x => struct(lit(1).as("n"), x.as("gram"))),

@@ -117,16 +117,16 @@ class PlanSpec extends SparkSpec {
       s"rank<=k not pushed below the window shuffle:\n$plan")
   }
 
-  test("rep_signals: prunes to the 4 used columns, counts-only shuffles with map-side combine") {
+  test("rep_signals: prunes to the 4 used columns, single doc_id shuffle") {
     val df = graft.functions.TextAnalysis.repSignals(spark, sfTiny)
     val plan = physicalPlan(df)
     // only doc_id/lang/source/text leave the scan — n_chars must be pruned
     assert(!plan.contains("n_chars"), s"scan reads unneeded n_chars:\n$plan")
-    // both aggregations combine map-side: partial then final HashAggregate
-    assert(plan.contains("partial_count") || plan.contains("partial_"),
-      s"no map-side partial aggregation before the gram shuffle:\n$plan")
-    assert(shuffles(df) <= 2,
-      s"repetition signals should cost at most two count shuffles:\n$plan")
+    // the doc_id repartition is the ONLY exchange: both aggregations are
+    // partition-local above it (HashPartitioning(doc_id) satisfies their
+    // clustering requirements) — the gram stream never crosses the network
+    assert(shuffles(df) == 1,
+      s"repetition signals should cost exactly the one doc_id text shuffle:\n$plan")
   }
 
   test("decontaminate_bloom: membership probe filters the probe side below the join") {
