@@ -92,6 +92,7 @@ object SparkEntry {
     // the scale-path composition: exact jaccard verify on LSH candidates
     // only, no doc-id bound (the all-pairs form above is the yardstick)
     "ngram_jaccard_lsh" -> ((s, d) => DedupOps.ngramJaccardLsh(s, d)),
+    "dup_spans"       -> ((s, d) => DedupOps.dupSpans(s, d)),
     "minhash_lsh"     -> ((s, d) => DedupOps.minhashLsh(s, d)),
     "dedup_clusters"  -> ((s, d) => DedupOps.dedupClusters(s, d)),
     // the un-memoized fixpoint: same result, but BENCH times the iterative
@@ -176,6 +177,7 @@ object SparkEntry {
     "dedup_exact"     -> TextSql.exactDedupSql,
     "ngram_jaccard"   -> TextSql.ngramJaccardSql,
     "ngram_jaccard_lsh" -> TextSql.ngramJaccardLshSql,
+    "dup_spans"       -> TextSql.dupSpansSql,
     "minhash_lsh"     -> TextSql.minhashLshSql,
     "dedup_clusters"  -> TextSql.dedupClustersSql,
     "dedup_clusters_fresh" -> TextSql.dedupClustersSql,

@@ -349,4 +349,42 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair may collide in several segments
   }
+
+  /** Cross-document substring duplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", at token-n-gram
+    * granularity): per document, how many of its token L-gram positions
+    * carry an L-gram that also occurs in at least one OTHER document — the
+    * memorization-risk signal that motivates substring-level dedup, distinct
+    * from the per-PAIR similarity family (Jaccard/MinHash/SimHash measure
+    * how alike two docs are; this measures how much of each doc is
+    * boilerplate shared with ANYWHERE in the corpus).
+    *
+    * Scale shape mirrors [[graft.functions.TextAnalysis.repSignals]]'s
+    * one-repartition trick on the hash side: repartition the gram stream by
+    * h once, then the (h, doc_id) count AND the per-h doc-frequency window
+    * are both partition-local; the only other exchange carries per-doc
+    * partial sums. Only 60-bit hashes shuffle, never text.
+    */
+  def dupSpans(spark: SparkSession, dir: String, L: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= L)
+      // explode positions of an attribute, not the regex (see shingles note)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - L)).as("i"))
+      .select(col("doc_id"), mdhash(concat_ws(" ",
+        (0 until L).map(j => element_at(col("t"), col("i") + j + 1)): _*))
+        .as("h"))
+    val byHashDoc = grams.repartition(col("h"))
+      .groupBy("h", "doc_id").agg(count(lit(1)).as("cnt"))
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy("h")))
+    byHashDoc.groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_grams"),
+        coalesce(sum(when(col("ndocs") >= 2, col("cnt"))), lit(0L))
+          .as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        bround(col("n_dup_grams").cast("double") / col("n_grams"), 6)
+          .cast("decimal(10,6)").cast("double").as("dup_gram_frac"))
+  }
 }

@@ -49,7 +49,14 @@ object WireViews {
     * pushed into the scan.
     */
   def wireMarketOrders(spark: SparkSession, dir: String): DataFrame =
-    norm(spark, dir)
+    marketOrdersFrom(norm(spark, dir))
+
+  /** Core of [[wireMarketOrders]], shared with the streaming lift
+    * ([[graft.streaming.WireStream.marketOrdersStream]]): a stateless
+    * filtered projection, so the stream form is pure Append mode.
+    */
+  private[graft] def marketOrdersFrom(normalized: DataFrame): DataFrame =
+    normalized
       .filter(col("event_type") === "MarketOrderExecuted" &&
         col("trader").cast("long") % 7 === 3)
       .select(

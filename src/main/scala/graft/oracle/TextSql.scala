@@ -555,6 +555,28 @@ object TextSql {
        |    ORDER BY n_chars DESC, doc_id ASC) AS keep
        |FROM sized""".stripMargin
 
+  /** Mirror of [[DedupOps.dupSpans]] (L = 8): token 8-gram hashes, per-h
+    * doc frequency, per-doc duplicated-position rollup.
+    */
+  val dupSpansSql: String = {
+    val gram = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH $tokCte,
+       |g AS (
+       |  SELECT doc_id, ${mdh(s"($gram)")} AS h
+       |  FROM tok, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+       |  WHERE len(t) >= 8),
+       |gd AS (SELECT h, doc_id, COUNT(*) AS cnt FROM g GROUP BY h, doc_id),
+       |gw AS (SELECT *, COUNT(*) OVER (PARTITION BY h) AS ndocs FROM gd)
+       |SELECT doc_id,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(SUM(CASE WHEN ndocs >= 2 THEN cnt END), 0) AS BIGINT)
+       |    AS n_dup_grams,
+       |  CAST(CAST(CAST(COALESCE(SUM(CASE WHEN ndocs >= 2 THEN cnt END), 0)
+       |         AS DOUBLE) / SUM(cnt) AS DECIMAL(10,6)) AS DOUBLE)
+       |    AS dup_gram_frac
+       |FROM gw GROUP BY doc_id""".stripMargin
+  }
+
   /** Mirror of [[graft.functions.CurationOps.domainMix]] — pure integer
     * permille arithmetic (`//` ≙ Spark `div`), hash-mod keep rule shared
     * with [[stratifiedSampleSql]].

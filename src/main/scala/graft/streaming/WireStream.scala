@@ -42,4 +42,14 @@ object WireStream {
                         tokens: DataFrame): DataFrame =
     graft.operators.WireViews.latestPriceFrom(
       WireEvents.normalize(frames, pools, tokens, sort = false))
+
+  /** Per-trader market-order history as a stream: a STATELESS filtered
+    * projection (Append mode, no state store) — the reference's
+    * MarketOrderExecuted array-append (`src/models/order-book.ts:184-194`)
+    * is, relationally, just the arriving rows themselves.
+    */
+  def marketOrdersStream(frames: DataFrame, pools: DataFrame,
+                         tokens: DataFrame): DataFrame =
+    graft.operators.WireViews.marketOrdersFrom(
+      WireEvents.normalize(frames, pools, tokens, sort = false))
 }

@@ -75,6 +75,30 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("dup_spans matches a straight-line recomputation and is non-vacuous") {
+    val got = DedupOps.dupSpans(spark, sfTiny).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").collect()
+      .map(d => d.getLong(0) -> "[a-z0-9]+".r.findAllIn(d.getString(1)).toSeq)
+    val grams = docs.map { case (id, toks) =>
+      id -> toks.sliding(8).filter(_.size == 8).map(_.mkString(" ")).toSeq
+    }.toMap
+    val docFreq = grams.toSeq
+      .flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    grams.foreach { case (id, gs) =>
+      if (gs.isEmpty) assert(!got.contains(id), s"doc $id has <8 tokens but a row")
+      else {
+        val row = got(id)
+        assert(row.getAs[Long]("n_grams") == gs.size)
+        assert(row.getAs[Long]("n_dup_grams") == gs.count(docFreq(_) >= 2))
+      }
+    }
+    assert(got.values.exists(_.getAs[Long]("n_dup_grams") > 0),
+      "corpus has no cross-doc duplicated 8-grams — the gate would be vacuous")
+  }
+
   test("simhash pairs: banded candidates reproduce the exact all-pairs result") {
     import spark.implicits._
     // pigeonhole banding has PERFECT recall for hamming <= maxHamming —

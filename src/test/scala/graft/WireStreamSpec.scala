@@ -112,4 +112,41 @@ class WireStreamSpec extends SparkSpec {
     assert(state.toMap == batchLp,
       s"streaming latest_price diverged: ${state.toMap} vs $batchLp")
   }
+
+  test("streaming market-order history (Append, stateless) == batch view") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val frames = WireFixture.frames(spark, sfTiny)
+    val pools = WireFixture.pools(spark, sfTiny)
+    val tokens = WireFixture.tokens(spark, sfTiny)
+    val all = frames.collect().map(r => Frame(
+      r.getAs[Long]("block_number"), r.getAs[Int]("log_index"),
+      r.getAs[java.sql.Timestamp]("block_time"),
+      r.getAs[String]("pool"), r.getAs[String]("event_type"),
+      r.getAs[String]("payload"))).sortBy(f => (f.block_number, f.log_index))
+
+    val source = MemoryStream[Frame]
+    val mo = WireStream.marketOrdersStream(source.toDF(), pools, tokens)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val query = mo.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows ++= batch.collect().map(_.toSeq)
+        ()
+      }
+      .start()
+    try {
+      val cut = all.length / 2
+      source.addData(all.slice(0, cut).toIndexedSeq); query.processAllAvailable()
+      source.addData(all.slice(cut, all.length).toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val batchRows = graft.operators.WireViews.wireMarketOrders(spark, sfTiny)
+      .collect().map(_.toSeq)
+    assert(batchRows.nonEmpty)
+    // Append mode: each qualifying event emitted exactly once, no dupes/loss
+    assert(rows.sortBy(_.toString) == batchRows.toSeq.sortBy(_.toString),
+      s"stream emitted ${rows.length} rows, batch has ${batchRows.length}")
+  }
 }
