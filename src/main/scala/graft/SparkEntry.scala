@@ -120,6 +120,7 @@ object SparkEntry {
     "tfidf_topk"      -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "rep_signals"     -> ((s, d) => TextAnalysis.repSignals(s, d)),
+    "gopher_filter"   -> ((s, d) => TextAnalysis.gopherFilter(s, d)),
     "approx_topk"     -> ((s, d) => FrequentItems.approxTopK(s, d)),
   )
 
@@ -204,6 +205,7 @@ object SparkEntry {
     "tfidf_topk"      -> TextSql.tfidfTopKSql,
     "stratified_sample" -> TextSql.stratifiedSampleSql,
     "rep_signals"     -> TextSql.repSignalsSql,
+    "gopher_filter"   -> TextSql.gopherFilterSql,
     "approx_topk"     -> TextSql.approxTopKSql,
   )
 }

@@ -290,6 +290,60 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("dup_bigram_frac"))
   }
 
+  /** Stopword list shared by [[textStats]]' stop_ratio, [[gopherFilter]],
+    * and their oracle mirrors.
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "to", "in", "is")
+
+  /** The full Gopher-style quality rule set (Rae et al. 2021 §A.1.1) as ONE
+    * composed decision over the three signal families: length/shape
+    * (token count, mean word length, stopword presence), repetition
+    * ([[repSignals]]: top-unigram share, duplicated-bigram share), and
+    * corpus-wide boilerplate ([[DedupOps.dupSpans]]: cross-document
+    * substring duplication). Every threshold is integer arithmetic
+    * (a·10 ≤ b·k), so the verdict is exact across engines; failed checks
+    * surface as a deterministic comma-joined reason list (`concat_ws`
+    * skips the null slots of passed checks in both engines).
+    *
+    * Scale shape: three per-doc aggregate pipelines joined on doc_id —
+    * each is the already-gated operator's plan; the join keys are per-doc
+    * rollups (tiny vs the corpus), so the composition adds doc_id-keyed
+    * shuffles of summaries, never text.
+    */
+  def gopherFilter(spark: SparkSession, dir: String): DataFrame = {
+    val rep = repSignals(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("top_token_count"), col("n_bigrams"), col("dup_bigram_excess"))
+    val dup = DedupOps.dupSpans(spark, dir)
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"))
+    val shape = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        aggregate(transform(col("t"), x => length(x)), lit(0),
+          (acc, x) => acc + x).cast("long").as("sum_tok_len"),
+        size(filter(col("t"), x =>
+          array_contains(array(stopwords.map(lit): _*), x)))
+          .cast("long").as("n_stop"))
+    val j = rep.join(shape, Seq("doc_id"))
+      .join(dup, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_dup_grams"))
+    val cLen = col("n_tokens").between(20, 2000)
+    val cWordLen = col("sum_tok_len") >= col("n_tokens") * 3 &&
+      col("sum_tok_len") <= col("n_tokens") * 10
+    val cStop = col("n_stop") > 0
+    val cTopTok = col("top_token_count") * 10 <= col("n_tokens") * 3
+    val cBigram = col("n_bigrams") === 0 ||
+      col("dup_bigram_excess") * 10 <= col("n_bigrams") * 3
+    val cSubstr = col("n_dup_grams") * 10 <= col("n_grams") * 6
+    j.select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+      (cLen && cWordLen && cStop && cTopTok && cBigram && cSubstr).as("passed"),
+      concat_ws(",",
+        when(!cLen, "length"), when(!cWordLen, "word_length"),
+        when(!cStop, "no_stopwords"), when(!cTopTok, "top_token"),
+        when(!cBigram, "dup_bigrams"), when(!cSubstr, "boilerplate"))
+        .as("reject_reasons"))
+  }
+
   /** 31^i mod P for i in 0..7 — shared with the oracle SQL. */
   val polyPows: Seq[Long] = Iterator.iterate(1L)(x => x * 31 % P).take(8).toSeq
 

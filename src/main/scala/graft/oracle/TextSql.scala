@@ -558,15 +558,20 @@ object TextSql {
   /** Mirror of [[DedupOps.dupSpans]] (L = 8): token 8-gram hashes, per-h
     * doc frequency, per-doc duplicated-position rollup.
     */
-  val dupSpansSql: String = {
+  // token 8-gram doc-frequency CTEs, shared by dupSpansSql / gopherFilterSql
+  private val dupGramCtes: String = {
     val gram = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
-    s"""WITH $tokCte,
-       |g AS (
+    s"""g8 AS (
        |  SELECT doc_id, ${mdh(s"($gram)")} AS h
        |  FROM tok, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
        |  WHERE len(t) >= 8),
-       |gd AS (SELECT h, doc_id, COUNT(*) AS cnt FROM g GROUP BY h, doc_id),
-       |gw AS (SELECT *, COUNT(*) OVER (PARTITION BY h) AS ndocs FROM gd)
+       |gd AS (SELECT h, doc_id, COUNT(*) AS cnt FROM g8 GROUP BY h, doc_id),
+       |gw AS (SELECT *, COUNT(*) OVER (PARTITION BY h) AS ndocs FROM gd)""".stripMargin
+  }
+
+  val dupSpansSql: String =
+    s"""WITH $tokCte,
+       |$dupGramCtes
        |SELECT doc_id,
        |  CAST(SUM(cnt) AS BIGINT) AS n_grams,
        |  CAST(COALESCE(SUM(CASE WHEN ndocs >= 2 THEN cnt END), 0) AS BIGINT)
@@ -575,6 +580,60 @@ object TextSql {
        |         AS DOUBLE) / SUM(cnt) AS DECIMAL(10,6)) AS DOUBLE)
        |    AS dup_gram_frac
        |FROM gw GROUP BY doc_id""".stripMargin
+
+  /** Mirror of [[TextAnalysis.gopherFilter]]: the three signal families
+    * joined per doc, integer-threshold checks, `concat_ws` reason list
+    * (skips NULL slots in both engines). Stopword list interpolated from
+    * the same Scala constant as the Spark side.
+    */
+  val gopherFilterSql: String = {
+    val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+    val cLen = "(n_tokens BETWEEN 20 AND 2000)"
+    val cWordLen = "(sum_tok_len >= n_tokens * 3 AND sum_tok_len <= n_tokens * 10)"
+    val cStop = "(n_stop > 0)"
+    val cTopTok = "(top_token_count * 10 <= n_tokens * 3)"
+    val cBigram = "(n_bigrams = 0 OR dup_bigram_excess * 10 <= n_bigrams * 3)"
+    val cSubstr = "(n_dup_grams * 10 <= n_grams * 6)"
+    s"""WITH $tokCte,
+       |$repGramCtes,
+       |rep AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(SUM(CASE WHEN n = 1 THEN cnt END) AS BIGINT) AS n_tokens,
+       |    CAST(MAX(CASE WHEN n = 1 THEN cnt END) AS BIGINT) AS top_token_count,
+       |    CAST(COALESCE(SUM(CASE WHEN n = 2 THEN cnt END), 0) AS BIGINT)
+       |      AS n_bigrams,
+       |    CAST(COALESCE(SUM(CASE WHEN n = 2 THEN cnt - 1 END), 0) AS BIGINT)
+       |      AS dup_bigram_excess
+       |  FROM c GROUP BY doc_id, lang, source),
+       |$dupGramCtes,
+       |dup AS (
+       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       |    CAST(COALESCE(SUM(CASE WHEN ndocs >= 2 THEN cnt END), 0) AS BIGINT)
+       |      AS n_dup_grams
+       |  FROM gw GROUP BY doc_id),
+       |shape AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+       |      AS sum_tok_len,
+       |    CAST(len(list_filter(t, x -> list_contains($stops, x))) AS BIGINT)
+       |      AS n_stop
+       |  FROM tok),
+       |j AS (
+       |  SELECT rep.*, shape.sum_tok_len, shape.n_stop,
+       |    COALESCE(dup.n_grams, 0) AS n_grams,
+       |    COALESCE(dup.n_dup_grams, 0) AS n_dup_grams
+       |  FROM rep JOIN shape USING (doc_id) LEFT JOIN dup USING (doc_id))
+       |SELECT doc_id, lang, source, n_tokens,
+       |  ($cLen AND $cWordLen AND $cStop AND $cTopTok AND $cBigram AND $cSubstr)
+       |    AS passed,
+       |  concat_ws(',',
+       |    CASE WHEN NOT $cLen THEN 'length' END,
+       |    CASE WHEN NOT $cWordLen THEN 'word_length' END,
+       |    CASE WHEN NOT $cStop THEN 'no_stopwords' END,
+       |    CASE WHEN NOT $cTopTok THEN 'top_token' END,
+       |    CASE WHEN NOT $cBigram THEN 'dup_bigrams' END,
+       |    CASE WHEN NOT $cSubstr THEN 'boilerplate' END) AS reject_reasons
+       |FROM j""".stripMargin
   }
 
   /** Mirror of [[graft.functions.CurationOps.domainMix]] — pure integer
@@ -622,18 +681,24 @@ object TextSql {
     * per-doc rollup. SUM(BIGINT) is HUGEINT in DuckDB → explicit BIGINT
     * casts; ratio columns use the shared bround-as-DECIMAL(10,6) bridge.
     */
+  // tagged unigram/bigram count CTEs, shared by repSignalsSql /
+  // gopherFilterSql — a def: object vals initialize in declaration order
+  // and this is referenced from earlier-declared SQL
+  private def repGramCtes: String =
+    """g AS (
+      |  SELECT doc_id, lang, source, 1 AS n, t[i] AS gram
+      |  FROM tok, UNNEST(generate_series(1, len(t))) AS u(i)
+      |  UNION ALL
+      |  SELECT doc_id, lang, source, 2 AS n, t[i] || ' ' || t[i+1] AS gram
+      |  FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 2),
+      |c AS (
+      |  SELECT doc_id, lang, source, n, gram, COUNT(*) AS cnt
+      |  FROM g GROUP BY doc_id, lang, source, n, gram)""".stripMargin
+
   val repSignalsSql: String =
     s"""WITH $tokCte,
-       |g AS (
-       |  SELECT doc_id, lang, source, 1 AS n, t[i] AS gram
-       |  FROM tok, UNNEST(generate_series(1, len(t))) AS u(i)
-       |  UNION ALL
-       |  SELECT doc_id, lang, source, 2 AS n, t[i] || ' ' || t[i+1] AS gram
-       |  FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
-       |  WHERE len(t) >= 2),
-       |c AS (
-       |  SELECT doc_id, lang, source, n, gram, COUNT(*) AS cnt
-       |  FROM g GROUP BY doc_id, lang, source, n, gram)
+       |$repGramCtes
        |SELECT doc_id, lang, source,
        |  CAST(SUM(CASE WHEN n = 1 THEN cnt END) AS BIGINT) AS n_tokens,
        |  CAST(MAX(CASE WHEN n = 1 THEN cnt END) AS BIGINT) AS top_token_count,

@@ -99,6 +99,23 @@ class LlmOpsSpec extends SparkSpec {
       "corpus has no cross-doc duplicated 8-grams — the gate would be vacuous")
   }
 
+  test("gopher filter: verdict consistent with reasons, both outcomes present") {
+    val rows = TextAnalysis.gopherFilter(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    val allowed = Set("length", "word_length", "no_stopwords", "top_token",
+      "dup_bigrams", "boilerplate")
+    rows.foreach { r =>
+      val passed = r.getAs[Boolean]("passed")
+      val reasons = r.getAs[String]("reject_reasons")
+      assert(passed == reasons.isEmpty,
+        s"verdict/reasons inconsistent: $r")
+      if (reasons.nonEmpty)
+        assert(reasons.split(",").forall(allowed), s"unknown reason in $r")
+    }
+    assert(rows.exists(_.getAs[Boolean]("passed")), "no doc passes — vacuous")
+    assert(rows.exists(!_.getAs[Boolean]("passed")), "no doc fails — vacuous")
+  }
+
   test("simhash pairs: banded candidates reproduce the exact all-pairs result") {
     import spark.implicits._
     // pigeonhole banding has PERFECT recall for hamming <= maxHamming —

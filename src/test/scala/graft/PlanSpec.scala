@@ -129,6 +129,15 @@ class PlanSpec extends SparkSpec {
       s"repetition signals should cost exactly the one doc_id text shuffle:\n$plan")
   }
 
+  test("dup_spans: hash repartition serves count + doc-frequency window — two exchanges total") {
+    val df = graft.functions.DedupOps.dupSpans(spark, sfTiny)
+    val plan = physicalPlan(df)
+    assert(shuffles(df) <= 2,
+      s"dup_spans should cost the h repartition + the per-doc rollup only:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("decontaminate_bloom: membership probe filters the probe side below the join") {
     val df = graft.functions.CurationOps.decontaminateBloom(spark, sfTiny)
     val plan = physicalPlan(df)
