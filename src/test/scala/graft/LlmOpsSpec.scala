@@ -41,6 +41,21 @@ class LlmOpsSpec extends SparkSpec {
       s"LSH top-1 recall ${hits.toDouble / top1.length} implausibly low")
   }
 
+  test("IVF top-k: neighbors are true vectors and single-cell probe recall is sane") {
+    val brute = SimilarityOps.cosineTopK(spark, sfTiny, nQueries = 20, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.ivfTopK(spark, sfTiny, nQueries = 20, k = 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+    assert(ivf.nonEmpty, "IVF probe returned nothing")
+    // top-1 of a 1-probe IVF against brute-force top-5: label cells are
+    // semantic clusters, so same-cell top-1 should often be a true top-5
+    val top1 = ivf.filter(_.getLong(2) == 1).map(r => (r.getLong(0), r.getLong(1)))
+    val hits = top1.count(brute.contains)
+    assert(hits.toDouble / top1.length > 0.2,
+      s"IVF top-1 recall ${hits.toDouble / top1.length} implausibly low")
+  }
+
   test("embedding dedup: LSH candidates are a subset of brute force, recall measured") {
     val brute = SimilarityOps.embeddingDedupBruteForce(spark, sfTiny)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
