@@ -60,11 +60,14 @@ object CurationOps {
     * out in the exact inner join on the survivors; bloom filters have no
     * false negatives, so the output is bit-identical to the exact form.
     *
-    * The membership probe is a Scala UDF on a long — off codegen, but it
-    * runs on the pre-shuffle scan and replaces a full shuffle of the probe
-    * side; at cluster scale the same shape is what AQE's injected runtime
-    * bloom filter (`spark.sql.optimizer.runtime.bloomFilter.enabled`)
-    * produces natively inside the join.
+    * The membership probe is Spark's native `BloomFilterMightContain`
+    * Catalyst expression (the same predicate AQE's injected runtime bloom
+    * filter, `spark.sql.optimizer.runtime.bloomFilter.enabled`, plants
+    * inside a join) over the serialized filter as a binary literal — fully
+    * codegen'd, no Scala UDF on the hot scan. We plant it explicitly rather
+    * than relying on AQE's injection because injection is gated on runtime
+    * size-estimate thresholds that a bench-scale corpus doesn't trip; the
+    * explicit form keeps the plan deterministic at every scale.
     *
     * Cost accounting, honestly: this variant SCANS the exploded corpus more
     * often than the exact form (bloom build + train set + two test
@@ -84,13 +87,35 @@ object CurationOps {
     val raw = DedupOps.explodedShingles(spark, dir, distinctShingles = false)
       .select(col("doc_id"), mdhash(col("s")).as("h"))
     val trainRaw = raw.filter(col("doc_id") % 10 < 8)
-    // size the filter from parquet row-count metadata (docs × a generous
-    // shingles-per-doc bound), not an exact distinct count — an
-    // overestimate only pads the bit array
-    val expected = math.max(Tables.documents(spark, dir).count() * 200L, 1000L)
+    // size the filter from a cheap per-doc shingle-count ESTIMATE (chars/4
+    // generously over-counts tokens ≥ shingles for natural text), not a
+    // fixed per-doc constant: a corpus of long documents would silently
+    // blow past `docs × 200` and push fpp over the 1% target, eroding the
+    // semi-join reduction this variant exists for. One single-column scan
+    // of the train split, no explode; an overestimate only pads bits
+    // (~1.2 bytes/item at 1% fpp).
+    val expected = math.max(
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 10 < 8)
+        .agg(coalesce(
+          sum(greatest((col("n_chars") / lit(4L)).cast("long"), lit(1L))),
+          lit(1000L)).as("est"))
+        .first().getLong(0),
+      1000L)
     val bf = trainRaw.stat.bloomFilter("h", expected, 0.01)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // native codegen'd probe: BloomFilterMightContain(<filter literal>, h)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
+    val mightContain = (h: Column) =>
+      call_function("graft_bloom_might_contain", lit(bfBytes), h)
     val train = trainRaw.select(col("h")).distinct()
     // test side keeps the (doc_id, s)-level distinct of the exact form —
     // n_shingles counts distinct SHINGLES, not distinct hashes

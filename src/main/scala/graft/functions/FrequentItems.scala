@@ -26,34 +26,57 @@ import graft.sources.Tables
   * the constant-true bound, the spec asserts the estimates themselves.
   */
 class MisraGriesAgg(k: Int)
-    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    extends Aggregator[String, scala.collection.Map[String, Long], Map[String, Long]] {
 
-  def zero: Map[String, Long] = Map.empty
+  import scala.collection.mutable
 
-  def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+  // The buffer lives as an OBJECT between reduce calls (udaf → typed
+  // imperative aggregate; the encoder only runs at partition boundaries),
+  // so the hot path mutates a HashMap in place: hit/insert are O(1) and the
+  // decrement step is two in-place passes with zero allocation — the
+  // immutable-Map version rebuilt the whole k-entry map per untracked
+  // element once full, O(k) alloc per element on heavy-tail streams.
+  // Semantics (and the n/(k+1) merge bound) are unchanged.
+  private def asMutable(
+      b: scala.collection.Map[String, Long]): mutable.HashMap[String, Long] =
+    b match {
+      case m: mutable.HashMap[String, Long] @unchecked => m
+      case other => mutable.HashMap.from(other)
+    }
+
+  def zero: scala.collection.Map[String, Long] =
+    mutable.HashMap.empty[String, Long]
+
+  def reduce(b0: scala.collection.Map[String, Long], x: String): scala.collection.Map[String, Long] = {
+    val b = asMutable(b0)
     b.get(x) match {
-      case Some(c)             => b.updated(x, c + 1)
-      case None if b.size < k  => b.updated(x, 1L)
-      case None                =>
+      case Some(c)            => b(x) = c + 1
+      case None if b.size < k => b(x) = 1L
+      case None               =>
         // classic MG step: decrement all k counters, drop the zeroed ones
-        b.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
+        b.mapValuesInPlace((_, c) => c - 1)
+        b.filterInPlace((_, c) => c > 0)
     }
-
-  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val sum = b.foldLeft(a) { case (m, (t, c)) =>
-      m.updated(t, m.getOrElse(t, 0L) + c)
-    }
-    if (sum.size <= k) sum
-    else {
-      val cut = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
-      sum.flatMap { case (t, c) => if (c > cut) Some(t -> (c - cut)) else None }
-    }
+    b
   }
 
-  def finish(b: Map[String, Long]): Map[String, Long] = b
+  def merge(a0: scala.collection.Map[String, Long],
+            b0: scala.collection.Map[String, Long]): scala.collection.Map[String, Long] = {
+    val (big, small) =
+      if (a0.size >= b0.size) (asMutable(a0), b0) else (asMutable(b0), a0)
+    small.foreach { case (t, c) => big(t) = big.getOrElse(t, 0L) + c }
+    if (big.size > k) {
+      val cut = big.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+      big.mapValuesInPlace((_, c) => c - cut)
+      big.filterInPlace((_, c) => c > 0)
+    }
+    big
+  }
 
-  def bufferEncoder: ExpressionEncoder[Map[String, Long]] =
-    ExpressionEncoder[Map[String, Long]]()
+  def finish(b: scala.collection.Map[String, Long]): Map[String, Long] = b.toMap
+
+  def bufferEncoder: ExpressionEncoder[scala.collection.Map[String, Long]] =
+    ExpressionEncoder[scala.collection.Map[String, Long]]()
   def outputEncoder: ExpressionEncoder[Map[String, Long]] =
     ExpressionEncoder[Map[String, Long]]()
 }

@@ -58,7 +58,7 @@ object TextAnalysis {
           .cast("double") / col("n_tokens"), 6)
           .cast("decimal(10,6)").cast("double").as("avg_token_len"),
         bround(size(filter(col("t"), x => array_contains(
-            array(lit("the"), lit("a"), lit("of"), lit("to"), lit("in"), lit("is")), x)))
+            array(stopwords.map(lit): _*), x)))
           .cast("double") / col("n_tokens"), 6)
           .cast("decimal(10,6)").cast("double").as("stop_ratio"))
   }

@@ -45,9 +45,18 @@ object WireViews {
   /** `GET /pools/:a/:trader/market-orders` through the wire path: the
     * reference appends each MarketOrderExecuted to a per-trader array;
     * relationally it is a filtered projection of the parsed stream (A6).
-    * The trader predicate mirrors the endpoint's parameterization and is
-    * pushed into the scan.
+    * The endpoint takes pool + trader as path parameters
+    * (order-book-controller.ts:26-42) — mirrored here as a point-predicate
+    * overload, with a `where`-Column form underneath (the `userOrders` /
+    * `orderLookup` pattern, [[BookQueries]]). The CORRECTNESS gate keeps
+    * the fixture-selectivity default (`trader % 7 = 3` — many traders, so
+    * the oracle checks more than one key) unchanged.
     */
+  def wireMarketOrders(spark: SparkSession, dir: String,
+                       pool: String, trader: Long): DataFrame =
+    marketOrdersFrom(norm(spark, dir),
+      col("pool") === pool && col("trader").cast("long") === trader)
+
   def wireMarketOrders(spark: SparkSession, dir: String): DataFrame =
     marketOrdersFrom(norm(spark, dir))
 
@@ -55,10 +64,11 @@ object WireViews {
     * ([[graft.streaming.WireStream.marketOrdersStream]]): a stateless
     * filtered projection, so the stream form is pure Append mode.
     */
-  private[graft] def marketOrdersFrom(normalized: DataFrame): DataFrame =
+  private[graft] def marketOrdersFrom(
+      normalized: DataFrame,
+      where: Column = col("trader").cast("long") % 7 === 3): DataFrame =
     normalized
-      .filter(col("event_type") === "MarketOrderExecuted" &&
-        col("trader").cast("long") % 7 === 3)
+      .filter(col("event_type") === "MarketOrderExecuted" && where)
       .select(
         col("pool"), col("trader").cast("long").as("trader"),
         col("block_number"), col("log_index"),

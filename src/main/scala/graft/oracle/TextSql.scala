@@ -43,7 +43,7 @@ object TextSql {
        |  CAST(CAST(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
        |       AS DECIMAL(10,6)) AS DOUBLE) AS avg_token_len,
        |  CAST(CAST(CAST(len(list_filter(t, x -> list_contains(
-       |         ['the','a','of','to','in','is'], x))) AS DOUBLE) / len(t)
+       |         [${TextAnalysis.stopwords.map(s => s"'$s'").mkString(",")}], x))) AS DOUBLE) / len(t)
        |       AS DECIMAL(10,6)) AS DOUBLE) AS stop_ratio
        |FROM tok""".stripMargin
 

@@ -23,13 +23,27 @@ object Tables {
   // which charges every one of the ~50 bench queries ~100ms of identical
   // driver-side setup. The cached value is the analyzed plan (file index +
   // schema), NOT materialized data — executors still scan parquet with full
-  // pushdown/pruning per query.
+  // pushdown/pruning per query. BOUNDED like the cluster-view cache
+  // ([[graft.functions.DedupOps]]): entries are tiny, but a long-lived
+  // service cycling many (session, dir) pairs should not accrete them —
+  // 4 dirs × all tables stay live, insertion-ordered eviction beyond that.
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
+        size > 4 * all.size
+    }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.getOrElseUpdate((spark, dir, name),
-      spark.read.parquet(s"$dir/$name.parquet"))
+    memo.synchronized {
+      val k = (spark, dir, name)
+      val hit = memo.get(k)
+      if (hit != null) hit
+      else {
+        val v = spark.read.parquet(s"$dir/$name.parquet")
+        memo.put(k, v); v
+      }
+    }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")

@@ -31,6 +31,10 @@ object StreamOps {
 
   final class MetricsSink(maxEvents: Int = 10000) extends StreamingQueryListener {
     private val buf = new ConcurrentLinkedQueue[BatchMetric]()
+    // ConcurrentLinkedQueue.size is an O(n) traversal — track the count
+    // beside the queue so per-event eviction is O(1) and the "never block
+    // the listener bus" discipline holds at the cap, not only below it
+    private val n = new java.util.concurrent.atomic.AtomicInteger(0)
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -41,7 +45,10 @@ object StreamOps {
         p.processedRowsPerSecond,
         Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L),
         p.timestamp))
-      while (buf.size > maxEvents) buf.poll()
+      var over = n.incrementAndGet() - maxEvents
+      while (over > 0 && buf.poll() != null) {
+        n.decrementAndGet(); over -= 1
+      }
     }
 
     def metrics: Seq[BatchMetric] = buf.iterator().asScala.toSeq

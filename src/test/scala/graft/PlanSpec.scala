@@ -138,14 +138,17 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("decontaminate_bloom: membership probe filters the probe side below the join") {
+  test("decontaminate_bloom: native codegen probe filters the probe side below the join") {
     val df = graft.functions.CurationOps.decontaminateBloom(spark, sfTiny)
     val plan = physicalPlan(df)
-    // the UDF probe must sit under the exact-verify join, not above it —
-    // that ordering is the entire semi-join reduction
+    // the probe must be Spark's native BloomFilterMightContain expression
+    // (codegen'd), not a Scala UDF, and must sit UNDER the exact-verify
+    // join, not above it — that ordering is the entire semi-join reduction
+    assert(!plan.contains("UDF("),
+      s"bloom probe regressed to a Scala UDF:\n$plan")
     val joinAt = plan.indexOf("SortMergeJoin")
-    val probeAt = plan.lastIndexOf("UDF")
-    assert(probeAt >= 0, s"bloom membership probe missing from the plan:\n$plan")
+    val probeAt = plan.lastIndexOf("might_contain")
+    assert(probeAt >= 0, s"native bloom membership probe missing from the plan:\n$plan")
     assert(joinAt < 0 || probeAt > joinAt,
       s"bloom probe not below the exact-verify join:\n$plan")
     assert(!plan.contains("CartesianProduct") &&

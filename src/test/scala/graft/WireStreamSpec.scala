@@ -149,4 +149,30 @@ class WireStreamSpec extends SparkSpec {
     assert(rows.sortBy(_.toString) == batchRows.toSeq.sortBy(_.toString),
       s"stream emitted ${rows.length} rows, batch has ${batchRows.length}")
   }
+
+  test("wire_market_orders: trader path-parameter overload (endpoint parity)") {
+    import graft.operators.WireViews
+    // the full (ungated) executed-order stream, as the endpoint would see it
+    val full = WireViews.marketOrdersFrom(
+      WireEvents.normalize(
+        WireFixture.frames(spark, sfTiny),
+        WireFixture.pools(spark, sfTiny),
+        WireFixture.tokens(spark, sfTiny)),
+      lit(true)).cache()
+    try {
+      // pick a (pool, trader) OUTSIDE the gate's `% 7 = 3` default — the
+      // round-5 hard-pin could not serve this key at all
+      val r = full.filter(col("trader") % 7 =!= 3)
+        .select("pool", "trader").head()
+      val (pool, trader) = (r.getString(0), r.getLong(1))
+      val got = WireViews.wireMarketOrders(spark, sfTiny, pool, trader)
+        .collect().map(_.toSeq)
+      val want = full
+        .filter(col("pool") === pool && col("trader") === trader)
+        .collect().map(_.toSeq)
+      assert(got.nonEmpty, s"no rows for ($pool, $trader)")
+      assert(got.sortBy(_.toString).toSeq == want.sortBy(_.toString).toSeq,
+        s"param overload diverged for ($pool, $trader)")
+    } finally { full.unpersist(); () }
+  }
 }

@@ -17,8 +17,15 @@ scaling should be ~linear BY CONSTRUCTION:
   permutation preserves within-replica geometry exactly, decorrelates
   replicas.
 
-Timestamps are re-cast to timestamp[ns] via pyarrow (DuckDB COPY downgrades
-to micros; the engine reads TIMESTAMP(NANOS) via nanosAsLong).
+Timestamp columns are restored to their SOURCE parquet type via pyarrow
+(DuckDB's arrow fetch normalizes to micros). The source mixes units —
+events.ts is timestamp[ns] (read by the engine as BIGINT via nanosAsLong),
+while o_orderdate/l_shipdate are timestamp[ms] (read as real timestamps) —
+so a blanket ns cast is WRONG: it silently turned the ms date columns into
+BIGINT at sf1 and broke all 8 date-based OLAP queries in round 5
+(tools/bench_sf1_rehearsal.json round-5 `failed` list). Casting each column
+back to the unit the source file declares keeps the engine's view of sf1
+byte-compatible with sf0.1.
 
 Usage: python3 tools/scale_testdata.py [src] [dst] [R]
 """
@@ -44,10 +51,14 @@ os.makedirs(DST, exist_ok=True)
 def write(table: str, selects):
     sql = " UNION ALL ".join(selects)
     tbl = con.execute(sql).fetch_arrow_table()
-    # restore nanosecond timestamps (engine contract: TIMESTAMP(NANOS))
+    # restore each timestamp column to the unit its SOURCE column declares
+    # (ns stays ns for nanosAsLong, ms stays ms for real date columns)
+    src_schema = pq.read_schema(f"{SRC}/{table}.parquet")
+    src_types = {f.name: f.type for f in src_schema}
     fields = [
-        pa.field(f.name, pa.timestamp("ns"))
-        if pa.types.is_timestamp(f.type) else f
+        pa.field(f.name, src_types[f.name])
+        if pa.types.is_timestamp(f.type) and f.name in src_types
+        and pa.types.is_timestamp(src_types[f.name]) else f
         for f in tbl.schema
     ]
     tbl = tbl.cast(pa.schema(fields))
