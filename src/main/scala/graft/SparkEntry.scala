@@ -93,6 +93,9 @@ object SparkEntry {
     // only, no doc-id bound (the all-pairs form above is the yardstick)
     "ngram_jaccard_lsh" -> ((s, d) => DedupOps.ngramJaccardLsh(s, d)),
     "dup_spans"       -> ((s, d) => DedupOps.dupSpans(s, d)),
+    // the transform the signal motivates: duplicated spans removed,
+    // cleaned text re-emitted (Lee et al. substring dedup, apply side)
+    "dedup_spans_apply" -> ((s, d) => DedupOps.dedupSpansApply(s, d)),
     "minhash_lsh"     -> ((s, d) => DedupOps.minhashLsh(s, d)),
     "dedup_clusters"  -> ((s, d) => DedupOps.dedupClusters(s, d)),
     // the un-memoized fixpoint: same result, but BENCH times the iterative
@@ -179,6 +182,7 @@ object SparkEntry {
     "ngram_jaccard"   -> TextSql.ngramJaccardSql,
     "ngram_jaccard_lsh" -> TextSql.ngramJaccardLshSql,
     "dup_spans"       -> TextSql.dupSpansSql,
+    "dedup_spans_apply" -> TextSql.dedupSpansApplySql,
     "minhash_lsh"     -> TextSql.minhashLshSql,
     "dedup_clusters"  -> TextSql.dedupClustersSql,
     "dedup_clusters_fresh" -> TextSql.dedupClustersSql,

@@ -387,4 +387,56 @@ object DedupOps {
         bround(col("n_dup_grams").cast("double") / col("n_grams"), 6)
           .cast("decimal(10,6)").cast("double").as("dup_gram_frac"))
   }
+
+  /** The TRANSFORM side of [[dupSpans]]: drop every token position covered
+    * by a cross-document duplicated L-gram and re-emit the cleaned text —
+    * the actual substring-dedup pass of Lee et al. 2022 (their §3: remove
+    * duplicated spans, keep the rest), where [[dupSpans]] only measures the
+    * signal. Deterministic rule: token position p (1-based) is dropped iff
+    * some duplicated gram starts at i with i ≤ p ≤ i+L−1; docs shorter than
+    * L tokens (no grams) pass through unchanged.
+    *
+    * Scale shape: the gram stream repartitions by hash ONCE, and the
+    * doc-frequency aggregate + the dup-hash join are both partition-local
+    * behind it; what flows back to documents is (doc_id, position) pairs —
+    * 60-bit hashes and integer offsets, never text. Text is scanned once
+    * and shuffled once (the final doc_id join materializes the cleaned
+    * string); on a mostly-clean corpus the drop-set side is tiny and a
+    * broadcast join would remove even that text shuffle.
+    */
+  def dedupSpansApply(spark: SparkSession, dir: String, L: Int = 8): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val grams = toks
+      .filter(size(col("t")) >= L)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - L)).as("i"))
+      .select(col("doc_id"), col("i"), mdhash(concat_ws(" ",
+        (0 until L).map(j => element_at(col("t"), col("i") + j + 1)): _*))
+        .as("h"))
+      .repartition(col("h"))
+    // doc frequency per hash and the dup-hash semi-join both run inside
+    // the single h-partitioning — no second exchange on the gram stream
+    val dupH = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("h")
+    val dropSets = grams.join(dupH, Seq("h"), "leftsemi")
+      // covered 1-based positions i+1 .. i+L (matches DuckDB's 1-based
+      // list indexing in the oracle mirror)
+      .select(col("doc_id"),
+        explode(sequence(col("i") + 1, col("i") + lit(L))).as("p"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("p")).as("drop"))
+    toks.join(dropSets, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        array_join(
+          when(col("drop").isNull, col("t"))
+            .otherwise(filter(col("t"),
+              (x, p) => !array_contains(col("drop"), p + 1))),
+          " ").as("clean_text"),
+        size(col("t")).cast("long").as("n_tokens"),
+        coalesce(size(col("drop")), lit(0)).cast("long").as("n_dropped"))
+  }
 }

@@ -107,13 +107,16 @@ object SimilarityOps {
 
   /** IVF-style ANN: the label centroids act as the coarse quantizer. Every
     * vector is assigned to its nearest centroid (one broadcast join against
-    * ~|cells| rows — never a shuffle of the corpus); a query probes ONLY its
-    * own cell. This is the scale path beyond LSH: at 100 TB the corpus is
-    * bucketed/partitioned BY cell id, so a probe reads one partition.
-    * nprobe=1 here; widening to top-p cells is the same query with rank<=p.
+    * ~|cells| rows — never a shuffle of the corpus); a query probes its
+    * `nprobe` nearest cells (the standard IVF recall/cost dial: probe cost
+    * grows ~linearly in nprobe, recall approaches brute force as nprobe →
+    * |cells|). This is the scale path beyond LSH: at 100 TB the corpus is
+    * bucketed/partitioned BY cell id, so a probe reads nprobe partitions.
+    * The gated query keeps nprobe=1; `LlmOpsSpec` measures the recall curve
+    * at nprobe ∈ {1, 2, 4} against the brute-force top-5.
     */
   def ivfTopK(spark: SparkSession, dir: String,
-              nQueries: Long = 20, k: Int = 3): DataFrame = {
+              nQueries: Long = 20, k: Int = 3, nprobe: Int = 1): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
     val cents = centroidVectors(spark, dir)
@@ -121,17 +124,20 @@ object SimilarityOps {
     val scoredCells = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("label"),
         nativeCosine(spark, "c", "v").cast("decimal(12,8)").as("cscore"))
-    // persist: the assignment feeds both sides of the cell self-join — the
-    // materialized index, not a recomputed subtree (at scale this IS the
-    // stored cell-partitioned table)
-    val assigned = scoredCells
+    // persist: the ranked assignment feeds both the stored index side
+    // (rk = 1: each vector lives in exactly one cell) and the probe side
+    // (rk <= nprobe) — the materialized index, not a recomputed subtree
+    // (at scale this IS the stored cell-partitioned table)
+    val ranked = scoredCells
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("label"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("label").as("cell"))
+      .filter(col("rk") <= math.max(nprobe, 1))
       .persist()
-    val q = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+    val assigned = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("label").as("cell"))
+    val q = ranked.filter(col("vec_id") < nQueries && col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("cell"))
     val scored = q.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

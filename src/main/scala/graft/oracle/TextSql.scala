@@ -581,6 +581,38 @@ object TextSql {
        |    AS dup_gram_frac
        |FROM gw GROUP BY doc_id""".stripMargin
 
+  /** Mirror of [[DedupOps.dedupSpansApply]] (L = 8): positioned token
+    * 8-gram hashes, dup-hash semi-join, 1-based covered-position sets,
+    * index-lambda filter re-emitting the cleaned text. DuckDB's
+    * `list_filter` index parameter is 1-based — the Spark side emits
+    * 1-based drop positions for exactly this reason.
+    */
+  val dedupSpansApplySql: String = {
+    val gram = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH $tokCte,
+       |g8p AS (
+       |  SELECT doc_id, i, ${mdh(s"($gram)")} AS h
+       |  FROM tok, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+       |  WHERE len(t) >= 8),
+       |duph AS (SELECT h FROM (
+       |  SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM g8p GROUP BY h)
+       |  WHERE ndocs >= 2),
+       |droppos AS (
+       |  SELECT DISTINCT doc_id, i + j AS p
+       |  FROM g8p JOIN duph USING (h),
+       |       UNNEST(generate_series(0, 7)) AS v(j)),
+       |dropsets AS (SELECT doc_id, list(p) AS dp FROM droppos GROUP BY doc_id)
+       |SELECT tok.doc_id,
+       |  -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+       |  COALESCE(array_to_string(
+       |    CASE WHEN dp IS NULL THEN t
+       |         ELSE list_filter(t, (x, i) -> NOT list_contains(dp, i)) END,
+       |    ' '), '') AS clean_text,
+       |  CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(len(dp), 0) AS BIGINT) AS n_dropped
+       |FROM tok LEFT JOIN dropsets USING (doc_id)""".stripMargin
+  }
+
   /** Mirror of [[TextAnalysis.gopherFilter]]: the three signal families
     * joined per doc, integer-threshold checks, `concat_ws` reason list
     * (skips NULL slots in both engines). Stopword list interpolated from

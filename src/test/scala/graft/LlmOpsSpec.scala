@@ -56,6 +56,26 @@ class LlmOpsSpec extends SparkSpec {
       s"IVF top-1 recall ${hits.toDouble / top1.length} implausibly low")
   }
 
+  test("IVF multi-probe: recall@5 vs brute force is monotone in nprobe") {
+    val brute = SimilarityOps.cosineTopK(spark, sfTiny, nQueries = 20, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall@5: fraction of brute-force top-5 pairs the probe recovers
+    val recall = Seq(1, 2, 4).map { p =>
+      val got = SimilarityOps.ivfTopK(spark, sfTiny, nQueries = 20, k = 5, nprobe = p)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      p -> brute.count(got.contains).toDouble / brute.size
+    }
+    // widening the probe set can only ADD candidate neighbors, so true
+    // top-5 hits can only be found, never lost — recall is monotone
+    recall.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
+      assert(r2 >= r1, s"recall fell widening nprobe $p1->$p2: $r1 -> $r2")
+    }
+    assert(recall.last._2 > recall.head._2 || recall.head._2 == 1.0,
+      s"recall curve flat below 1.0: $recall — multi-probe adds nothing")
+  }
+
   test("embedding dedup: LSH candidates are a subset of brute force, recall measured") {
     val brute = SimilarityOps.embeddingDedupBruteForce(spark, sfTiny)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -112,6 +132,32 @@ class LlmOpsSpec extends SparkSpec {
     }
     assert(got.values.exists(_.getAs[Long]("n_dup_grams") > 0),
       "corpus has no cross-doc duplicated 8-grams — the gate would be vacuous")
+  }
+
+  test("dedup_spans_apply: cleaned text = tokens minus covered positions, both outcomes") {
+    val signal = DedupOps.dupSpans(spark, sfTiny).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_grams")).toMap
+    val rows = DedupOps.dedupSpansApply(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val clean = r.getAs[String]("clean_text")
+      val nTok = r.getAs[Long]("n_tokens")
+      val nDrop = r.getAs[Long]("n_dropped")
+      // rejoining kept [a-z0-9]+ tokens with spaces preserves token count
+      val keptToks = "[a-z0-9]+".r.findAllIn(clean).size
+      assert(keptToks == nTok - nDrop,
+        s"doc $id: clean_text has $keptToks tokens, expected ${nTok - nDrop}")
+      // a doc is trimmed iff dup_spans measured a duplicated gram in it:
+      // every dup gram start covers >= L positions, none covers zero
+      val hasDup = signal.getOrElse(id, 0L) > 0
+      assert((nDrop > 0) == hasDup,
+        s"doc $id: n_dropped=$nDrop but dup_spans n_dup_grams=${signal.getOrElse(id, 0L)}")
+      if (hasDup) assert(nDrop >= 8, s"doc $id: dup gram covers >= L positions")
+    }
+    assert(rows.exists(_.getAs[Long]("n_dropped") > 0) &&
+      rows.exists(_.getAs[Long]("n_dropped") == 0),
+      "apply pass is vacuous: need both trimmed and untouched docs")
   }
 
   test("gopher filter: verdict consistent with reasons, both outcomes present") {

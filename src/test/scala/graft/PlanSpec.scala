@@ -138,6 +138,18 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dedup_spans_apply: one gram-hash exchange, offsets back to docs, text moves once") {
+    val df = graft.functions.DedupOps.dedupSpansApply(spark, sfTiny)
+    val plan = physicalPlan(df)
+    // h repartition + (doc_id, p) rollup + the one text join — the gram
+    // doc-frequency aggregate and the dup-hash semi-join must reuse the h
+    // partitioning, and nothing may shuffle text a second time
+    assert(shuffles(df) <= 4,
+      s"dedup_spans_apply grew extra exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("decontaminate_bloom: native codegen probe filters the probe side below the join") {
     val df = graft.functions.CurationOps.decontaminateBloom(spark, sfTiny)
     val plan = physicalPlan(df)
