@@ -27,7 +27,7 @@ object StreamOps {
     */
   case class BatchMetric(queryName: String, batchId: Long, numInputRows: Long,
                          processedRowsPerSecond: Double, durationMs: Long,
-                         timestamp: String)
+                         stateRows: Long, timestamp: String)
 
   final class MetricsSink(maxEvents: Int = 10000) extends StreamingQueryListener {
     private val buf = new ConcurrentLinkedQueue[BatchMetric]()
@@ -44,6 +44,9 @@ object StreamOps {
         Option(p.name).getOrElse(p.id.toString), p.batchId, p.numInputRows,
         p.processedRowsPerSecond,
         Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L),
+        // total stateful-operator rows this batch — the state-size signal
+        // an operator (e.g. the RocksDB-backed book fold) is sized by
+        p.stateOperators.map(_.numRowsTotal).sum,
         p.timestamp))
       var over = n.incrementAndGet() - maxEvents
       while (over > 0 && buf.poll() != null) {

@@ -60,6 +60,64 @@ class StreamingSpec extends SparkSpec {
     assert(unevenBatches == oracle, "uneven-batch streaming != batch fold")
   }
 
+  test("RocksDB state store (M9): fold stream converges with state-size metrics") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the SURVEY §7.2 cluster config, exercised rather than documented:
+    // same fold, same oracle, state store = RocksDB (bounded executor heap,
+    // the provider a 100 TB deployment runs)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sink = new graft.streaming.StreamOps.MetricsSink()
+    spark.streams.addListener(sink)
+    try {
+      val events = OrderFold.toEvents(OrderEvents(spark, sfTiny))
+        .collect().toSeq.sortBy(_.eventId).take(400)
+      val oracle = events.groupBy(e => (e.pool, e.trader))
+        .flatMap { case (k, g) => OrderFold.fold(g.sortBy(_.eventId)).map(k -> _) }
+        .toMap
+      spark.sql("DROP TABLE IF EXISTS rocks_fold_out")
+      val source = MemoryStream[Ev]
+      val folded = OrderBookStream.foldStream(source.toDS())
+      val query = folded.writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory")
+        .queryName("rocks_fold_out")
+        .start()
+      try {
+        events.grouped(100).foreach { b =>
+          source.addData(b); query.processAllAvailable()
+        }
+        val got = spark.table("rocks_fold_out").as[St].collect()
+          .foldLeft(Map.empty[(String, Long), St]) { (m, s) =>
+            m + ((s.pool, s.trader) -> s)
+          }
+        assert(got == oracle, "RocksDB-backed streaming fold != batch fold")
+        val so = query.lastProgress.stateOperators
+        assert(so.nonEmpty && so.map(_.numRowsTotal).sum > 0,
+          "no stateful operator rows reported")
+        assert(so.exists(_.customMetrics.keySet.asScala
+            .exists(_.toLowerCase.contains("rocksdb"))),
+          s"provider did not engage RocksDB: ${so.map(_.customMetrics.keySet.asScala).toSeq}")
+      } finally query.stop()
+      // listener bus is async — poll until the state-size rows land
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (!sink.metrics.exists(_.stateRows > 0) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(sink.metrics.exists(_.stateRows > 0),
+        "MetricsSink captured no state-size metrics")
+    } finally {
+      spark.streams.removeListener(sink)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("change feed surfaces updated keys per micro-batch (ST8)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
