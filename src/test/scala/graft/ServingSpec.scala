@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.operators.{BookQueries, BookServing, OrderEvents, OrderFold}
+import graft.operators.{BookQueries, BookServing, BookViews, OrderEvents, OrderFold, OrderState}
 import graft.operators.OrderFold.{Ev, St}
 import graft.streaming.OrderBookStream
 
@@ -77,6 +77,51 @@ class ServingSpec extends SparkSpec {
       .toMap
     assert(snapshot == oracle, "snapshot diverged from batch fold")
     assert(snapshot.nonEmpty)
+  }
+
+  test("W4 (get-amount-out) served from the streaming snapshot == batch swap scan") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snap-w4")
+    val snapPath = s"$tmp/state"
+    val ckpt = s"$tmp/ckpt"
+
+    val raw = spark.read.parquet(s"$sfTiny/events.parquet").limit(300).collect()
+    val schema = spark.read.parquet(s"$sfTiny/events.parquet").schema
+    val source = MemoryStream[Long]
+    val rawDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(raw.toSeq), schema)
+    val stream = source.toDS().toDF("tick")
+      .join(rawDf, expr("event_id div 100") === col("tick"))
+      .drop("tick")
+    val query = OrderBookStream.snapshotSink(stream, ckpt, snapPath)
+    try {
+      source.addData(0L, 1L, 2L); query.processAllAvailable()
+    } finally query.stop()
+
+    // the realistic W4 deployment (VERDICT r5): the swap scan reads the
+    // maintained snapshot, not the event log — cents back to the exact
+    // DECIMAL order shape, then the same priceLevels -> swap-scan core
+    val snapOrders = OrderBookStream.readSnapshot(spark, snapPath).toDF()
+      .select(col("pool"), col("trader"), col("orderId").as("order_id"),
+        col("side"),
+        (col("priceCents").cast("decimal(30,2)") / 100)
+          .cast("decimal(28,2)").as("price"),
+        (col("remainingCents").cast("decimal(30,2)") / 100)
+          .cast("decimal(28,2)").as("remaining"),
+        col("active"))
+    val ev = OrderEvents.derive(rawDf)
+    val amt = BigDecimal("50000.00")
+    val served = BookQueries.amountOutBuyFrom(
+      BookViews.pools(ev), BookViews.priceLevels(snapOrders), amt, 100)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val batch = BookQueries.amountOutBuyFrom(
+      BookViews.pools(ev), BookViews.priceLevels(OrderState.ordersCurrent(ev)),
+      amt, 100)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(served.nonEmpty, "snapshot-served amount-out returned nothing")
+    assert(served.toSeq == batch.toSeq,
+      "amount-out over the streamed snapshot diverged from the batch scan")
   }
 
   test("snapshot sink rewrites only buckets whose pools changed") {
