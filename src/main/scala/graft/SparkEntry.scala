@@ -105,6 +105,8 @@ object SparkEntry {
     "decontaminate"   -> ((s, d) => CurationOps.decontaminate(s, d)),
     "decontaminate_bloom" -> ((s, d) => CurationOps.decontaminateBloom(s, d)),
     "domain_mix"      -> ((s, d) => CurationOps.domainMix(s, d)),
+    // capstone: quality gate ∘ canonical dedup ∘ span removal as ONE plan
+    "corpus_clean"    -> ((s, d) => CurationOps.corpusClean(s, d)),
     "embed_quantize"  -> ((s, d) => CurationOps.embedQuantize(s, d)),
     "pack_chunks"     -> ((s, d) => CurationOps.packChunks(s, d)),
     "simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
@@ -191,6 +193,7 @@ object SparkEntry {
     // bit-identical to the exact form by construction — same oracle
     "decontaminate_bloom" -> TextSql.decontaminateSql,
     "domain_mix"      -> TextSql.domainMixSql,
+    "corpus_clean"    -> TextSql.corpusCleanSql,
     "embed_quantize"  -> TextSql.embedQuantizeSql,
     "pack_chunks"     -> TextSql.packChunksSql,
     "simhash"         -> TextSql.simhashSql,

@@ -244,4 +244,38 @@ object CurationOps {
       .select(col("doc_id"), col("cluster_id"), col("n_chars"),
         col("canonical_id"), (col("doc_id") === col("canonical_id")).as("keep"))
   }
+
+  /** The curation pipeline composed as ONE relational query — the capstone
+    * a training-data run actually executes, not three separate audits:
+    *
+    *   1. quality gate: only docs passing the full Gopher rule set
+    *      ([[TextAnalysis.gopherFilter]]);
+    *   2. near-dup election: per MinHash-LSH cluster, only the canonical
+    *      document survives ([[dedupSelect]]; unclustered docs pass);
+    *   3. substring dedup: the surviving text has every cross-document
+    *      duplicated 8-gram span removed ([[DedupOps.dedupSpansApply]]).
+    *
+    * Because each stage is itself a gated relational operator, the
+    * composition stays one declarative plan: Catalyst shares the document
+    * scans where the stages' subtrees line up and the final joins carry
+    * per-doc rollups + the already-cleaned text, nothing wider. The DuckDB
+    * oracle composes the SAME three mirrors as nested CTE subqueries —
+    * drift in any stage fails this gate too.
+    *
+    * 100 TB shape: each stage's own scale argument (see the three
+    * operators) is unchanged by composition — the joins here are doc_id
+    * equi-joins over per-doc rows, the cheapest shuffle in the suite.
+    */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextAnalysis.gopherFilter(spark, dir)
+      .filter(col("passed"))
+      .select(col("doc_id"), col("lang"), col("source"))
+    val sel = dedupSelect(spark, dir).select(col("doc_id"), col("keep"))
+    DedupOps.dedupSpansApply(spark, dir)
+      .join(quality, Seq("doc_id"))
+      .join(sel, Seq("doc_id"), "left")
+      .filter(coalesce(col("keep"), lit(true)))
+      .select(col("doc_id"), col("lang"), col("source"), col("clean_text"),
+        col("n_tokens"), col("n_dropped"))
+  }
 }

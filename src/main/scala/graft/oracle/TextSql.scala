@@ -747,4 +747,23 @@ object TextSql {
        |         AS DECIMAL(10,6)) AS DOUBLE)
        |  ELSE 0.0 END AS dup_bigram_frac
        |FROM c GROUP BY doc_id, lang, source""".stripMargin
+
+  /** Mirror of [[graft.functions.CurationOps.corpusClean]]: the three
+    * stage mirrors composed as nested CTE subqueries — quality pass ∧
+    * canonical-or-unclustered, emitting the span-cleaned text. DuckDB
+    * accepts `WITH` (incl. RECURSIVE, inside dedupSelectSql's closure) in
+    * derived tables, so each stage's SQL is embedded verbatim: any drift
+    * in a stage mirror breaks this gate too.
+    */
+  def corpusCleanSql: String =
+    s"""WITH gf AS (
+       |  SELECT doc_id, lang, source FROM ($gopherFilterSql) WHERE passed),
+       |sel AS (SELECT doc_id, keep FROM ($dedupSelectSql)),
+       |sp AS (SELECT * FROM ($dedupSpansApplySql))
+       |SELECT sp.doc_id, gf.lang, gf.source, sp.clean_text,
+       |  sp.n_tokens, sp.n_dropped
+       |FROM sp
+       |JOIN gf USING (doc_id)
+       |LEFT JOIN sel USING (doc_id)
+       |WHERE COALESCE(sel.keep, TRUE)""".stripMargin
 }

@@ -32,6 +32,28 @@ class CurationSpec extends SparkSpec {
     assert(d.count() > 0)
   }
 
+  test("corpus_clean: composition consistent with its three stages") {
+    import org.apache.spark.sql.functions.col
+    val out = CurationOps.corpusClean(spark, sfTiny).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val passed = graft.functions.TextAnalysis.gopherFilter(spark, sfTiny)
+      .filter(col("passed")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = CurationOps.dedupSelect(spark, sfTiny)
+      .filter(!col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val cleaned = graft.functions.DedupOps.dedupSpansApply(spark, sfTiny)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    // exactly: quality-passed minus non-canonical cluster members
+    assert(out.keySet == passed -- dropped,
+      s"membership diverged: extra=${(out.keySet -- (passed -- dropped)).take(3)} missing=${((passed -- dropped) -- out.keySet).take(3)}")
+    // the emitted text is the span-cleaned text, verbatim
+    out.foreach { case (id, r) =>
+      assert(r.getAs[String]("clean_text") == cleaned(id), s"text drift for doc $id")
+    }
+    // non-vacuous in both directions: the gates actually removed docs
+    assert(out.nonEmpty && (passed -- dropped).size < passed.size,
+      "dedup election removed nothing — composition untested")
+  }
+
   test("decontaminate_bloom is bit-identical to the exact form and prunes") {
     val exact = CurationOps.decontaminate(spark, sfTiny).collect()
       .map(_.toSeq).toSet

@@ -138,6 +138,14 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("corpus_clean: the composed pipeline stays join-shaped — no cartesian anywhere") {
+    val df = graft.functions.CurationOps.corpusClean(spark, sfTiny)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"composition introduced a non-equi join:\n$plan")
+  }
+
   test("dedup_spans_apply: one gram-hash exchange, offsets back to docs, text moves once") {
     val df = graft.functions.DedupOps.dedupSpansApply(spark, sfTiny)
     val plan = physicalPlan(df)
