@@ -87,18 +87,19 @@ object CurationOps {
     val raw = DedupOps.explodedShingles(spark, dir, distinctShingles = false)
       .select(col("doc_id"), mdhash(col("s")).as("h"))
     val trainRaw = raw.filter(col("doc_id") % 10 < 8)
-    // size the filter from a cheap per-doc shingle-count ESTIMATE (chars/4
-    // generously over-counts tokens ≥ shingles for natural text), not a
-    // fixed per-doc constant: a corpus of long documents would silently
-    // blow past `docs × 200` and push fpp over the 1% target, eroding the
-    // semi-join reduction this variant exists for. One single-column scan
-    // of the train split, no explode; an overestimate only pads bits
-    // (~1.2 bytes/item at 1% fpp).
+    // size the filter from a cheap per-doc shingle-count BOUND: every
+    // [a-z0-9]+ token needs >= 1 char + a separator, so tokens <= ceil(
+    // n_chars/2) and shingles <= tokens — a true upper bound for ANY text
+    // (chars/4 would undercount short-token corpora and silently push fpp
+    // past the 1% target, the same erosion as the old fixed docs×200
+    // bound). One single-column scan of the train split, no explode; the
+    // overestimate only pads bits (~1.2 bytes/item at 1% fpp).
     val expected = math.max(
       Tables.documents(spark, dir)
         .filter(col("doc_id") % 10 < 8)
         .agg(coalesce(
-          sum(greatest((col("n_chars") / lit(4L)).cast("long"), lit(1L))),
+          sum(greatest((col("n_chars") / lit(2L) + lit(1L)).cast("long"),
+            lit(1L))),
           lit(1000L)).as("est"))
         .first().getLong(0),
       1000L)
@@ -249,29 +250,49 @@ object CurationOps {
     * a training-data run actually executes, not three separate audits:
     *
     *   1. quality gate: only docs passing the full Gopher rule set
-    *      ([[TextAnalysis.gopherFilter]]);
-    *   2. near-dup election: per MinHash-LSH cluster, only the canonical
-    *      document survives ([[dedupSelect]]; unclustered docs pass);
+    *      ([[TextAnalysis.gopherFilterWith]]);
+    *   2. near-dup election AMONG THE QUALITY SURVIVORS: per cluster, the
+    *      longest passing document is canonical — so a cluster whose
+    *      corpus-wide canonical fails quality still keeps its best passing
+    *      member (a corpus-wide election ([[dedupSelect]]) would silently
+    *      drop the whole cluster); unclustered docs pass;
     *   3. substring dedup: the surviving text has every cross-document
-    *      duplicated 8-gram span removed ([[DedupOps.dedupSpansApply]]).
+    *      duplicated 8-gram span removed ([[DedupOps.spansApplyFrom]]).
     *
-    * Because each stage is itself a gated relational operator, the
-    * composition stays one declarative plan: Catalyst shares the document
-    * scans where the stages' subtrees line up and the final joins carry
-    * per-doc rollups + the already-cleaned text, nothing wider. The DuckDB
-    * oracle composes the SAME three mirrors as nested CTE subqueries —
-    * drift in any stage fails this gate too.
+    * The expensive stage — the positioned-gram explode + hash shuffle — is
+    * built ONCE ([[DedupOps.spanStreams]]) and read by both the quality
+    * gate's boilerplate signal (n_grams / n_dup_grams counts) and the drop
+    * positions: the subtrees canonicalize identically, so ReuseExchange
+    * plans the shuffle once. The DuckDB oracle composes the SAME stage
+    * mirrors as nested CTE subqueries — drift in any stage fails this gate
+    * too.
     *
     * 100 TB shape: each stage's own scale argument (see the three
     * operators) is unchanged by composition — the joins here are doc_id
     * equi-joins over per-doc rows, the cheapest shuffle in the suite.
     */
   def corpusClean(spark: SparkSession, dir: String): DataFrame = {
-    val quality = TextAnalysis.gopherFilter(spark, dir)
+    val (toks, grams, dup) = DedupOps.spanStreams(spark, dir)
+    // per-doc substring-duplication counts from the shared gram stage —
+    // value-identical to DedupOps.dupSpans (asserted in CurationSpec)
+    val substr = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(dup.groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_grams"))
+    val quality = TextAnalysis.gopherFilterWith(spark, dir, substr)
       .filter(col("passed"))
       .select(col("doc_id"), col("lang"), col("source"))
-    val sel = dedupSelect(spark, dir).select(col("doc_id"), col("keep"))
-    DedupOps.dedupSpansApply(spark, dir)
+    // canonical election restricted to quality survivors
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val sel = DedupOps.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(quality.select("doc_id"), Seq("doc_id"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .withColumn("keep", col("doc_id") === first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("keep"))
+    DedupOps.spansApplyFrom(toks, dup, 8)
       .join(quality, Seq("doc_id"))
       .join(sel, Seq("doc_id"), "left")
       .filter(coalesce(col("keep"), lit(true)))

@@ -405,6 +405,21 @@ object DedupOps {
     * broadcast join would remove even that text shuffle.
     */
   def dedupSpansApply(spark: SparkSession, dir: String, L: Int = 8): DataFrame = {
+    val (toks, _, dup) = spanStreams(spark, dir, L)
+    spansApplyFrom(toks, dup, L)
+  }
+
+  /** The shared substring-dedup stage: tokenized docs, positioned token
+    * L-grams behind ONE h-repartition, and their cross-document duplicated
+    * subset. Both [[dedupSpansApply]] and the `corpus_clean` composition
+    * ([[CurationOps.corpusClean]]) read these SAME frames — the gram
+    * explode + hash shuffle (the dominant cost) canonicalizes identically
+    * for every consumer, so ReuseExchange plans it once per query even
+    * when a composition needs both the per-doc dup counts and the drop
+    * positions.
+    */
+  private[graft] def spanStreams(spark: SparkSession, dir: String,
+                                 L: Int = 8): (DataFrame, DataFrame, DataFrame) = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
     val grams = toks
@@ -421,7 +436,13 @@ object DedupOps {
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2)
       .select("h")
-    val dropSets = grams.join(dupH, Seq("h"), "leftsemi")
+    (toks, grams, grams.join(dupH, Seq("h"), "leftsemi"))
+  }
+
+  /** Cleaned-text emission over the duplicated positioned grams. */
+  private[graft] def spansApplyFrom(toks: DataFrame, dup: DataFrame,
+                                    L: Int): DataFrame = {
+    val dropSets = dup
       // covered 1-based positions i+1 .. i+L (matches DuckDB's 1-based
       // list indexing in the oracle mirror)
       .select(col("doc_id"),

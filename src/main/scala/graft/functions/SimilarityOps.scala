@@ -115,24 +115,45 @@ object SimilarityOps {
     * The gated query keeps nprobe=1; `LlmOpsSpec` measures the recall curve
     * at nprobe ∈ {1, 2, 4} against the brute-force top-5.
     */
+  // The persisted IVF assignment is the materialized index (at scale: the
+  // stored cell-partitioned table), so it is a memoized VIEW like the
+  // cluster cache, not a per-call persist — repeated calls (e.g. the
+  // nprobe recall sweep in LlmOpsSpec) reuse one cached relation instead
+  // of stacking leaked storage; eviction unpersists.
+  private val ivfIndexCache =
+    new java.util.LinkedHashMap[(SparkSession, String, Int), DataFrame]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, Int), DataFrame]): Boolean = {
+        val evict = size > 4
+        if (evict) e.getValue.unpersist()
+        evict
+      }
+    }
+
   def ivfTopK(spark: SparkSession, dir: String,
               nQueries: Long = 20, k: Int = 3, nprobe: Int = 1): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-    val cents = centroidVectors(spark, dir)
-    // nearest-centroid assignment, rank on rounded score + label tie-break
-    val scoredCells = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("label"),
-        nativeCosine(spark, "c", "v").cast("decimal(12,8)").as("cscore"))
-    // persist: the ranked assignment feeds both the stored index side
-    // (rk = 1: each vector lives in exactly one cell) and the probe side
-    // (rk <= nprobe) — the materialized index, not a recomputed subtree
-    // (at scale this IS the stored cell-partitioned table)
-    val ranked = scoredCells
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("label"))))
-      .filter(col("rk") <= math.max(nprobe, 1))
-      .persist()
+    // ranked assignment feeds both the stored index side (rk = 1: each
+    // vector lives in exactly one cell) and the probe side (rk <= nprobe)
+    val ranked = ivfIndexCache.synchronized {
+      val key = (spark, dir, math.max(nprobe, 1))
+      val hit = ivfIndexCache.get(key)
+      if (hit != null) hit
+      else {
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").as("v"))
+        val cents = centroidVectors(spark, dir)
+        // nearest-centroid assignment, rank on rounded score + label tie-break
+        val v = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("v"), col("label"),
+            nativeCosine(spark, "c", "v").cast("decimal(12,8)").as("cscore"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("label"))))
+          .filter(col("rk") <= math.max(nprobe, 1))
+          .persist()
+        ivfIndexCache.put(key, v)
+        v
+      }
+    }
     val assigned = ranked.filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("label").as("cell"))
     val q = ranked.filter(col("vec_id") < nQueries && col("rk") <= nprobe)

@@ -310,12 +310,23 @@ object TextAnalysis {
     * rollups (tiny vs the corpus), so the composition adds doc_id-keyed
     * shuffles of summaries, never text.
     */
-  def gopherFilter(spark: SparkSession, dir: String): DataFrame = {
+  def gopherFilter(spark: SparkSession, dir: String): DataFrame =
+    gopherFilterWith(spark, dir,
+      DedupOps.dupSpans(spark, dir)
+        .select(col("doc_id"), col("n_grams"), col("n_dup_grams")))
+
+  /** Core with the substring-duplication signal injected: a composed
+    * pipeline ([[CurationOps.corpusClean]]) feeds the per-doc counts
+    * derived from the SAME positioned-gram subtree that also produces its
+    * drop positions, so the gram explode is planned once instead of twice.
+    * `dup` must carry (doc_id, n_grams, n_dup_grams) with [[DedupOps.dupSpans]]'
+    * values (equivalence asserted in `CurationSpec`).
+    */
+  private[graft] def gopherFilterWith(spark: SparkSession, dir: String,
+                                      dup: DataFrame): DataFrame = {
     val rep = repSignals(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
         col("top_token_count"), col("n_bigrams"), col("dup_bigram_excess"))
-    val dup = DedupOps.dupSpans(spark, dir)
-      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"))
     val shape = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"),

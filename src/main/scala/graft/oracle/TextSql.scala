@@ -748,17 +748,28 @@ object TextSql {
        |  ELSE 0.0 END AS dup_bigram_frac
        |FROM c GROUP BY doc_id, lang, source""".stripMargin
 
-  /** Mirror of [[graft.functions.CurationOps.corpusClean]]: the three
-    * stage mirrors composed as nested CTE subqueries — quality pass ∧
-    * canonical-or-unclustered, emitting the span-cleaned text. DuckDB
-    * accepts `WITH` (incl. RECURSIVE, inside dedupSelectSql's closure) in
-    * derived tables, so each stage's SQL is embedded verbatim: any drift
-    * in a stage mirror breaks this gate too.
+  /** Mirror of [[graft.functions.CurationOps.corpusClean]]: the stage
+    * mirrors composed as nested CTE subqueries — quality pass ∧
+    * canonical-among-survivors-or-unclustered, emitting the span-cleaned
+    * text. The canonical election runs over the QUALITY-PASSED cluster
+    * members (longest doc, doc_id tie-break), mirroring the engine's
+    * survivor-restricted window. DuckDB accepts `WITH` (incl. RECURSIVE,
+    * inside dedupClustersSql's closure) in derived tables, so each stage's
+    * SQL is embedded verbatim: any drift in a stage mirror breaks this
+    * gate too.
     */
   def corpusCleanSql: String =
     s"""WITH gf AS (
        |  SELECT doc_id, lang, source FROM ($gopherFilterSql) WHERE passed),
-       |sel AS (SELECT doc_id, keep FROM ($dedupSelectSql)),
+       |cl AS (SELECT doc_id, cluster_id FROM ($dedupClustersSql)),
+       |sel AS (
+       |  SELECT cl.doc_id,
+       |    cl.doc_id = FIRST_VALUE(cl.doc_id) OVER (
+       |      PARTITION BY cl.cluster_id
+       |      ORDER BY d.n_chars DESC, cl.doc_id ASC) AS keep
+       |  FROM cl
+       |  JOIN gf USING (doc_id)
+       |  JOIN documents d USING (doc_id)),
        |sp AS (SELECT * FROM ($dedupSpansApplySql))
        |SELECT sp.doc_id, gf.lang, gf.source, sp.clean_text,
        |  sp.n_tokens, sp.n_dropped

@@ -34,16 +34,19 @@ object Tables {
         size > 4 * all.size
     }
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.synchronized {
-      val k = (spark, dir, name)
-      val hit = memo.get(k)
-      if (hit != null) hit
-      else {
-        val v = spark.read.parquet(s"$dir/$name.parquet")
-        memo.put(k, v); v
-      }
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val k = (spark, dir, name)
+    val hit = memo.synchronized(memo.get(k))
+    if (hit != null) hit
+    else {
+      // build OUTSIDE the monitor: the ~100ms footer/listing read must not
+      // stall other sessions' cache hits; a concurrent duplicate build is
+      // harmless (both values are equivalent analyzed plans, last put wins)
+      val v = spark.read.parquet(s"$dir/$name.parquet")
+      memo.synchronized(memo.put(k, v))
+      v
     }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")

@@ -38,20 +38,46 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     val passed = graft.functions.TextAnalysis.gopherFilter(spark, sfTiny)
       .filter(col("passed")).select("doc_id").collect().map(_.getLong(0)).toSet
-    val dropped = CurationOps.dedupSelect(spark, sfTiny)
-      .filter(!col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val nchars = graft.sources.Tables.documents(spark, sfTiny)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the election runs AMONG QUALITY SURVIVORS: per cluster, the longest
+    // passing doc is canonical; a cluster whose corpus-wide canonical
+    // fails quality must still keep its best passing member
+    val dropped = graft.functions.DedupOps.dedupClusters(spark, sfTiny)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(c => passed(c._1))
+      .groupBy(_._2).values
+      .flatMap(ms => ms.map(_._1).sortBy(id => (-nchars(id), id)).drop(1))
+      .toSet
     val cleaned = graft.functions.DedupOps.dedupSpansApply(spark, sfTiny)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
-    // exactly: quality-passed minus non-canonical cluster members
     assert(out.keySet == passed -- dropped,
       s"membership diverged: extra=${(out.keySet -- (passed -- dropped)).take(3)} missing=${((passed -- dropped) -- out.keySet).take(3)}")
     // the emitted text is the span-cleaned text, verbatim
     out.foreach { case (id, r) =>
       assert(r.getAs[String]("clean_text") == cleaned(id), s"text drift for doc $id")
     }
-    // non-vacuous in both directions: the gates actually removed docs
-    assert(out.nonEmpty && (passed -- dropped).size < passed.size,
+    // non-vacuous: the election actually removed docs
+    assert(out.nonEmpty && dropped.nonEmpty,
       "dedup election removed nothing — composition untested")
+    // the shared-gram substr signal feeding the quality gate is
+    // value-identical to the gated dup_spans operator
+    val (_, grams, dup) = graft.functions.DedupOps.spanStreams(spark, sfTiny)
+    val fromShared = grams.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_grams"))
+      .join(dup.groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_dup_grams")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_grams"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromGated = graft.functions.DedupOps.dupSpans(spark, sfTiny)
+      .select("doc_id", "n_grams", "n_dup_grams")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromShared == fromGated, "shared-gram counts diverged from dup_spans")
   }
 
   test("decontaminate_bloom is bit-identical to the exact form and prunes") {
