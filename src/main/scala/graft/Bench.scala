@@ -52,13 +52,19 @@ object Bench {
         } else t
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (millisecond) rendering: at 80 queries the full-precision
+    // line exceeds the harness's output-tail window and arrives truncated
+    // (round-5's BENCH tail lost the JSON head); compact values keep the
+    // whole line parseable without losing any meaningful resolution
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedField =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
