@@ -121,6 +121,8 @@ object SparkEntry {
     "embedding_dedup" -> ((s, d) => SimilarityOps.embeddingDedup(s, d)),
     "token_counts"    -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "quality_filter"  -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
+    // CCNet-style reference-frequency scoring (exact-arithmetic LM proxy)
+    "freq_score"      -> ((s, d) => TextAnalysis.freqScore(s, d)),
     "chunk_docs"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "tfidf_topk"      -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
@@ -208,6 +210,7 @@ object SparkEntry {
     "embedding_dedup" -> TextSql.embeddingDedupSql,
     "token_counts"    -> TextSql.tokenCountsSql,
     "quality_filter"  -> TextSql.qualityFilterSql,
+    "freq_score"      -> TextSql.freqScoreSql,
     "chunk_docs"      -> TextSql.chunkDocsSql,
     "tfidf_topk"      -> TextSql.tfidfTopKSql,
     "stratified_sample" -> TextSql.stratifiedSampleSql,

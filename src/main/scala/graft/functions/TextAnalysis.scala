@@ -120,6 +120,39 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
         .cast("long").as("n_word_tokens"))
 
+  /** Reference-frequency scoring — the exact-arithmetic analog of the
+    * LM-perplexity filter (CCNet-style: score each document against a
+    * reference corpus' token statistics; low scores flag gibberish /
+    * non-natural text). The reference model is the unigram count table of
+    * the train split (`doc_id % 10 < 8`, the same split `decontaminate`
+    * uses); a document's score is its average per-token train-frequency —
+    * monotone with unigram log-likelihood but pure integer arithmetic, so
+    * the gate stays hash-exact across engines (a real log2 would hang
+    * cross-engine equality on libm ulp differences).
+    *
+    * 100 TB shape: the vocab is an AGGREGATE of the train split (tokens
+    * shuffle once on the token key, counts come back per token); scoring
+    * joins the exploded corpus to that aggregate on token — at cluster
+    * scale either a shuffle join on the token hash or a broadcast of the
+    * head vocabulary. Per-doc rollups shuffle doc_id summaries, not text.
+    */
+  def freqScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = toks.filter(col("doc_id") % 10 < 8)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    toks.join(vocab, Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("cnt").isNull, 1)).as("n_oov"),
+        coalesce(sum(col("cnt")), lit(0L)).as("sum_freq"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_oov"), col("sum_freq"),
+        bround(col("sum_freq").cast("double") / col("n_tokens"), 6)
+          .cast("decimal(18,6)").cast("double").as("freq_score"))
+  }
+
   /** Composite quality filter (driver contract "quality scoring"): integer
     * sub-scores (length band, stopword presence, repetition) combined into
     * one score with a pass/fail verdict and a deterministic reject reason —

@@ -388,6 +388,26 @@ object TextSql {
       |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word_tokens
       |FROM documents""".stripMargin
 
+  /** Mirror of [[TextAnalysis.freqScore]]: train-split unigram table,
+    * left join on token, integer rollups (HUGEINT sums cast back to
+    * BIGINT per the gate's hashing rules).
+    */
+  val freqScoreSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT token, COUNT(*) AS cnt FROM tk WHERE doc_id % 10 < 8
+      |  GROUP BY token)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(CASE WHEN cnt IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+      |  CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS sum_freq,
+      |  CAST(CAST(CAST(COALESCE(SUM(cnt), 0) AS DOUBLE) / COUNT(*)
+      |       AS DECIMAL(18,6)) AS DOUBLE) AS freq_score
+      |FROM tk LEFT JOIN vocab USING (token)
+      |GROUP BY doc_id""".stripMargin
+
   val qualityFilterSql: String =
     """WITH d AS (
       |  SELECT doc_id, lang,

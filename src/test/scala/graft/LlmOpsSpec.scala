@@ -91,6 +91,26 @@ class LlmOpsSpec extends SparkSpec {
         s"LSH dedup recall ${lsh.size.toDouble / brute.size} implausibly low")
   }
 
+  test("freq_score matches a straight-line recomputation; train docs have zero OOV") {
+    val rows = TextAnalysis.freqScore(spark, sfTiny).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").collect()
+      .map(d => d.getLong(0) -> "[a-z0-9]+".r.findAllIn(d.getString(1)).toSeq)
+    val vocab = docs.filter(_._1 % 10 < 8).flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    docs.filter(_._2.nonEmpty).foreach { case (id, toks) =>
+      val r = rows(id)
+      assert(r.getAs[Long]("n_tokens") == toks.size, s"doc $id n_tokens")
+      assert(r.getAs[Long]("n_oov") == toks.count(!vocab.contains(_)), s"doc $id n_oov")
+      assert(r.getAs[Long]("sum_freq") == toks.map(vocab.getOrElse(_, 0L)).sum,
+        s"doc $id sum_freq")
+      // every train token is in the vocab by construction
+      if (id % 10 < 8) assert(r.getAs[Long]("n_oov") == 0, s"train doc $id has OOV")
+    }
+  }
+
   test("repetition signals match a straight-line recomputation") {
     val got = TextAnalysis.repSignals(spark, sfTiny).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
