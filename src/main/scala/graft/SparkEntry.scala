@@ -105,6 +105,8 @@ object SparkEntry {
     "decontaminate"   -> ((s, d) => CurationOps.decontaminate(s, d)),
     "decontaminate_bloom" -> ((s, d) => CurationOps.decontaminateBloom(s, d)),
     "domain_mix"      -> ((s, d) => CurationOps.domainMix(s, d)),
+    // the apply side of domain_mix: the rebalanced corpus itself
+    "mix_apply"       -> ((s, d) => CurationOps.mixApply(s, d)),
     // capstone: quality gate ∘ canonical dedup ∘ span removal as ONE plan
     "corpus_clean"    -> ((s, d) => CurationOps.corpusClean(s, d)),
     "embed_quantize"  -> ((s, d) => CurationOps.embedQuantize(s, d)),
@@ -127,6 +129,8 @@ object SparkEntry {
     "tfidf_topk"      -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "rep_signals"     -> ((s, d) => TextAnalysis.repSignals(s, d)),
+    // tokenizer-training: first BPE merge iteration (pair counts over vocab)
+    "bpe_merges"      -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "gopher_filter"   -> ((s, d) => TextAnalysis.gopherFilter(s, d)),
     "approx_topk"     -> ((s, d) => FrequentItems.approxTopK(s, d)),
   )
@@ -195,6 +199,7 @@ object SparkEntry {
     // bit-identical to the exact form by construction — same oracle
     "decontaminate_bloom" -> TextSql.decontaminateSql,
     "domain_mix"      -> TextSql.domainMixSql,
+    "mix_apply"       -> TextSql.mixApplySql,
     "corpus_clean"    -> TextSql.corpusCleanSql,
     "embed_quantize"  -> TextSql.embedQuantizeSql,
     "pack_chunks"     -> TextSql.packChunksSql,
@@ -215,6 +220,7 @@ object SparkEntry {
     "tfidf_topk"      -> TextSql.tfidfTopKSql,
     "stratified_sample" -> TextSql.stratifiedSampleSql,
     "rep_signals"     -> TextSql.repSignalsSql,
+    "bpe_merges"      -> TextSql.bpeMergesSql,
     "gopher_filter"   -> TextSql.gopherFilterSql,
     "approx_topk"     -> TextSql.approxTopKSql,
   )

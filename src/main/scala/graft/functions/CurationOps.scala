@@ -156,16 +156,7 @@ object CurationOps {
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"))
-    val strata = docs.groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy(lit(1))
-    val plan = strata
-      .withColumn("tot", sum("n_docs").over(w))
-      .withColumn("k", count(lit(1)).over(w))
-      .select(col("lang"), col("source"), col("n_docs"),
-        expr("n_docs * 1000 div tot").as("mix_permille"),
-        expr("1000 div k").as("target_permille"),
-        least(lit(1000L), expr("tot * 1000 div (k * n_docs)"))
-          .as("keep_permille"))
+    val plan = mixPlan(docs)
     val kept = docs
       .join(broadcast(plan.select("lang", "source", "keep_permille")),
         Seq("lang", "source"))
@@ -174,6 +165,49 @@ object CurationOps {
       .groupBy("lang", "source").agg(count(lit(1)).as("n_kept"))
     plan.join(kept, Seq("lang", "source"), "left")
       .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+  }
+
+  /** The rebalancing plan shared by [[domainMix]] (the audit) and
+    * [[mixApply]] (the transform): per (lang, source) stratum, actual and
+    * target permille shares plus the integer keep rate. One definition so
+    * audit and apply cannot drift.
+    */
+  private def mixPlan(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(lit(1))
+    docs.groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("tot", sum("n_docs").over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .select(col("lang"), col("source"), col("n_docs"),
+        expr("n_docs * 1000 div tot").as("mix_permille"),
+        expr("1000 div k").as("target_permille"),
+        least(lit(1000L), expr("tot * 1000 div (k * n_docs)"))
+          .as("keep_permille"))
+  }
+
+  /** The APPLY side of [[domainMix]]: materialize the rebalanced corpus —
+    * the per-document rows the plan keeps, under the same deterministic
+    * `mdhash(doc_id) % 1000 < keep_permille` rule. [[domainMix]] is the
+    * audit a pipeline reviews; this is the transform it ships. Emitting the
+    * sampling `bucket` alongside makes every keep/drop decision auditable
+    * row-by-row (bucket < keep_permille by construction, spec-asserted).
+    *
+    * Scale shape: the plan is a strata-count-row aggregate broadcast back
+    * onto the corpus scan; the keep decision is a row-local hash — docs
+    * never shuffle, nothing is collected, and the output is a filtered scan
+    * that downstream stages consume in place. Reproducible across engines,
+    * runs, and cluster sizes (no RNG state, unlike `TABLESAMPLE`).
+    */
+  def mixApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    docs
+      .join(broadcast(mixPlan(docs).select("lang", "source", "keep_permille")),
+        Seq("lang", "source"))
+      .withColumn("bucket",
+        TextAnalysis.mdhash(col("doc_id").cast("string")) % 1000)
+      .filter(col("bucket") < col("keep_permille"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("keep_permille"), col("bucket"))
   }
 
   /** Symmetric int8 quantization of L2-normalized embeddings:

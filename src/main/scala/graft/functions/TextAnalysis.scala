@@ -388,6 +388,42 @@ object TextAnalysis {
         .as("reject_reasons"))
   }
 
+  /** Vocabulary induction — the first BPE merge iteration over the corpus
+    * (Sennrich et al. 2016): count adjacent character pairs across the
+    * vocabulary weighted by corpus word frequency, and rank the merge
+    * candidates. A tokenizer-training pipeline runs exactly this step in a
+    * loop (merge the top pair, re-pair, repeat); one iteration is the
+    * oracle-checkable unit — later iterations reuse the same plan shape on
+    * the re-paired vocabulary. Pure integer counts, ties break on the pair
+    * string, so the gate is exact.
+    *
+    * Scale shape: the corpus collapses to its vocabulary FIRST (word-keyed
+    * aggregate with map-side combine — the only corpus-sized shuffle), pairs
+    * explode from distinct words only (vocab-sized, not corpus-sized), and
+    * the pair aggregate is bounded by |Σ|² (~1.3k rows for [a-z0-9]), so the
+    * final ranking window runs over a frame that fits in one task at any
+    * corpus size.
+    */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val pairs = words.filter(length(col("word")) >= 2)
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(col("word"), col("cnt"),
+        col("word").substr(col("i"), lit(2)).as("pair"))
+    pairs.groupBy("pair")
+      .agg(
+        countDistinct(col("word")).as("n_words"),
+        sum(col("cnt")).as("total_count"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("total_count").desc, col("pair"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("pair"), col("n_words"), col("total_count"))
+  }
+
   /** 31^i mod P for i in 0..7 — shared with the oracle SQL. */
   val polyPows: Seq[Long] = Iterator.iterate(1L)(x => x * 31 % P).take(8).toSeq
 

@@ -716,6 +716,49 @@ object TextSql {
        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
        |FROM p LEFT JOIN k USING (lang, source)""".stripMargin
 
+  /** Mirror of [[graft.functions.TextAnalysis.bpeMerges]]: vocabulary from
+    * the token CTE, adjacent char pairs per distinct word, frequency-weighted
+    * pair counts, rank-limited with the pair-string tie-break.
+    */
+  val bpeMergesSql: String =
+    s"""WITH $tokCte,
+       |w AS (
+       |  SELECT t[i] AS word, COUNT(*) AS cnt
+       |  FROM tok, UNNEST(generate_series(1, len(t))) AS u(i)
+       |  GROUP BY t[i]),
+       |p AS (
+       |  SELECT substring(word, i, 2) AS pair, word, cnt
+       |  FROM w, UNNEST(generate_series(1, length(word) - 1)) AS u(i)
+       |  WHERE length(word) >= 2),
+       |c AS (
+       |  SELECT pair,
+       |    CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+       |    CAST(SUM(cnt) AS BIGINT) AS total_count
+       |  FROM p GROUP BY pair)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY total_count DESC, pair)
+       |         AS BIGINT) AS rank,
+       |  pair, n_words, total_count
+       |FROM c ORDER BY rank LIMIT 20""".stripMargin
+
+  /** Mirror of [[graft.functions.CurationOps.mixApply]] — the same plan CTE
+    * as [[domainMixSql]] (integer permille, `//` ≙ Spark `div`), applied as
+    * a per-document keep filter with the shared hash-mod rule.
+    */
+  val mixApplySql: String =
+    s"""WITH s AS (
+       |  SELECT lang, source, COUNT(*) AS n_docs
+       |  FROM documents GROUP BY lang, source),
+       |p AS (
+       |  SELECT lang, source,
+       |    LEAST(1000, SUM(n_docs) OVER () * 1000
+       |      // (COUNT(*) OVER () * n_docs)) AS keep_permille
+       |  FROM s)
+       |SELECT d.doc_id, d.lang, d.source,
+       |  CAST(p.keep_permille AS BIGINT) AS keep_permille,
+       |  CAST(${mdh("CAST(d.doc_id AS VARCHAR)")} % 1000 AS BIGINT) AS bucket
+       |FROM documents d JOIN p USING (lang, source)
+       |WHERE ${mdh("CAST(d.doc_id AS VARCHAR)")} % 1000 < p.keep_permille""".stripMargin
+
   /** Mirror of [[graft.functions.FrequentItems.approxTopK]]'s exact side;
     * the `within_bound` MG claim is constant-true by the mergeable-summary
     * guarantee (see the Scaladoc there), so the oracle pins it to TRUE.

@@ -110,6 +110,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mix_apply realizes exactly the counts domain_mix audits") {
+    val kept = CurationOps.mixApply(spark, sfTiny).cache()
+    // every keep decision is auditable row-by-row: bucket < keep_permille
+    assert(kept.filter(col("bucket") >= col("keep_permille")).count() == 0,
+      "kept a doc whose hash bucket is outside the keep rate")
+    // apply and audit agree stratum-by-stratum (shared plan, shared rule)
+    val applied = kept.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n"))
+      .toMap
+    CurationOps.domainMix(spark, sfTiny).collect().foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[String]("source"))
+      assert(applied.getOrElse(key, 0L) == r.getAs[Long]("n_kept"),
+        s"apply/audit drift for $key")
+    }
+    kept.unpersist()
+  }
+
   test("pack_chunks: greedy bins are dense, ordered, and bounded") {
     val p = CurationOps.packChunks(spark, sfTiny, budget = 512).cache()
     assert(p.filter(col("bin_offset") < 0 || col("bin_offset") >= 512).count() == 0,

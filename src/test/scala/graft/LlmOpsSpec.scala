@@ -111,6 +111,29 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe_merges matches a straight-line first-merge recomputation") {
+    val got = TextAnalysis.bpeMerges(spark, sfTiny).collect()
+    assert(got.length == 20)
+    val words = graft.sources.Tables.documents(spark, sfTiny)
+      .select("text").collect()
+      .flatMap(r => "[a-z0-9]+".r.findAllIn(r.getString(0)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairCounts = words.toSeq.flatMap { case (w, cnt) =>
+      w.sliding(2).filter(_.length == 2).map(p => (p, w, cnt))
+    }
+    val expected = pairCounts.groupBy(_._1).map { case (p, xs) =>
+      p -> (xs.map(_._2).distinct.size.toLong, xs.map(_._3).sum)
+    }
+    val ranked = expected.toSeq
+      .sortBy { case (p, (_, tot)) => (-tot, p) }.take(20)
+    got.sortBy(_.getAs[Long]("rank")).zip(ranked).foreach {
+      case (row, (p, (nw, tot))) =>
+        assert(row.getAs[String]("pair") == p, s"rank ${row.getAs[Long]("rank")}")
+        assert(row.getAs[Long]("n_words") == nw, s"n_words for $p")
+        assert(row.getAs[Long]("total_count") == tot, s"total_count for $p")
+    }
+  }
+
   test("repetition signals match a straight-line recomputation") {
     val got = TextAnalysis.repSignals(spark, sfTiny).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
