@@ -129,6 +129,27 @@ class PlanSpec extends SparkSpec {
       s"repetition signals should cost exactly the one doc_id text shuffle:\n$plan")
   }
 
+  test("mix_apply: plan broadcasts onto the corpus scan — docs never shuffle") {
+    val df = graft.functions.CurationOps.mixApply(spark, sfTiny)
+    df.collect() // AQE finalizes on execution
+    val plan = physicalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"strata plan not broadcast back onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled to meet its own tiny plan:\n$plan")
+  }
+
+  test("bpe_merges: corpus collapses to vocab first; ranking window is post-aggregate") {
+    val df = graft.functions.TextAnalysis.bpeMerges(spark, sfTiny)
+    df.collect() // AQE finalizes on execution
+    val plan = physicalPlan(df)
+    // word agg + pair agg (+ the |alphabet|²-row single-partition ranking):
+    // nothing corpus-sized reaches the window
+    assert(shuffles(df) <= 4,
+      s"pair counting shuffles more than vocab-sized frames:\n$plan")
+    assert(plan.contains("HashAggregate"), "no map-side combine on the vocab agg")
+  }
+
   test("dup_spans: hash repartition serves count + doc-frequency window — two exchanges total") {
     val df = graft.functions.DedupOps.dupSpans(spark, sfTiny)
     val plan = physicalPlan(df)
