@@ -107,6 +107,8 @@ object SparkEntry {
     "domain_mix"      -> ((s, d) => CurationOps.domainMix(s, d)),
     // the apply side of domain_mix: the rebalanced corpus itself
     "mix_apply"       -> ((s, d) => CurationOps.mixApply(s, d)),
+    // the upsample side: fractional-epoch repeat factors, deterministic
+    "mix_upsample"    -> ((s, d) => CurationOps.mixUpsample(s, d)),
     // capstone: quality gate ∘ canonical dedup ∘ span removal as ONE plan
     "corpus_clean"    -> ((s, d) => CurationOps.corpusClean(s, d)),
     "embed_quantize"  -> ((s, d) => CurationOps.embedQuantize(s, d)),
@@ -125,6 +127,8 @@ object SparkEntry {
     "quality_filter"  -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     // CCNet-style reference-frequency scoring (exact-arithmetic LM proxy)
     "freq_score"      -> ((s, d) => TextAnalysis.freqScore(s, d)),
+    // the consumer of that score: per-language top-p% selection
+    "score_select"    -> ((s, d) => TextAnalysis.scoreSelect(s, d)),
     "chunk_docs"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "tfidf_topk"      -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
@@ -200,6 +204,7 @@ object SparkEntry {
     "decontaminate_bloom" -> TextSql.decontaminateSql,
     "domain_mix"      -> TextSql.domainMixSql,
     "mix_apply"       -> TextSql.mixApplySql,
+    "mix_upsample"    -> TextSql.mixUpsampleSql,
     "corpus_clean"    -> TextSql.corpusCleanSql,
     "embed_quantize"  -> TextSql.embedQuantizeSql,
     "pack_chunks"     -> TextSql.packChunksSql,
@@ -216,6 +221,7 @@ object SparkEntry {
     "token_counts"    -> TextSql.tokenCountsSql,
     "quality_filter"  -> TextSql.qualityFilterSql,
     "freq_score"      -> TextSql.freqScoreSql,
+    "score_select"    -> TextSql.scoreSelectSql,
     "chunk_docs"      -> TextSql.chunkDocsSql,
     "tfidf_topk"      -> TextSql.tfidfTopKSql,
     "stratified_sample" -> TextSql.stratifiedSampleSql,

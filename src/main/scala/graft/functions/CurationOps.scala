@@ -163,7 +163,8 @@ object CurationOps {
       .filter(TextAnalysis.mdhash(col("doc_id").cast("string")) % 1000 <
         col("keep_permille"))
       .groupBy("lang", "source").agg(count(lit(1)).as("n_kept"))
-    plan.join(kept, Seq("lang", "source"), "left")
+    plan.drop("rep_permille") // audit schema: the capped keep rate only
+      .join(kept, Seq("lang", "source"), "left")
       .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
   }
 
@@ -180,8 +181,11 @@ object CurationOps {
       .select(col("lang"), col("source"), col("n_docs"),
         expr("n_docs * 1000 div tot").as("mix_permille"),
         expr("1000 div k").as("target_permille"),
-        least(lit(1000L), expr("tot * 1000 div (k * n_docs)"))
-          .as("keep_permille"))
+        // the uncapped rebalance rate toward the uniform target: > 1000‰
+        // means the stratum is undersampled (repeat — [[mixUpsample]]),
+        // < 1000‰ oversampled (cut — [[mixApply]] via keep_permille)
+        expr("tot * 1000 div (k * n_docs)").as("rep_permille"))
+      .withColumn("keep_permille", least(lit(1000L), col("rep_permille")))
   }
 
   /** The APPLY side of [[domainMix]]: materialize the rebalanced corpus —
@@ -208,6 +212,41 @@ object CurationOps {
       .filter(col("bucket") < col("keep_permille"))
       .select(col("doc_id"), col("lang"), col("source"),
         col("keep_permille"), col("bucket"))
+  }
+
+  /** The UPSAMPLE side of the mix plan: [[domainMix]] caps keep rates at
+    * 1000‰ and leaves upsampling "a repeat factor decided downstream" —
+    * this is that downstream. Undersampled strata (rep rate > 1000‰) emit
+    * each document `rep div 1000` times, plus one extra copy for the
+    * deterministic hash-mod fraction of documents selected by
+    * `bucket < rep mod 1000` — fractional-epoch repetition exactly as
+    * training-mix recipes specify it ("repeat this source 2.3×"), with no
+    * RNG and an exactly-realized aggregate rate. Oversampled strata pass
+    * through at one copy (their cut is [[mixApply]]'s job, so composing
+    * upsample∘apply realizes the full plan).
+    *
+    * Scale shape: the plan broadcast is strata-count rows; `n_copies` is a
+    * row-local expression and the explode is a cheap generator over a
+    * sequence literal (copies of doc IDs, not of text — downstream stages
+    * join text by doc_id when they actually need it, or read the repeated
+    * rows directly when they don't). Docs never shuffle.
+    */
+  def mixUpsample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val plan = mixPlan(docs).select("lang", "source", "rep_permille")
+    val withPlan = docs
+      .join(broadcast(plan), Seq("lang", "source"))
+      .withColumn("bucket",
+        TextAnalysis.mdhash(col("doc_id").cast("string")) % 1000)
+      .withColumn("n_copies",
+        greatest(lit(1L),
+          expr("rep_permille div 1000") +
+            when(col("bucket") < col("rep_permille") % 1000, 1L).otherwise(0L)))
+    withPlan
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("rep_permille"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
   }
 
   /** Symmetric int8 quantization of L2-normalized embeddings:

@@ -388,6 +388,36 @@ object TextAnalysis {
         .as("reject_reasons"))
   }
 
+  /** Quality-score thresholding to a target keep rate — the step that
+    * CONSUMES [[freqScore]]: per language, keep the top `keepPermille`‰ of
+    * documents by reference-frequency score (the CCNet recipe: rank by LM
+    * score within each language, keep the head of the distribution). Exact
+    * rank with a doc_id tie-break, so the gate is deterministic even where
+    * bround'd scores tie.
+    *
+    * Scale shape: ranking partitions by the stratum key, so the
+    * parallelism unit is the language — fine while strata fit a task
+    * (packChunks' shard discipline). At 100 TB the two-pass form replaces
+    * exact rank: an `approx_quantiles` pass picks the per-stratum score
+    * cutoff, then a row-local filter applies it (no global sort); this
+    * exact-rank form is the oracle-checkable gate that two-pass variant is
+    * validated against.
+    */
+  def scoreSelect(spark: SparkSession, dir: String,
+                  keepPermille: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    freqScore(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(col("freq_score").desc, col("doc_id"))).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rk") * 1000 <= col("n_lang") * keepPermille)
+      .select(col("doc_id"), col("lang"), col("freq_score"),
+        col("rk"), col("n_lang"))
+  }
+
   /** Vocabulary induction — the first BPE merge iteration over the corpus
     * (Sennrich et al. 2016): count adjacent character pairs across the
     * vocabulary weighted by corpus word frequency, and rank the merge

@@ -759,6 +759,46 @@ object TextSql {
        |FROM documents d JOIN p USING (lang, source)
        |WHERE ${mdh("CAST(d.doc_id AS VARCHAR)")} % 1000 < p.keep_permille""".stripMargin
 
+  /** Mirror of [[graft.functions.CurationOps.mixUpsample]] — the uncapped
+    * rebalance rate, integer base repeats + hash-mod fractional extra copy,
+    * copies generated per document.
+    */
+  val mixUpsampleSql: String =
+    s"""WITH s AS (
+       |  SELECT lang, source, COUNT(*) AS n_docs
+       |  FROM documents GROUP BY lang, source),
+       |p AS (
+       |  SELECT lang, source,
+       |    SUM(n_docs) OVER () * 1000
+       |      // (COUNT(*) OVER () * n_docs) AS rep_permille
+       |  FROM s),
+       |d AS (
+       |  SELECT d.doc_id, d.lang, d.source,
+       |    CAST(p.rep_permille AS BIGINT) AS rep_permille,
+       |    CAST(GREATEST(1, p.rep_permille // 1000 +
+       |      CASE WHEN ${mdh("CAST(d.doc_id AS VARCHAR)")} % 1000 <
+       |        p.rep_permille % 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+       |  FROM documents d JOIN p USING (lang, source))
+       |SELECT doc_id, lang, source, rep_permille,
+       |  CAST(n_copies AS BIGINT) AS n_copies,
+       |  CAST(c.copy_id AS BIGINT) AS copy_id
+       |FROM d, UNNEST(generate_series(1, n_copies)) AS c(copy_id)""".stripMargin
+
+  /** Mirror of [[graft.functions.TextAnalysis.scoreSelect]]: the freq_score
+    * CTE ranked per language (score desc, doc_id tie-break), kept to the
+    * target permille by exact rank.
+    */
+  val scoreSelectSql: String =
+    s"""WITH fs AS ($freqScoreSql),
+       |r AS (
+       |  SELECT fs.doc_id, d.lang, fs.freq_score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY d.lang
+       |      ORDER BY fs.freq_score DESC, fs.doc_id) AS BIGINT) AS rk,
+       |    CAST(COUNT(*) OVER (PARTITION BY d.lang) AS BIGINT) AS n_lang
+       |  FROM fs JOIN documents d USING (doc_id))
+       |SELECT doc_id, lang, freq_score, rk, n_lang
+       |FROM r WHERE rk * 1000 <= n_lang * 500""".stripMargin
+
   /** Mirror of [[graft.functions.FrequentItems.approxTopK]]'s exact side;
     * the `within_bound` MG claim is constant-true by the mergeable-summary
     * guarantee (see the Scaladoc there), so the oracle pins it to TRUE.

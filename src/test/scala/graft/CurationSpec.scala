@@ -127,6 +127,37 @@ class CurationSpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("mix_upsample: fractional-epoch repeats realize the uncapped rate") {
+    val up = CurationOps.mixUpsample(spark, sfTiny).cache()
+    // copy_ids are dense 1..n_copies per doc
+    val bad = up.groupBy("doc_id", "n_copies")
+      .agg(count(lit(1)).as("n"), min("copy_id").as("lo"), max("copy_id").as("hi"))
+      .filter(col("n") =!= col("n_copies") || col("lo") =!= 1 ||
+        col("hi") =!= col("n_copies")).count()
+    assert(bad == 0, "copy_id not dense 1..n_copies")
+    // oversampled strata (rep<=1000) stay single-copy; undersampled strata
+    // realize the fractional rate: total copies within 1 per-mille step of
+    // n_docs * rep / 1000 (hash-mod uniformity gives exactness only in
+    // expectation, but base copies are exact: >= n_docs * (rep div 1000))
+    val strata = up.groupBy("lang", "source", "rep_permille")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_copies_tot"))
+      .collect()
+    assert(strata.nonEmpty)
+    strata.foreach { r =>
+      val (rep, n, tot) = (r.getAs[Long]("rep_permille"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_copies_tot"))
+      if (rep <= 1000) assert(tot == n, s"oversampled stratum repeated: $r")
+      else {
+        assert(tot >= n * (rep / 1000), s"fewer than base repeats: $r")
+        assert(tot <= n * (rep / 1000 + 1), s"more than base+1 repeats: $r")
+      }
+    }
+    // at least one stratum actually upsamples on this fixture
+    assert(strata.exists(_.getAs[Long]("rep_permille") > 1000),
+      "fixture exercises no upsampled stratum")
+    up.unpersist()
+  }
+
   test("pack_chunks: greedy bins are dense, ordered, and bounded") {
     val p = CurationOps.packChunks(spark, sfTiny, budget = 512).cache()
     assert(p.filter(col("bin_offset") < 0 || col("bin_offset") >= 512).count() == 0,

@@ -111,6 +111,26 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("score_select keeps exactly the per-language top half by freq_score") {
+    val sel = TextAnalysis.scoreSelect(spark, sfTiny).collect()
+    assert(sel.nonEmpty)
+    val scores = TextAnalysis.freqScore(spark, sfTiny)
+      .join(graft.sources.Tables.documents(spark, sfTiny).select("doc_id", "lang"),
+        Seq("doc_id"))
+      .select("doc_id", "lang", "freq_score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val expected = scores.groupBy(_._2).flatMap { case (_, docs) =>
+      val ranked = docs.sortBy(d => (-d._3, d._1))
+      ranked.take(ranked.size * 500 / 1000) // rk*1000 <= n*500
+    }.map(_._1).toSet
+    assert(sel.map(_.getAs[Long]("doc_id")).toSet == expected,
+      "selection differs from straight-line per-language ranking")
+    // every kept rank is within the permille bound
+    sel.foreach { r =>
+      assert(r.getAs[Long]("rk") * 1000 <= r.getAs[Long]("n_lang") * 500)
+    }
+  }
+
   test("bpe_merges matches a straight-line first-merge recomputation") {
     val got = TextAnalysis.bpeMerges(spark, sfTiny).collect()
     assert(got.length == 20)

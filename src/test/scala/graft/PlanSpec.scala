@@ -139,6 +139,16 @@ class PlanSpec extends SparkSpec {
       s"corpus shuffled to meet its own tiny plan:\n$plan")
   }
 
+  test("mix_upsample: plan broadcasts onto the corpus scan — docs never shuffle") {
+    val df = graft.functions.CurationOps.mixUpsample(spark, sfTiny)
+    df.collect() // AQE finalizes on execution
+    val plan = physicalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"strata plan not broadcast back onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled to meet its own tiny plan:\n$plan")
+  }
+
   test("bpe_merges: corpus collapses to vocab first; ranking window is post-aggregate") {
     val df = graft.functions.TextAnalysis.bpeMerges(spark, sfTiny)
     df.collect() // AQE finalizes on execution
