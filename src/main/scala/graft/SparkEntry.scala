@@ -135,6 +135,8 @@ object SparkEntry {
     "rep_signals"     -> ((s, d) => TextAnalysis.repSignals(s, d)),
     // tokenizer-training: first BPE merge iteration (pair counts over vocab)
     "bpe_merges"      -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    // entity resolution: q-gram-filtered levenshtein pairing over part names
+    "fuzzy_pairs"     -> ((s, d) => TextAnalysis.fuzzyPairs(s, d)),
     "gopher_filter"   -> ((s, d) => TextAnalysis.gopherFilter(s, d)),
     "approx_topk"     -> ((s, d) => FrequentItems.approxTopK(s, d)),
   )
@@ -227,6 +229,7 @@ object SparkEntry {
     "stratified_sample" -> TextSql.stratifiedSampleSql,
     "rep_signals"     -> TextSql.repSignalsSql,
     "bpe_merges"      -> TextSql.bpeMergesSql,
+    "fuzzy_pairs"     -> TextSql.fuzzyPairsSql,
     "gopher_filter"   -> TextSql.gopherFilterSql,
     "approx_topk"     -> TextSql.approxTopKSql,
   )

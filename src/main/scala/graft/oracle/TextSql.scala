@@ -759,6 +759,29 @@ object TextSql {
        |FROM documents d JOIN p USING (lang, source)
        |WHERE ${mdh("CAST(d.doc_id AS VARCHAR)")} % 1000 < p.keep_permille""".stripMargin
 
+  /** Mirror of [[graft.functions.TextAnalysis.fuzzyPairs]]: distinct part
+    * names, q-gram candidate join, exact levenshtein verify, canonical
+    * election by part count (LEAST on ties).
+    */
+  val fuzzyPairsSql: String =
+    """WITH n AS (
+      |  SELECT p_name AS name, COUNT(*) AS cnt FROM part
+      |  GROUP BY p_name HAVING length(p_name) >= 6),
+      |g AS (
+      |  SELECT DISTINCT name, cnt, substring(name, i, 3) AS g
+      |  FROM n, UNNEST(generate_series(1, length(name) - 2)) AS u(i)),
+      |c AS (
+      |  SELECT DISTINCT a.name AS name1, a.cnt AS cnt1,
+      |    b.name AS name2, b.cnt AS cnt2
+      |  FROM g a JOIN g b ON a.g = b.g AND a.name < b.name
+      |    AND abs(length(a.name) - length(b.name)) <= 1)
+      |SELECT name1, name2,
+      |  CAST(cnt1 AS BIGINT) AS cnt1, CAST(cnt2 AS BIGINT) AS cnt2,
+      |  CAST(levenshtein(name1, name2) AS BIGINT) AS dist,
+      |  CASE WHEN cnt1 > cnt2 THEN name1 WHEN cnt2 > cnt1 THEN name2
+      |       ELSE LEAST(name1, name2) END AS canonical
+      |FROM c WHERE levenshtein(name1, name2) <= 1""".stripMargin
+
   /** Mirror of [[graft.functions.CurationOps.mixUpsample]] — the uncapped
     * rebalance rate, integer base repeats + hash-mod fractional extra copy,
     * copies generated per document.

@@ -131,6 +131,39 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy_pairs finds exactly the brute-force lev<=1 name pairs, non-vacuous") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = graft.sources.Tables.part(spark, sfTiny)
+      .groupBy("p_name").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("cnt")).toMap
+      .filter(_._1.length >= 6)
+    val brute = (for {
+      a <- names.keys; b <- names.keys
+      if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "fixture has no lev<=1 name pairs to find")
+    val got = TextAnalysis.fuzzyPairs(spark, sfTiny).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet == brute,
+      "q-gram-filtered pairs != brute force (recall bound violated?)")
+    got.foreach { r =>
+      val (n1, n2) = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("dist") == lev(n1, n2))
+      val expectCanon =
+        if (names(n1) > names(n2)) n1
+        else if (names(n2) > names(n1)) n2
+        else Seq(n1, n2).min
+      assert(r.getAs[String]("canonical") == expectCanon, s"canonical for ($n1,$n2)")
+    }
+  }
+
   test("bpe_merges matches a straight-line first-merge recomputation") {
     val got = TextAnalysis.bpeMerges(spark, sfTiny).collect()
     assert(got.length == 20)

@@ -160,6 +160,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), "no map-side combine on the vocab agg")
   }
 
+  test("fuzzy_pairs: q-gram candidate join — no cartesian/nested-loop over names") {
+    val plan = physicalPlan(graft.functions.TextAnalysis.fuzzyPairs(spark, sfTiny))
+    assert(!plan.contains("CartesianProduct"),
+      s"fuzzy pairing is an all-pairs cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy pairing is an all-pairs nested loop:\n$plan")
+  }
+
   test("dup_spans: hash repartition serves count + doc-frequency window — two exchanges total") {
     val df = graft.functions.DedupOps.dupSpans(spark, sfTiny)
     val plan = physicalPlan(df)
