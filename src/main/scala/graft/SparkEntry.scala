@@ -111,6 +111,10 @@ object SparkEntry {
     "mix_upsample"    -> ((s, d) => CurationOps.mixUpsample(s, d)),
     // capstone: quality gate ∘ canonical dedup ∘ span removal as ONE plan
     "corpus_clean"    -> ((s, d) => CurationOps.corpusClean(s, d)),
+    // PII scrub: redaction + category counts + deterministic pseudonym
+    "pii_redact"      -> ((s, d) => CurationOps.piiRedact(s, d)),
+    // eval-integrity audit: which train doc contaminates which test doc
+    "contamination_report" -> ((s, d) => CurationOps.contaminationReport(s, d)),
     "embed_quantize"  -> ((s, d) => CurationOps.embedQuantize(s, d)),
     "pack_chunks"     -> ((s, d) => CurationOps.packChunks(s, d)),
     "simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
@@ -232,5 +236,7 @@ object SparkEntry {
     "fuzzy_pairs"     -> TextSql.fuzzyPairsSql,
     "gopher_filter"   -> TextSql.gopherFilterSql,
     "approx_topk"     -> TextSql.approxTopKSql,
+    "pii_redact"      -> TextSql.piiRedactSql,
+    "contamination_report" -> TextSql.contaminationReportSql,
   )
 }

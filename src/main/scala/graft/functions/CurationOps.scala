@@ -372,4 +372,114 @@ object CurationOps {
       .select(col("doc_id"), col("lang"), col("source"), col("clean_text"),
         col("n_tokens"), col("n_dropped"))
   }
+
+  /** PII redaction patterns — public so the DuckDB oracle interpolates the
+    * SAME strings (no drift). Written in the common Java-regex/RE2 subset:
+    * no backslash escapes (`[.]`/`[+]` instead of `\.`/`\+`), no
+    * lookaround, no backreferences — the pattern means the same thing in
+    * Spark (java.util.regex) and DuckDB (RE2).
+    */
+  val piiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  val piiPhoneRe = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val piiNameRe  = "Customer#[0-9]+"
+
+  /** PII redaction + pseudonymization — the scrub every training-data
+    * pipeline runs before text leaves curation: replace emails, phone
+    * numbers, and customer identifiers with category placeholders, count
+    * what was removed per category (the redaction audit), and emit a
+    * DETERMINISTIC pseudonym (md5-prefix of the identifier) so downstream
+    * joins on "who" still work without the identity — key-preserving
+    * pseudonymization, not suppression.
+    *
+    * The synthetic `documents` corpus is lowercase word-soup with no PII,
+    * so the PII-bearing input is CONSTRUCTED here, deterministically, from
+    * the customer table (contact-ticket text with the customer's name, a
+    * derived e-mail, and — for 4/5 of customers — a derived E.164-ish
+    * callback number; 1/3 get a second cc address so the category counts
+    * take values 0/1/2, not constant 1). The construction is mirrored
+    * verbatim in the oracle; the operator under test is the redaction
+    * machinery itself.
+    *
+    * 100 TB shape: a single codegen'd projection — `regexp_replace` /
+    * `regexp_extract_all` / `md5` are all native expressions, zero
+    * shuffles, zero UDFs; redaction streams at scan speed, which is the
+    * requirement for a write-side scrub (PlanSpec-gated: no exchange in
+    * the plan).
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val key = col("c_custkey")
+    val ks  = key.cast("string")
+    val seg = lower(col("c_mktsegment"))
+    val phone = concat(lit("+1-"),
+      lpad((key % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((key * 7 % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((key * 31 % 10000).cast("string"), 4, "0"))
+    val base = concat(lit("ticket: customer "), col("c_name"), lit(" ("),
+      seg, lit(") wrote from user"), ks, lit("@"), seg, lit(".example.com"))
+    val withCc = when(key % 3 === 0,
+      concat(base, lit(" cc backup."), ks, lit("@example.org"))).otherwise(base)
+    val text = when(key % 5 === 0, withCc)
+      .otherwise(concat(withCc, lit(" callback "), phone))
+    Tables.customer(spark, dir).select(
+      key,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, piiNameRe, "[NAME]"),
+          piiEmailRe, "[EMAIL]"),
+        piiPhoneRe, "[PHONE]").as("redacted"),
+      size(regexp_extract_all(text, lit(piiNameRe), lit(0)))
+        .cast("long").as("n_names"),
+      size(regexp_extract_all(text, lit(piiEmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(text, lit(piiPhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      concat(lit("cust_"), substring(md5(col("c_name")), 1, 12))
+        .as("pseudonym"))
+  }
+
+  /** Span-level contamination ATTRIBUTION — [[decontaminate]] answers
+    * "is this held-out doc contaminated?"; this answers "by which training
+    * document, and how badly?" — the report an eval-integrity audit
+    * actually files. Per contaminated test doc: how many distinct training
+    * docs share a rare 3-gram with it, the total shared-gram mass, and the
+    * single worst-offender training doc (most shared rare grams,
+    * lowest-doc-id tie-break so the top-1 is deterministic).
+    *
+    * "Rare" = train doc-frequency ≤ `dfCap` (default 20): contamination
+    * practice ignores boilerplate n-grams that appear everywhere — and the
+    * cap is ALSO the scale bound: every gram hash contributes at most
+    * `dfCap` (test,train) pairs, so the pair space is ≤ dfCap·|test grams|,
+    * linear in corpus size, never quadratic. Only 60-bit hashes and doc ids
+    * shuffle; text never moves. The top-1 window is row_number-filtered, so
+    * Spark plans it as WindowGroupLimit (partial top-1 before the
+    * exchange).
+    */
+  def contaminationReport(spark: SparkSession, dir: String,
+                          dfCap: Int = 20): DataFrame = {
+    val sh = DedupOps.explodedShingles(spark, dir)
+      .select(col("doc_id"), mdhash(col("s")).as("h"))
+    val tr = sh.filter(col("doc_id") % 10 < 8)
+      .select(col("doc_id").as("train_doc"), col("h"))
+    val rare = tr.groupBy("h").agg(count(lit(1)).as("train_df"))
+      .filter(col("train_df") <= dfCap)
+      .select("h")
+    val pairs = sh.filter(col("doc_id") % 10 >= 8)
+      .join(tr.join(rare, Seq("h")), Seq("h"))
+      .groupBy(col("doc_id"), col("train_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+    val w = Window.partitionBy("doc_id")
+    val rk = Window.partitionBy("doc_id")
+      .orderBy(col("n_shared").desc, col("train_doc").asc)
+    pairs
+      .withColumn("n_train_docs", count(lit(1)).over(w))
+      .withColumn("n_shared_total", sum(col("n_shared")).over(w))
+      .withColumn("rn", row_number().over(rk))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"),
+        col("n_train_docs").cast("long").as("n_train_docs"),
+        col("n_shared_total").cast("long").as("n_shared_total"),
+        col("train_doc").as("top_train_doc"),
+        col("n_shared").as("top_shared"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.oracle
 
-import graft.functions.{DedupOps, TextAnalysis}
+import graft.functions.{CurationOps, DedupOps, TextAnalysis}
 
 /** DuckDB mirrors of the LLM-pipeline operators ([[graft.functions]]).
   * Hash constants, permutation coefficients, language profiles, and
@@ -903,4 +903,67 @@ object TextSql {
        |JOIN gf USING (doc_id)
        |LEFT JOIN sel USING (doc_id)
        |WHERE COALESCE(sel.keep, TRUE)""".stripMargin
+
+  // PII redaction (mirror of CurationOps.piiRedact): the contact-ticket
+  // text is CONSTRUCTED identically from customer columns, then scrubbed
+  // with the SAME interpolated patterns (common Java-regex/RE2 subset; the
+  // only dialect difference is DuckDB's explicit 'g' flag vs Spark's
+  // replace-all default)
+  val piiRedactSql: String =
+    s"""WITH t AS (
+       |  SELECT c_custkey, c_name,
+       |    'ticket: customer ' || c_name || ' (' || lower(c_mktsegment) ||
+       |      ') wrote from user' || CAST(c_custkey AS VARCHAR) || '@' ||
+       |      lower(c_mktsegment) || '.example.com' ||
+       |      CASE WHEN c_custkey % 3 = 0
+       |        THEN ' cc backup.' || CAST(c_custkey AS VARCHAR) ||
+       |             '@example.org' ELSE '' END ||
+       |      CASE WHEN c_custkey % 5 = 0 THEN ''
+       |        ELSE ' callback +1-' ||
+       |          lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |          lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |          lpad(CAST(c_custkey * 31 % 10000 AS VARCHAR), 4, '0')
+       |      END AS text
+       |  FROM customer)
+       |SELECT c_custkey,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '${CurationOps.piiNameRe}', '[NAME]', 'g'),
+       |    '${CurationOps.piiEmailRe}', '[EMAIL]', 'g'),
+       |    '${CurationOps.piiPhoneRe}', '[PHONE]', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all(text, '${CurationOps.piiNameRe}'))
+       |    AS BIGINT) AS n_names,
+       |  CAST(len(regexp_extract_all(text, '${CurationOps.piiEmailRe}'))
+       |    AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '${CurationOps.piiPhoneRe}'))
+       |    AS BIGINT) AS n_phones,
+       |  'cust_' || substring(md5(c_name), 1, 12) AS pseudonym
+       |FROM t""".stripMargin
+
+  // span-level contamination attribution (mirror of
+  // CurationOps.contaminationReport): rare = train doc-frequency <= 20,
+  // top-1 train doc per test doc by (shared grams DESC, train_doc ASC)
+  val contaminationReportSql: String =
+    s"""WITH ${shCte()},
+       |h AS (SELECT doc_id, ${mdh("s")} AS h FROM sh),
+       |tr AS (SELECT doc_id AS train_doc, h FROM h WHERE doc_id % 10 < 8),
+       |rare AS (SELECT h FROM tr GROUP BY h HAVING COUNT(*) <= 20),
+       |pairs AS (
+       |  SELECT te.doc_id, tr.train_doc, COUNT(*) AS n_shared
+       |  FROM h te
+       |  JOIN rare USING (h)
+       |  JOIN tr USING (h)
+       |  WHERE te.doc_id % 10 >= 8
+       |  GROUP BY te.doc_id, tr.train_doc),
+       |r AS (
+       |  SELECT doc_id, train_doc, n_shared,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS n_train_docs,
+       |    SUM(n_shared) OVER (PARTITION BY doc_id) AS n_shared_total,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY n_shared DESC, train_doc ASC) AS rn
+       |  FROM pairs)
+       |SELECT doc_id,
+       |  CAST(n_train_docs AS BIGINT) AS n_train_docs,
+       |  CAST(n_shared_total AS BIGINT) AS n_shared_total,
+       |  train_doc AS top_train_doc, n_shared AS top_shared
+       |FROM r WHERE rn = 1""".stripMargin
 }

@@ -197,6 +197,30 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("pii_redact: write-side scrub is a zero-shuffle codegen projection") {
+    val df = graft.functions.CurationOps.piiRedact(spark, sfTiny)
+    val plan = physicalPlan(df)
+    // regexp_replace / regexp_extract_all / md5 are native expressions —
+    // the scrub must stream at scan speed, nothing may cross the network
+    assert(shuffles(df) == 0,
+      s"redaction projection grew an exchange:\n$plan")
+    assert(!plan.contains("UDF("),
+      s"redaction fell off codegen onto a Scala UDF:\n$plan")
+  }
+
+  test("contamination_report: df-capped pair space, partial top-1 below the window") {
+    val df = graft.functions.CurationOps.contaminationReport(spark, sfTiny)
+    df.collect() // AQE finalizes on execution
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"contamination attribution became an all-pairs join:\n$plan")
+    // the row_number()===1 filter must plant a WindowGroupLimit so the
+    // top-offender election truncates before the doc_id exchange
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-1 train doc not truncated below the window shuffle:\n$plan")
+  }
+
   test("decontaminate_bloom: native codegen probe filters the probe side below the join") {
     val df = graft.functions.CurationOps.decontaminateBloom(spark, sfTiny)
     val plan = physicalPlan(df)
