@@ -115,6 +115,8 @@ object SparkEntry {
     "pii_redact"      -> ((s, d) => CurationOps.piiRedact(s, d)),
     // eval-integrity audit: which train doc contaminates which test doc
     "contamination_report" -> ((s, d) => CurationOps.contaminationReport(s, d)),
+    // quasi-identifier generalization: residual roll-up k-anonymity
+    "k_anonymize"     -> ((s, d) => CurationOps.kAnonymize(s, d)),
     "embed_quantize"  -> ((s, d) => CurationOps.embedQuantize(s, d)),
     "pack_chunks"     -> ((s, d) => CurationOps.packChunks(s, d)),
     "simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
@@ -238,5 +240,6 @@ object SparkEntry {
     "approx_topk"     -> TextSql.approxTopKSql,
     "pii_redact"      -> TextSql.piiRedactSql,
     "contamination_report" -> TextSql.contaminationReportSql,
+    "k_anonymize"     -> TextSql.kAnonymizeSql,
   )
 }

@@ -437,6 +437,84 @@ object CurationOps {
         .as("pseudonym"))
   }
 
+  /** k-anonymity threshold shared with the DuckDB oracle. */
+  val kAnonK = 5
+
+  /** k-anonymization — the companion to [[piiRedact]]: redaction removes
+    * direct identifiers; this generalizes QUASI-identifiers (geography +
+    * account-balance bracket) until every released equivalence class holds
+    * at least [[kAnonK]] records, so no row is re-identifiable by joining
+    * the released tuple against an external directory (Sweeney's
+    * k-anonymity, via a fixed minimal-generalization hierarchy).
+    *
+    * Hierarchy (coarsening left to right, one level per step):
+    *   L0 (nation, segment, $1000-balance bracket) →
+    *   L1 (nation, segment) → L2 (region, segment) → L3 (segment) →
+    *   L4 (fully suppressed).
+    * Naive "take the first level whose FULL class reaches k" is NOT
+    * k-anonymous: records whose L0 class already reached k release the
+    * finer tuple, so the coarser released class holds only the leftovers
+    * and can undershoot k. This uses RESIDUAL roll-up instead: records of
+    * undersized classes merge upward, and each level tests the residual
+    * count — the set of records actually releasing that tuple — against k.
+    * Every released equivalence class therefore provably holds ≥ k records
+    * (or is the terminal all-suppressed pool). Deterministic, no
+    * tie-breaks; all records of one L0 class land on the same level.
+    *
+    * 100 TB shape: the class-size tables are bounded by the QI key space
+    * (|nation|·|segment|·|bracket| ≈ 1.4k rows), NOT by the corpus — the
+    * L0 count aggregates map-side, every residual roll-up runs over count
+    * rows only, and all of it broadcasts back onto the scan, so the fact
+    * table never shuffles (PlanSpec-gated: broadcast joins only).
+    */
+  def kAnonymize(spark: SparkSession, dir: String): DataFrame = {
+    val k = kAnonK
+    val base = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("c_custkey"),
+        col("n_name").as("nation"),
+        col("r_name").as("region"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000).cast("int").as("bal_bucket"))
+    // L0 class sizes; each coarser level counts only the RESIDUAL records
+    // (those still unreleased after the finer level)
+    val c0 = base.groupBy("nation", "region", "segment", "bal_bucket")
+      .agg(count(lit(1)).as("n0"))
+    val g1 = c0.groupBy("nation", "region", "segment")
+      .agg(sum(when(col("n0") < k, col("n0")).otherwise(0)).as("r1"))
+    val g2 = g1.groupBy("region", "segment")
+      .agg(sum(when(col("r1") < k, col("r1")).otherwise(0)).as("r2"))
+    val g3 = g2.groupBy("segment")
+      .agg(sum(when(col("r2") < k, col("r2")).otherwise(0)).as("r3"))
+      // terminal pool: residual across segments (tiny frame, ≤|segment| rows)
+      .withColumn("r4",
+        sum(when(col("r3") < k, col("r3")).otherwise(0))
+          .over(Window.partitionBy()))
+    val lvl = when(col("n0") >= k, 0).when(col("r1") >= k, 1)
+      .when(col("r2") >= k, 2).when(col("r3") >= k, 3).otherwise(4)
+    base
+      .join(broadcast(c0), Seq("nation", "region", "segment", "bal_bucket"))
+      .join(broadcast(g1), Seq("nation", "region", "segment"))
+      .join(broadcast(g2), Seq("region", "segment"))
+      .join(broadcast(g3), Seq("segment"))
+      .select(
+        col("c_custkey"),
+        when(lvl <= 1, col("nation")).when(lvl === 2, col("region"))
+          .otherwise(lit("*")).as("qi_geo"),
+        when(lvl <= 3, col("segment")).otherwise(lit("*")).as("qi_segment"),
+        when(lvl === 0, col("bal_bucket").cast("string"))
+          .otherwise(lit("*")).as("qi_bal"),
+        lvl.as("anon_level"),
+        when(lvl === 0, col("n0")).when(lvl === 1, col("r1"))
+          .when(lvl === 2, col("r2")).when(lvl === 3, col("r3"))
+          .otherwise(col("r4"))
+          .cast("long").as("class_size"))
+  }
+
   /** Span-level contamination ATTRIBUTION — [[decontaminate]] answers
     * "is this held-out doc contaminated?"; this answers "by which training
     * document, and how badly?" — the report an eval-integrity audit

@@ -939,6 +939,58 @@ object TextSql {
        |  'cust_' || substring(md5(c_name), 1, 12) AS pseudonym
        |FROM t""".stripMargin
 
+  // k-anonymization (mirror of CurationOps.kAnonymize): residual roll-up
+  // over the fixed hierarchy L0 (nation,segment,$1000 bracket) → L1
+  // (nation,segment) → L2 (region,segment) → L3 (segment) → L4
+  // (suppressed); k interpolated from the SAME Scala constant. SUM over
+  // BIGINT is HUGEINT in DuckDB — every released count re-casts to BIGINT.
+  val kAnonymizeSql: String = {
+    val k = graft.functions.CurationOps.kAnonK
+    s"""WITH base AS (
+       |  SELECT c_custkey, n_name AS nation, r_name AS region,
+       |    c_mktsegment AS segment,
+       |    CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_bucket
+       |  FROM customer
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey),
+       |c0 AS (
+       |  SELECT nation, region, segment, bal_bucket, COUNT(*) AS n0
+       |  FROM base GROUP BY nation, region, segment, bal_bucket),
+       |g1 AS (
+       |  SELECT nation, region, segment,
+       |    SUM(CASE WHEN n0 < $k THEN n0 ELSE 0 END) AS r1
+       |  FROM c0 GROUP BY nation, region, segment),
+       |g2 AS (
+       |  SELECT region, segment,
+       |    SUM(CASE WHEN r1 < $k THEN r1 ELSE 0 END) AS r2
+       |  FROM g1 GROUP BY region, segment),
+       |g3 AS (
+       |  SELECT segment, SUM(CASE WHEN r2 < $k THEN r2 ELSE 0 END) AS r3
+       |  FROM g2 GROUP BY segment),
+       |g3w AS (
+       |  SELECT segment, r3,
+       |    SUM(CASE WHEN r3 < $k THEN r3 ELSE 0 END) OVER () AS r4
+       |  FROM g3)
+       |SELECT c_custkey,
+       |  CASE WHEN n0 >= $k OR r1 >= $k THEN nation
+       |       WHEN r2 >= $k THEN region ELSE '*' END AS qi_geo,
+       |  CASE WHEN n0 >= $k OR r1 >= $k OR r2 >= $k OR r3 >= $k
+       |       THEN segment ELSE '*' END AS qi_segment,
+       |  CASE WHEN n0 >= $k THEN CAST(bal_bucket AS VARCHAR)
+       |       ELSE '*' END AS qi_bal,
+       |  CASE WHEN n0 >= $k THEN 0 WHEN r1 >= $k THEN 1
+       |       WHEN r2 >= $k THEN 2 WHEN r3 >= $k THEN 3
+       |       ELSE 4 END AS anon_level,
+       |  CAST(CASE WHEN n0 >= $k THEN n0 WHEN r1 >= $k THEN r1
+       |       WHEN r2 >= $k THEN r2 WHEN r3 >= $k THEN r3
+       |       ELSE r4 END AS BIGINT) AS class_size
+       |FROM base
+       |JOIN c0 USING (nation, region, segment, bal_bucket)
+       |JOIN g1 USING (nation, region, segment)
+       |JOIN g2 USING (region, segment)
+       |JOIN g3w USING (segment)""".stripMargin
+  }
+
   // span-level contamination attribution (mirror of
   // CurationOps.contaminationReport): rare = train doc-frequency <= 20,
   // top-1 train doc per test doc by (shared grams DESC, train_doc ASC)

@@ -173,6 +173,31 @@ class CurationSpec extends SparkSpec {
       "every shard must start at bin 0 offset 0")
   }
 
+  test("k_anonymize: every released equivalence class holds >= k records") {
+    val k = CurationOps.kAnonK
+    val a = CurationOps.kAnonymize(spark, sfTiny)
+    // the property itself, on the RELEASED tuples (what an adversary joins
+    // on) — not the reported class_size column
+    val undersized = a.groupBy("qi_geo", "qi_segment", "qi_bal")
+      .agg(count(lit(1)).as("n"))
+      // the terminal all-suppressed pool is allowed to be < k (nothing to
+      // generalize further); every other tuple must reach k
+      .filter(col("n") < k && !(col("qi_geo") === "*" && col("qi_segment") === "*"))
+      .count()
+    assert(undersized == 0, "a released quasi-identifier class is under k")
+    // class_size must report the released-tuple group size exactly
+    val mismatch = a.groupBy("qi_geo", "qi_segment", "qi_bal", "class_size")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= col("class_size")).count()
+    assert(mismatch == 0, "class_size disagrees with the released group size")
+    // non-vacuous: generalization actually exercised beyond L0
+    val levels = a.select("anon_level").distinct().count()
+    assert(levels >= 2, "hierarchy never engaged — test data degenerate")
+    // nothing re-identifiable leaked: no L0 bucket release from an
+    // undersized class is possible by construction; spot-check coverage
+    assert(a.count() == graft.sources.Tables.customer(spark, sfTiny).count())
+  }
+
   test("dedup_select keeps exactly one canonical per cluster, longest wins") {
     val s = CurationOps.dedupSelect(spark, sfTiny).cache()
     val perCluster = s.groupBy("cluster_id")

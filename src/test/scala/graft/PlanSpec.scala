@@ -221,6 +221,19 @@ class PlanSpec extends SparkSpec {
       s"top-1 train doc not truncated below the window shuffle:\n$plan")
   }
 
+  test("k_anonymize: class-size roll-ups broadcast back — the fact side never shuffles for a join") {
+    val df = graft.functions.CurationOps.kAnonymize(spark, sfTiny)
+    df.collect() // AQE finalizes on execution
+    val plan = physicalPlan(df)
+    // the L0 count aggregates once; every residual level runs over count
+    // rows and joins back as a broadcast — a SortMergeJoin would mean the
+    // corpus shuffled to meet its own ~1.4k-row statistics
+    assert(plan.contains("BroadcastHashJoin"),
+      s"class-size tables not broadcast onto the scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact table shuffled to meet its own QI statistics:\n$plan")
+  }
+
   test("decontaminate_bloom: native codegen probe filters the probe side below the join") {
     val df = graft.functions.CurationOps.decontaminateBloom(spark, sfTiny)
     val plan = physicalPlan(df)
