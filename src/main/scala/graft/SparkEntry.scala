@@ -117,6 +117,8 @@ object SparkEntry {
     "contamination_report" -> ((s, d) => CurationOps.contaminationReport(s, d)),
     // quasi-identifier generalization: residual roll-up k-anonymity
     "k_anonymize"     -> ((s, d) => CurationOps.kAnonymize(s, d)),
+    // banding-parameter evaluator: empirical LSH S-curve vs exact truth
+    "lsh_recall"      -> ((s, d) => DedupOps.lshRecall(s, d)),
     "embed_quantize"  -> ((s, d) => CurationOps.embedQuantize(s, d)),
     "pack_chunks"     -> ((s, d) => CurationOps.packChunks(s, d)),
     "simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
@@ -241,5 +243,6 @@ object SparkEntry {
     "pii_redact"      -> TextSql.piiRedactSql,
     "contamination_report" -> TextSql.contaminationReportSql,
     "k_anonymize"     -> TextSql.kAnonymizeSql,
+    "lsh_recall"      -> TextSql.lshRecallSql,
   )
 }

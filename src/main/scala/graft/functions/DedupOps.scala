@@ -460,4 +460,31 @@ object DedupOps {
         size(col("t")).cast("long").as("n_tokens"),
         coalesce(size(col("drop")), lit(0)).cast("long").as("n_dropped"))
   }
+
+  /** LSH recall curve — the "measure, don't guess" evaluator for the
+    * MinHash banding parameters: per exact-Jaccard decile band, what
+    * fraction of true near-dup pairs does the 4×2 banding actually
+    * surface? This is the empirical S-curve (1−(1−s^r)^b) that justifies —
+    * or indicts — the banding choice before a full-corpus dedup run.
+    *
+    * Ground truth is inherently quadratic, so it runs on the SAME bounded
+    * id sample as [[ngramJaccard]] (the yardstick); candidates come from
+    * the production [[minhashLsh]] path restricted to the sample. At
+    * 100 TB the identical query runs on a drawn sample — the curve, not
+    * the pair list, is the product, and it transfers to the full corpus
+    * because banding probability depends only on similarity.
+    */
+  def lshRecall(spark: SparkSession, dir: String,
+                maxDocId: Long = 200): DataFrame = {
+    val truth = ngramJaccard(spark, dir, maxDocId)
+    val hits = minhashLsh(spark, dir)
+      .filter(col("id1") < maxDocId && col("id2") < maxDocId)
+      .select(col("id1"), col("id2"), lit(1).as("hit"))
+    truth.join(hits, Seq("id1", "id2"), "left")
+      .groupBy(floor(col("jaccard") * 10).cast("int").as("band"))
+      .agg(count(lit(1)).as("n_pairs"), count(col("hit")).as("n_hit"))
+      .select(col("band"), col("n_pairs"), col("n_hit"),
+        bround(col("n_hit").cast("double") / col("n_pairs"), 6)
+          .cast("decimal(10,6)").cast("double").as("recall"))
+  }
 }

@@ -166,6 +166,38 @@ object TextSql {
        |WHERE CAST(CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter)
        |           AS DECIMAL(10,6)) >= 0.02""".stripMargin
 
+  // LSH recall curve (mirror of DedupOps.lshRecall): exact-Jaccard truth
+  // on the bounded sample vs the production candidate set, bucketed by
+  // similarity decile
+  val lshRecallSql: String =
+    s"""WITH $candCte,
+       |counts AS (
+       |  SELECT doc_id, COUNT(*) AS n_sh FROM sh
+       |  WHERE doc_id < 200 GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id < 200 AND b.doc_id < 200
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT id1, id2,
+       |    CAST(CAST(CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter)
+       |         AS DECIMAL(10,6)) AS DOUBLE) AS jaccard
+       |  FROM inter
+       |  JOIN counts c1 ON id1 = c1.doc_id
+       |  JOIN counts c2 ON id2 = c2.doc_id
+       |  WHERE CAST(CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter)
+       |             AS DECIMAL(10,6)) >= 0.02),
+       |hits AS (
+       |  SELECT id1, id2, 1 AS hit FROM cand
+       |  WHERE id1 < 200 AND id2 < 200)
+       |SELECT CAST(floor(jaccard * 10) AS INTEGER) AS band,
+       |  COUNT(*) AS n_pairs, COUNT(hit) AS n_hit,
+       |  CAST(CAST(CAST(COUNT(hit) AS DOUBLE) / COUNT(*)
+       |       AS DECIMAL(10,6)) AS DOUBLE) AS recall
+       |FROM truth LEFT JOIN hits USING (id1, id2)
+       |GROUP BY 1""".stripMargin
+
   // connected components of the candidate graph by transitive closure
   // (recursive CTE); cluster id = min doc_id reachable. The Spark side
   // computes the same components by min-label propagation — different

@@ -26,6 +26,23 @@ class LlmOpsSpec extends SparkSpec {
       assert(errs.sum / errs.length < 0.6, "MinHash estimates wildly off true Jaccard")
   }
 
+  test("lsh_recall: empirical S-curve — monotone in similarity, top band fully recalled") {
+    val rows = DedupOps.lshRecall(spark, sfTiny)
+      .orderBy("band")
+      .select(col("band"), col("n_pairs"), col("recall"))
+      .collect()
+    assert(rows.length >= 2, "recall curve degenerate — fewer than two bands")
+    // banding probability 1-(1-s^r)^b is increasing in s, so measured
+    // recall must be non-decreasing across similarity bands
+    val recalls = rows.map(_.getDouble(2))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in similarity: ${recalls.mkString(", ")}")
+    // near-identical pairs (top populated band >= 0.9) must never be missed
+    val top = rows.last
+    assert(top.getInt(0) >= 9 && top.getDouble(2) == 1.0,
+      "banding misses near-duplicate pairs — dedup would leak dups")
+  }
+
   test("LSH top-k neighbors are a subset of brute-force candidates with sane recall") {
     val brute = SimilarityOps.cosineTopK(spark, sfTiny, nQueries = 20, k = 5)
       .select("query_id", "neighbor_id").collect()
