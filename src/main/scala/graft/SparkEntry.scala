@@ -127,6 +127,10 @@ object SparkEntry {
     "lsh_buckets"     -> ((s, d) => SimilarityOps.lshBuckets(s, d)),
     "lsh_topk"        -> ((s, d) => SimilarityOps.lshTopK(s, d)),
     "multimodal_meta" -> ((s, d) => MultimodalOps.multimodalMeta(s, d)),
+    // typed one-to-many decode shape, gated differentially (mapPartitions
+    // flatMap on the engine side vs a set-based unnest in the oracle)
+    "frame_sample"    -> ((s, d) =>
+      MultimodalOps.sampleFramesStub(s, MultimodalOps.mediaTable(s, d)).toDF),
     "asof_price_join" -> ((s, d) => AsofJoin.marketOrdersWithAsofPrice(s, d)),
     "label_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
     "ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
@@ -224,6 +228,7 @@ object SparkEntry {
     "lsh_buckets"     -> TextSql.lshBucketsSql,
     "lsh_topk"        -> TextSql.lshTopKSql,
     "multimodal_meta" -> TextSql.multimodalMetaSql,
+    "frame_sample"    -> TextSql.frameSampleSql,
     "asof_price_join" -> TextSql.asofPriceJoinSql,
     "label_centroids" -> TextSql.labelCentroidsSql,
     "ivf_topk"        -> TextSql.ivfTopKSql,

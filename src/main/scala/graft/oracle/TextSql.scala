@@ -488,6 +488,29 @@ object TextSql {
        |  CAST(${mdh("text")} % 480 + 16 AS BIGINT) AS fake_height
        |FROM documents""".stripMargin
 
+  // frame sampler mirror (MultimodalOps.sampleFramesStub): the corpus is
+  // pure ASCII (asserted by the Spark spec), so character slicing equals
+  // the engine's byte slicing and md5-of-slice matches md5-of-substring.
+  // Differential value: the Spark side is a typed mapPartitions flatMap —
+  // an entirely different execution path from this set-based mirror.
+  val frameSampleSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |    GREATEST(length(text) // 64, 1) AS n_frames
+       |  FROM documents),
+       |idx AS (
+       |  SELECT doc_id, text,
+       |    UNNEST(range(0, CAST(n_frames AS INTEGER), 4)) AS frame_idx
+       |  FROM f)
+       |SELECT doc_id,
+       |  CAST(frame_idx AS INTEGER) AS frame_idx,
+       |  CAST(frame_idx * 64 AS BIGINT) AS "offset",
+       |  CAST(length(substring(text, frame_idx * 64 + 1, 64)) AS INTEGER)
+       |    AS n_bytes,
+       |  substring(md5(substring(text, frame_idx * 64 + 1, 64)), 1, 16)
+       |    AS frame_hash
+       |FROM idx""".stripMargin
+
   // hash-mod stratified sampling mirror (see TextAnalysis.stratifiedSample)
   val stratifiedSampleSql: String =
     s"""WITH d AS (

@@ -358,6 +358,12 @@ class LlmOpsSpec extends SparkSpec {
     val again = MultimodalOps.sampleFramesStub(spark, media).collect()
     assert(frames.sortBy(f => (f.doc_id, f.frame_idx)).toSeq ==
       again.sortBy(f => (f.doc_id, f.frame_idx)).toSeq)
+    // the frame_sample oracle slices by CHARACTER; byte == char only while
+    // the corpus stays ASCII — fail loudly here rather than hash-mismatch
+    // mysteriously in the gate if the generator ever emits multibyte text
+    val nonAscii = graft.sources.Tables.documents(spark, sfTiny)
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii == 0, "corpus no longer ASCII — frame_sample oracle invalid")
   }
 
   test("shingles: short docs yield empty shingle sets, not errors") {
