@@ -119,6 +119,8 @@ object SparkEntry {
     "k_anonymize"     -> ((s, d) => CurationOps.kAnonymize(s, d)),
     // banding-parameter evaluator: empirical LSH S-curve vs exact truth
     "lsh_recall"      -> ((s, d) => DedupOps.lshRecall(s, d)),
+    // tokenizer apply side: frozen vocab, scan-speed symbol merging
+    "bpe_encode"      -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "embed_quantize"  -> ((s, d) => CurationOps.embedQuantize(s, d)),
     "pack_chunks"     -> ((s, d) => CurationOps.packChunks(s, d)),
     "simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
@@ -249,5 +251,6 @@ object SparkEntry {
     "contamination_report" -> TextSql.contaminationReportSql,
     "k_anonymize"     -> TextSql.kAnonymizeSql,
     "lsh_recall"      -> TextSql.lshRecallSql,
+    "bpe_encode"      -> TextSql.bpeEncodeSql,
   )
 }

@@ -526,4 +526,60 @@ object TextAnalysis {
       .join(docs.select(col("doc_id"),
         substring(md5(col("text")), 1, 16).as("md5_fp")), Seq("doc_id"))
   }
+
+  /** Frozen BPE vocabulary: the top-8 merges [[bpeMerges]] learns on the
+    * sf0.001 training corpus, pinned here as the deployable artifact
+    * (train once, apply everywhere — how real tokenizers ship). A spec
+    * asserts these constants EQUAL the learned ranking, so vocabulary
+    * drift fails the build instead of silently changing token counts.
+    */
+  val bpeVocab: Seq[String] = Seq("er", "or", "in", "ow", "st", "rt", "lu", "ue")
+
+  /** Number of merge passes per vocabulary entry (see [[bpeEncode]]). */
+  val bpePasses = 3
+
+  /** BPE ENCODE — the apply side of [[bpeMerges]]: segment every document
+    * with the frozen vocabulary and report the token-count compression.
+    * This is the pipeline's real token counter: corpus token budgets are
+    * computed with the production tokenizer, not whitespace counts.
+    *
+    * Mechanism: symbols are rendered inline as `|a|b|c|` (a pipe-bounded
+    * symbol stream — pipes never occur in the corpus, the spec asserts
+    * ASCII), and one merge `xy` is `replace("|x|y|", "|xy|")` — plain
+    * non-overlapping string replacement, applied [[bpePasses]] times per
+    * merge in rank order. Fixed passes make the semantics DEFINED and
+    * engine-identical (replacement never rescans, both engines scan
+    * left-to-right) rather than dependent on fixpoint detection; three
+    * passes converge for every alternation the merge table can hit (spec
+    * checks a 4th pass changes nothing at the reference scale). Word
+    * boundaries need no special casing: the space symbol `| |` matches no
+    * letter-bigram pattern.
+    *
+    * 100 TB shape: a zero-shuffle codegen projection — 24 chained native
+    * string kernels over the scan, the same shape as [[piiRedact]]; the
+    * whole tokenizer runs at scan speed with no explode, no UDF, no
+    * shuffle (PlanSpec-gated).
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val sym0 = concat(regexp_replace(col("text"), "(.)", raw"|$$1"), lit("|"))
+    val encoded = bpeVocab.foldLeft(sym0) { (s, m) =>
+      val pat = s"|${m.charAt(0)}|${m.charAt(1)}|"
+      (1 to bpePasses).foldLeft(s)((x, _) => replace(x, lit(pat), lit(s"|$m|")))
+    }
+    val nPipes = length(encoded) - length(replace(encoded, lit("|"), lit("")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_ch"),
+        (length(col("text")) -
+          length(replace(col("text"), lit(" "), lit("")))).as("n_sp"),
+        nPipes.as("np"))
+      .select(col("doc_id"),
+        (col("n_ch") - col("n_sp")).cast("long").as("n_units"),
+        (col("np") - 1 - col("n_sp")).cast("long").as("n_tokens_bpe"),
+        when(col("n_ch") - col("n_sp") > 0,
+          bround((col("np") - 1 - col("n_sp")).cast("double") /
+            (col("n_ch") - col("n_sp")), 6)
+            .cast("decimal(10,6)").cast("double"))
+          .otherwise(lit(0.0)).as("compression"))
+  }
 }

@@ -511,6 +511,32 @@ object TextSql {
        |    AS frame_hash
        |FROM idx""".stripMargin
 
+  // BPE encode mirror (TextAnalysis.bpeEncode): the replace chain is
+  // GENERATED from the same frozen vocabulary + pass count the engine
+  // uses; dialect differences are only the regex backreference ('\1' vs
+  // '$1') and DuckDB's explicit 'g' flag
+  val bpeEncodeSql: String = {
+    val base = """regexp_replace(text, '(.)', '|\1', 'g') || '|'"""
+    val enc = TextAnalysis.bpeVocab.foldLeft(base) { (s, m) =>
+      (1 to TextAnalysis.bpePasses).foldLeft(s)((x, _) =>
+        s"replace($x, '|${m.charAt(0)}|${m.charAt(1)}|', '|$m|')")
+    }
+    s"""WITH enc AS (
+       |  SELECT doc_id, length(text) AS n_ch,
+       |    length(text) - length(replace(text, ' ', '')) AS n_sp,
+       |    $enc AS s
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(n_ch - n_sp AS BIGINT) AS n_units,
+       |  CAST(length(s) - length(replace(s, '|', '')) - 1 - n_sp AS BIGINT)
+       |    AS n_tokens_bpe,
+       |  CASE WHEN n_ch - n_sp > 0 THEN
+       |    CAST(CAST(CAST(length(s) - length(replace(s, '|', '')) - 1 - n_sp
+       |      AS DOUBLE) / (n_ch - n_sp) AS DECIMAL(10,6)) AS DOUBLE)
+       |  ELSE 0.0 END AS compression
+       |FROM enc""".stripMargin
+  }
+
   // hash-mod stratified sampling mirror (see TextAnalysis.stratifiedSample)
   val stratifiedSampleSql: String =
     s"""WITH d AS (

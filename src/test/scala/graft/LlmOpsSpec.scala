@@ -204,6 +204,44 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe_encode: frozen vocab equals the learned ranking; passes converged; counts sane") {
+    // 1) vocabulary pin: the shipped constant IS bpeMerges' top-8 on the
+    // training corpus — drift fails here, not as a silent count change
+    val learned = TextAnalysis.bpeMerges(spark, sfTiny)
+      .orderBy("rank").limit(TextAnalysis.bpeVocab.length)
+      .collect().map(_.getAs[String]("pair")).toSeq
+    assert(learned == TextAnalysis.bpeVocab,
+      s"frozen bpeVocab ${TextAnalysis.bpeVocab} != learned $learned")
+    // 2) encode counts: every doc compresses (or stays equal), never grows,
+    // and the unit count matches the raw letter count
+    val enc = TextAnalysis.bpeEncode(spark, sfTiny).collect()
+    assert(enc.length == 500)
+    enc.foreach { r =>
+      val units = r.getAs[Long]("n_units")
+      val toks = r.getAs[Long]("n_tokens_bpe")
+      assert(toks >= (units + 1) / 2 && toks <= units,
+        s"doc ${r.getAs[Long]("doc_id")}: $toks tokens from $units units")
+    }
+    // 3) the defined 3-pass semantics has converged at the reference
+    // scale: straight-line re-encode with a 4th pass changes nothing
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def encode(text: String, passes: Int): Int = {
+      var s = "|" + text.map(c => s"$c|").mkString
+      for (m <- TextAnalysis.bpeVocab; _ <- 1 to passes)
+        s = s.replace(s"|${m.charAt(0)}|${m.charAt(1)}|", s"|$m|")
+      s.count(_ == '|') - 1 - text.count(_ == ' ')
+    }
+    enc.foreach { r =>
+      val t = docs(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens_bpe") == encode(t, 3),
+        s"engine disagrees with straight-line 3-pass encode on ${r.getAs[Long]("doc_id")}")
+      assert(encode(t, 3) == encode(t, 4),
+        s"3 passes not converged on doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("repetition signals match a straight-line recomputation") {
     val got = TextAnalysis.repSignals(spark, sfTiny).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap

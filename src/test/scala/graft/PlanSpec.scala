@@ -208,6 +208,16 @@ class PlanSpec extends SparkSpec {
       s"redaction fell off codegen onto a Scala UDF:\n$plan")
   }
 
+  test("bpe_encode: the whole tokenizer is a zero-shuffle codegen projection") {
+    val df = graft.functions.TextAnalysis.bpeEncode(spark, sfTiny)
+    val plan = physicalPlan(df)
+    // 24 chained native string kernels over the scan — no explode, no
+    // UDF, nothing crosses the network; tokenization runs at scan speed
+    assert(shuffles(df) == 0, s"tokenizer grew an exchange:\n$plan")
+    assert(!plan.contains("UDF("), s"tokenizer fell off codegen:\n$plan")
+    assert(!plan.contains("Generate"), s"tokenizer exploded rows:\n$plan")
+  }
+
   test("contamination_report: df-capped pair space, partial top-1 below the window") {
     val df = graft.functions.CurationOps.contaminationReport(spark, sfTiny)
     df.collect() // AQE finalizes on execution
