@@ -575,11 +575,13 @@ object TextAnalysis {
         nPipes.as("np"))
       .select(col("doc_id"),
         (col("n_ch") - col("n_sp")).cast("long").as("n_units"),
-        (col("np") - 1 - col("n_sp")).cast("long").as("n_tokens_bpe"),
-        when(col("n_ch") - col("n_sp") > 0,
-          bround((col("np") - 1 - col("n_sp")).cast("double") /
-            (col("n_ch") - col("n_sp")), 6)
-            .cast("decimal(10,6)").cast("double"))
-          .otherwise(lit(0.0)).as("compression"))
+        (col("np") - 1 - col("n_sp")).cast("long").as("n_tokens_bpe"))
+      // compression in integer ppm (floor division): a double ratio hit a
+      // genuine half-even-vs-half-up rounding tie at sf1 (105/128 =
+      // 0.8203125 exactly), so the ratio stays in exact integer arithmetic
+      .select(col("doc_id"), col("n_units"), col("n_tokens_bpe"),
+        when(col("n_units") > 0,
+          expr("(n_tokens_bpe * 1000000) div n_units"))
+          .otherwise(lit(0L)).as("compression_ppm"))
   }
 }

@@ -525,16 +525,18 @@ object TextSql {
        |  SELECT doc_id, length(text) AS n_ch,
        |    length(text) - length(replace(text, ' ', '')) AS n_sp,
        |    $enc AS s
-       |  FROM documents)
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    n_ch - n_sp AS n_units,
+       |    length(s) - length(replace(s, '|', '')) - 1 - n_sp AS n_tok
+       |  FROM enc)
        |SELECT doc_id,
-       |  CAST(n_ch - n_sp AS BIGINT) AS n_units,
-       |  CAST(length(s) - length(replace(s, '|', '')) - 1 - n_sp AS BIGINT)
-       |    AS n_tokens_bpe,
-       |  CASE WHEN n_ch - n_sp > 0 THEN
-       |    CAST(CAST(CAST(length(s) - length(replace(s, '|', '')) - 1 - n_sp
-       |      AS DOUBLE) / (n_ch - n_sp) AS DECIMAL(10,6)) AS DOUBLE)
-       |  ELSE 0.0 END AS compression
-       |FROM enc""".stripMargin
+       |  CAST(n_units AS BIGINT) AS n_units,
+       |  CAST(n_tok AS BIGINT) AS n_tokens_bpe,
+       |  CAST(CASE WHEN n_units > 0 THEN (n_tok * 1000000) // n_units
+       |       ELSE 0 END AS BIGINT) AS compression_ppm
+       |FROM c""".stripMargin
   }
 
   // hash-mod stratified sampling mirror (see TextAnalysis.stratifiedSample)
