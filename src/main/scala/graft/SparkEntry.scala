@@ -97,6 +97,9 @@ object SparkEntry {
     // cleaned text re-emitted (Lee et al. substring dedup, apply side)
     "dedup_spans_apply" -> ((s, d) => DedupOps.dedupSpansApply(s, d)),
     "minhash_lsh"     -> ((s, d) => DedupOps.minhashLsh(s, d)),
+    // incremental admission: dedupe an incoming shard against the immutable
+    // corpus (batch analog of streaming/IngestDedup), asymmetric banding probe
+    "shard_dedup"     -> ((s, d) => DedupOps.shardDedup(s, d)),
     "dedup_clusters"  -> ((s, d) => DedupOps.dedupClusters(s, d)),
     // the un-memoized fixpoint: same result, but BENCH times the iterative
     // algorithm here while dedup_clusters times the materialized-view read
@@ -212,6 +215,7 @@ object SparkEntry {
     "dup_spans"       -> TextSql.dupSpansSql,
     "dedup_spans_apply" -> TextSql.dedupSpansApplySql,
     "minhash_lsh"     -> TextSql.minhashLshSql,
+    "shard_dedup"     -> TextSql.shardDedupSql,
     "dedup_clusters"  -> TextSql.dedupClustersSql,
     "dedup_clusters_fresh" -> TextSql.dedupClustersSql,
     "dedup_select"    -> TextSql.dedupSelectSql,

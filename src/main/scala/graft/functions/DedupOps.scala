@@ -190,6 +190,83 @@ object DedupOps {
         .as("est_jaccard"))
   }
 
+  /** Incremental shard-vs-corpus dedup — the production admission gate for
+    * continuously-ingested training data: an incoming SHARD (here docs with
+    * `doc_id % 10 = 7`) is deduplicated against the already-accepted
+    * CORPUS (all other docs) WITHOUT ever re-deduplicating the corpus
+    * against itself. The batch analog of the stateful streaming index in
+    * [[graft.streaming.IngestDedup]], sharing its asymmetric semantics.
+    *
+    * Pipeline: the production 4×2 MinHash banding on both sides, shard
+    * bands probe corpus bands via one equi-join on (band, bucket-key) —
+    * never a cross join — then the exact n-gram Jaccard verify runs on
+    * candidate pairs only (the [[ngramJaccardLsh]] discipline). Per shard
+    * doc: candidate count, verified-duplicate count (exact Jaccard ≥ τ in
+    * DECIMAL), the best-matching corpus doc (rank-1 by Jaccard desc,
+    * corpus id asc — deterministic), and the admit verdict.
+    *
+    * At 100 TB: corpus signatures/bands are a PRECOMPUTED index table
+    * maintained by ingest (64 bytes/doc — here derived inline from the same
+    * scan for the gate); the shard probes it with one shuffle on the band
+    * key, the verify shuffles only candidate docs' shingle hashes, and the
+    * top-1 window is per-shard-doc (WindowGroupLimit). Corpus text never
+    * moves; admission cost is O(shard + candidates), independent of corpus
+    * size.
+    */
+  def shardDedup(spark: SparkSession, dir: String,
+                 minJaccard: Double = 0.5): DataFrame = {
+    val isShard = col("doc_id") % 10 === 7
+    val sig = minhashSignatures(spark, dir).cache()
+    val bands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat_ws(":", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bkey"))
+    }.reduce(_ union _)
+    val cand = bands.filter(isShard).as("x")
+      .join(bands.filter(!isShard).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("shard_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    val ex = explodedShingles(spark, dir)
+    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(ex.as("a"), col("shard_id") === col("a.doc_id"))
+      .join(ex.as("b"), col("corpus_id") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy("shard_id", "corpus_id")
+      .agg(count(lit(1)).as("n_inter"))
+    // LEFT join back to cand: a banding false positive CAN share zero
+    // shingles (min-hash collision without set overlap) — it must still
+    // count as a candidate, at Jaccard 0
+    val scored = cand
+      .join(inter, Seq("shard_id", "corpus_id"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(counts.withColumnRenamed("doc_id", "shard_id")
+        .withColumnRenamed("n_sh", "n1"), "shard_id")
+      .join(counts.withColumnRenamed("doc_id", "corpus_id")
+        .withColumnRenamed("n_sh", "n2"), "corpus_id")
+      .withColumn("j",
+        bround(col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")), 6).cast("decimal(10,6)"))
+    val roll = scored.groupBy("shard_id").agg(
+      count(lit(1)).as("n_cand"),
+      sum(when(col("j") >= minJaccard, 1L).otherwise(0L)).as("n_dup"))
+    val best = scored.filter(col("j") >= minJaccard)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("shard_id")
+          .orderBy(col("j").desc, col("corpus_id"))))
+      .filter(col("rn") === 1)
+      .select(col("shard_id"), col("corpus_id").as("best_dup_id"),
+        col("j").cast("double").as("best_jaccard"))
+    Tables.documents(spark, dir).filter(isShard)
+      .select(col("doc_id"))
+      .join(roll.withColumnRenamed("shard_id", "doc_id"), Seq("doc_id"), "left")
+      .join(best.withColumnRenamed("shard_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        col("best_dup_id"), col("best_jaccard"),
+        (coalesce(col("n_dup"), lit(0L)) === 0).as("admit"))
+  }
+
   /** Duplicate clusters: connected components over the MinHash-LSH candidate
     * graph — the "keep one representative per near-dup cluster" step of a
     * corpus-dedup pipeline. Iterative min-label propagation: each round every

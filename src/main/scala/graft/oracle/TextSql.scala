@@ -109,9 +109,10 @@ object TextSql {
        |WHERE CAST(CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter)
        |           AS DECIMAL(10,6)) >= 0.02""".stripMargin
 
-  // shingles → minhash signatures → banded buckets → candidate pairs:
-  // shared by the LSH estimate query and the duplicate-cluster closure
-  private val candCte: String = {
+  // shingles → minhash signatures → banded buckets (no pairing yet):
+  // shared by the symmetric candidate CTE below and the asymmetric
+  // shard-vs-corpus probe in shardDedupSql
+  private val sigBandsCte: String = {
     val sigCols = DedupOps.perms.zipWithIndex.map { case ((a, b), k) =>
       s"    MIN(($a * (h % $P) + $b) % $P) AS m$k"
     }.mkString(",\n")
@@ -125,12 +126,17 @@ object TextSql {
        |$sigCols
        |  FROM h GROUP BY doc_id),
        |bands AS (
-       |$bands),
+       |$bands)""".stripMargin
+  }
+
+  // … → candidate pairs: shared by the LSH estimate query and the
+  // duplicate-cluster closure
+  private val candCte: String =
+    s"""$sigBandsCte,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
-  }
 
   val minhashLshSql: String = {
     val matches = (0 until 8)
@@ -165,6 +171,54 @@ object TextSql {
        |JOIN counts c2 ON id2 = c2.doc_id
        |WHERE CAST(CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter)
        |           AS DECIMAL(10,6)) >= 0.02""".stripMargin
+
+  /** Mirror of DedupOps.shardDedup: asymmetric shard-vs-corpus admission.
+    * Same sig/bands CTEs; the pairing is shard (doc_id % 10 = 7) probing
+    * corpus (the rest), candidates LEFT-joined to the intersection so a
+    * zero-overlap banding false positive still counts at Jaccard 0.
+    */
+  val shardDedupSql: String =
+    s"""WITH $sigBandsCte,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS shard_id, y.doc_id AS corpus_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7),
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.shard_id, c.corpus_id, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh a ON c.shard_id = a.doc_id
+       |  JOIN sh b ON c.corpus_id = b.doc_id AND a.s = b.s
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.shard_id, c.corpus_id,
+       |    CAST(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+       |      (c1.n_sh + c2.n_sh - COALESCE(i.n_inter, 0)) AS DECIMAL(10,6)) AS j
+       |  FROM cand c
+       |  LEFT JOIN inter i ON c.shard_id = i.shard_id AND c.corpus_id = i.corpus_id
+       |  JOIN counts c1 ON c.shard_id = c1.doc_id
+       |  JOIN counts c2 ON c.corpus_id = c2.doc_id),
+       |roll AS (
+       |  SELECT shard_id, COUNT(*) AS n_cand,
+       |    SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS n_dup
+       |  FROM scored GROUP BY 1),
+       |best AS (
+       |  SELECT shard_id, corpus_id AS best_dup_id, CAST(j AS DOUBLE) AS best_jaccard
+       |  FROM (SELECT shard_id, corpus_id, j,
+       |          row_number() OVER (PARTITION BY shard_id
+       |            ORDER BY j DESC, corpus_id) AS rn
+       |        FROM scored WHERE j >= 0.5)
+       |  WHERE rn = 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(r.n_cand, 0) AS BIGINT) AS n_cand,
+       |  CAST(COALESCE(r.n_dup, 0) AS BIGINT) AS n_dup,
+       |  b.best_dup_id, b.best_jaccard,
+       |  COALESCE(r.n_dup, 0) = 0 AS admit
+       |FROM documents d
+       |LEFT JOIN roll r ON d.doc_id = r.shard_id
+       |LEFT JOIN best b ON d.doc_id = b.shard_id
+       |WHERE d.doc_id % 10 = 7""".stripMargin
 
   // LSH recall curve (mirror of DedupOps.lshRecall): exact-Jaccard truth
   // on the bounded sample vs the production candidate set, bucketed by

@@ -26,6 +26,47 @@ class LlmOpsSpec extends SparkSpec {
       assert(errs.sum / errs.length < 0.6, "MinHash estimates wildly off true Jaccard")
   }
 
+  test("shard_dedup: asymmetric admission agrees with exact cross-split ground truth") {
+    val rows = DedupOps.shardDedup(spark, sfTiny).collect()
+    // exactly one verdict row per shard doc, corpus docs never re-judged
+    val shardIds = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .filter(col("doc_id") % 10 === 7).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == shardIds, "verdict rows != shard docs")
+    // internal consistency: admit <=> no verified dup; dups are candidates
+    rows.foreach { r =>
+      assert(r.getBoolean(5) == (r.getLong(2) == 0L), s"admit inconsistent: $r")
+      assert(r.getLong(2) <= r.getLong(1), s"n_dup > n_cand: $r")
+      if (!r.getBoolean(5)) {
+        assert(r.getLong(3) % 10 != 7, s"best match is a shard doc (not corpus): $r")
+        assert(r.getDouble(4) >= 0.5, s"rejected without a >=tau match: $r")
+      }
+    }
+    // differential: every exact cross-split pair at j >= 0.5 must be caught
+    // (near-identical pairs sit where the 4x2 banding S-curve is ~1)
+    val truth = DedupOps.ngramJaccard(spark, sfTiny, maxDocId = 500, minJaccard = 0.5)
+      .select("id1", "id2", "jaccard").collect()
+      .flatMap { t =>
+        val (a, b) = (t.getLong(0), t.getLong(1))
+        if (a % 10 == 7 && b % 10 != 7) Some(a -> t.getDouble(2))
+        else if (b % 10 == 7 && a % 10 != 7) Some(b -> t.getDouble(2))
+        else None
+      }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(truth.nonEmpty, "ground truth degenerate — no cross-split dups in data")
+    val byDoc = rows.map(r => r.getLong(0) -> r).toMap
+    truth.foreach { case (doc, bestJ) =>
+      val r = byDoc(doc)
+      assert(!r.getBoolean(5), s"doc $doc has a >=0.5 corpus dup (j=$bestJ) but was admitted")
+      assert(r.getDouble(4) == bestJ, s"best_jaccard ${r.getDouble(4)} != truth max $bestJ")
+    }
+    // non-vacuous in all three classes: clean admit, reject, and a banding
+    // candidate below tau that is still admitted
+    assert(rows.exists(r => r.getBoolean(5) && r.getLong(1) == 0), "no clean admits")
+    assert(rows.exists(!_.getBoolean(5)), "no rejections")
+    assert(rows.exists(r => r.getBoolean(5) && r.getLong(1) > 0),
+      "no below-threshold candidate was admitted — tau gate untested")
+  }
+
   test("lsh_recall: empirical S-curve — monotone in similarity, top band fully recalled") {
     val rows = DedupOps.lshRecall(spark, sfTiny)
       .orderBy("band")

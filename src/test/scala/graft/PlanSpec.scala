@@ -101,6 +101,14 @@ class PlanSpec extends SparkSpec {
       s"LSH-composed jaccard verify is an all-pairs nested loop:\n$plan")
   }
 
+  test("shard_dedup: asymmetric banding probe is an equi-join — no all-pairs scan of the corpus") {
+    val plan = physicalPlan(graft.functions.DedupOps.shardDedup(spark, sfTiny))
+    assert(!plan.contains("CartesianProduct"),
+      s"shard admission probes the corpus via a cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"shard admission probes the corpus via a nested loop:\n$plan")
+  }
+
   test("embedding_dedup: LSH candidate front-end — no all-pairs join") {
     val plan = physicalPlan(graft.functions.SimilarityOps.embeddingDedup(spark, sfTiny))
     assert(!plan.contains("CartesianProduct"),
