@@ -208,10 +208,14 @@ object DedupOps {
     * At 100 TB: corpus signatures/bands are a PRECOMPUTED index table
     * maintained by ingest (64 bytes/doc — here derived inline from the same
     * scan for the gate); the shard probes it with one shuffle on the band
-    * key, the verify shuffles only candidate docs' shingle hashes, and the
-    * top-1 window is per-shard-doc (WindowGroupLimit). Corpus text never
-    * moves; admission cost is O(shard + candidates), independent of corpus
-    * size.
+    * key. The exact verify PRUNES the shingle index to candidate doc ids
+    * via a broadcast semi-join BEFORE joining — corpus shingles are read
+    * once at scan speed but NEVER shuffled; every exchange in the verify is
+    * bounded by the candidate docs' shingles. Corpus text never moves.
+    * Admission cost = one banding-index probe + one broadcast-pruned scan
+    * of the shingle index + candidate-bounded shuffles; with the index
+    * bucketed by doc_id the scan partition-prunes too, making the per-shard
+    * marginal cost O(shard + candidates).
     */
   def shardDedup(spark: SparkSession, dir: String,
                  minJaccard: Double = 0.5): DataFrame = {
@@ -221,16 +225,28 @@ object DedupOps {
       sig.select(col("doc_id"), lit(b).as("band"),
         concat_ws(":", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bkey"))
     }.reduce(_ union _)
+    // cached: the candidate-pair set is bounded by the banding probe and is
+    // read four times below (intersection, score join-back, both sides of
+    // the candidate-id prune)
     val cand = bands.filter(isShard).as("x")
       .join(bands.filter(!isShard).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("shard_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
-    val ex = explodedShingles(spark, dir)
-    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .cache()
+    // candidate doc ids (both sides) — bounded by the banding probe, tiny
+    // relative to the corpus; broadcast so the semi-join prunes the shingle
+    // scan WITHOUT shuffling it. This is what keeps the verify
+    // candidates-bounded: only pruned shingles ever enter an exchange.
+    val candIds = cand.select(col("shard_id").as("doc_id"))
+      .union(cand.select(col("corpus_id").as("doc_id")))
+      .distinct()
+    val exCand = explodedShingles(spark, dir)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val counts = exCand.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
-      .join(ex.as("a"), col("shard_id") === col("a.doc_id"))
-      .join(ex.as("b"), col("corpus_id") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .join(exCand.as("a"), col("shard_id") === col("a.doc_id"))
+      .join(exCand.as("b"), col("corpus_id") === col("b.doc_id") && col("a.s") === col("b.s"))
       .groupBy("shard_id", "corpus_id")
       .agg(count(lit(1)).as("n_inter"))
     // LEFT join back to cand: a banding false positive CAN share zero

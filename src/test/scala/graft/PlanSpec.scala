@@ -109,6 +109,21 @@ class PlanSpec extends SparkSpec {
       s"shard admission probes the corpus via a nested loop:\n$plan")
   }
 
+  test("shard_dedup: verify join is candidates-bounded — shingle index pruned by a broadcast semi-join") {
+    val df = graft.functions.DedupOps.shardDedup(spark, sfTiny)
+    df.collect() // AQE finalizes the physical plan only on execution
+    val plan = physicalPlan(df)
+    // the exact-verify side must read the shingle index THROUGH a broadcast
+    // LeftSemi prune on candidate doc ids — without it the verify join
+    // shuffles every corpus shingle hash, linear in corpus size instead of
+    // bounded by candidates (the round-6 regression this pin prevents)
+    assert(plan.contains("LeftSemi"),
+      s"corpus shingle table reaches the verify join unpruned:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"shard verify became an all-pairs join:\n$plan")
+  }
+
   test("embedding_dedup: LSH candidate front-end — no all-pairs join") {
     val plan = physicalPlan(graft.functions.SimilarityOps.embeddingDedup(spark, sfTiny))
     assert(!plan.contains("CartesianProduct"),
