@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -66,5 +67,13 @@ object Bench {
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
     spark.stop()
+    // Round-7 lesson: rc 0 with a fifth of the surface broken let the round
+    // ship without noticing. The JSON line above still carries every number
+    // (the driver reads stdout regardless of rc), but a failed query now
+    // also produces a headline and a nonzero exit.
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] failed=${failed.size} ${failed.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

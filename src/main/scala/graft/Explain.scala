@@ -15,6 +15,7 @@ object Explain {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -24,8 +25,13 @@ object Explain {
       // untimed global warmup: JIT/codegen take ~30-60 s of work to settle,
       // so without this the first few queries (alphabetically) absorb the
       // whole warmup and read 10-20× slow
-      SparkEntry.queries.values.foreach { fn =>
-        try fn(spark, sfDir).collect() catch { case _: Throwable => }
+      SparkEntry.queries.foreach { case (n, fn) =>
+        try fn(spark, sfDir).collect()
+        catch { case e: Throwable =>
+          // loud, not fatal: warmup failures repeat in the timed pass below,
+          // which throws — but never let a broken query pass silently here
+          System.err.println(s"[explain] warmup $n FAILED: ${e.getMessage}")
+        }
       }
     }
     names.foreach { q =>

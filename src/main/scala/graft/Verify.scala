@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // driver testdata parquet carries TIMESTAMP(NANOS) — read as epoch-nanos
-      // longs (Spark has no nanos timestamp); outputs normalize via epoch_ns
+      // harmless if events.ts is TIMESTAMP_MICROS (current testdata); makes
+      // an INT64-nanos ts (earlier testdata vintage) read as BIGINT instead
+      // of erroring — Tables.tsMicros adapts to whichever type arrives
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -22,11 +23,18 @@ object Verify {
     // (the driver never sets this — it always runs the full gate).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def keep(name: String) = only.forall(_.contains(name))
+    // Round-7 lesson: a failed query must fail LOUDLY. Swallowing the
+    // exception here left 20 CORRECTNESS keys silently absent and the round
+    // shipped broken. Now every failure (a) prints a headline line, (b) is
+    // recorded in errors.json so the driver sees an explicit err record
+    // rather than a missing key, and (c) flips the exit code nonzero.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name FAILED: ${errors(name)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +52,14 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] FAILED queries: ${errors.size} " +
+        errors.keys.mkString("(", ", ", ")"))
+      sys.exit(1)
+    }
   }
 }

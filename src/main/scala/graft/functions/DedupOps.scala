@@ -234,15 +234,28 @@ object DedupOps {
       .select(col("x.doc_id").as("shard_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
       .cache()
-    // candidate doc ids (both sides) — bounded by the banding probe, tiny
-    // relative to the corpus; broadcast so the semi-join prunes the shingle
-    // scan WITHOUT shuffling it. This is what keeps the verify
-    // candidates-bounded: only pruned shingles ever enter an exchange.
+    // candidate doc ids (both sides) — bounded by the banding probe,
+    // usually tiny relative to the corpus; broadcast so the semi-join
+    // prunes the shingle scan WITHOUT shuffling it. This is what keeps the
+    // verify candidates-bounded: only pruned shingles ever enter an
+    // exchange. GUARDED: on a duplication-heavy corpus the band buckets
+    // blow up (|candIds| ~ Σ bucket²) and a forced broadcast hint bypasses
+    // autoBroadcastJoinThreshold straight into the 8 GB broadcast limit /
+    // driver OOM — so count first (cand is cached; this is an agg over the
+    // cache, not a recompute) and degrade to a shuffled left-semi beyond
+    // ~8M ids (~128 MB broadcast), which is slower but finishes.
     val candIds = cand.select(col("shard_id").as("doc_id"))
       .union(cand.select(col("corpus_id").as("doc_id")))
       .distinct()
+    val nCandIds = candIds.count()
+    val prunedIds = if (nCandIds <= 8000000L) broadcast(candIds) else candIds
+    // cached: the pruned shingle set is candidate-bounded (small) and read
+    // three times below (counts + both sides of the intersection join) —
+    // uncached, each read re-runs the document scan, regex tokenizer, and
+    // shingle explode (~3× the whole query's cost; the r7 local regression)
     val exCand = explodedShingles(spark, dir)
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .join(prunedIds, Seq("doc_id"), "left_semi")
+      .cache()
     val counts = exCand.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(exCand.as("a"), col("shard_id") === col("a.doc_id"))

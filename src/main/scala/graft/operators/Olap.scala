@@ -25,8 +25,9 @@ import graft.sources.Tables
   */
 object Olap {
 
-  // orders/lineitem date columns are micro-precision TIMESTAMP_NTZ (unlike
-  // events.ts, which is nano and reads as long) — compare against NTZ literals
+  // orders/lineitem date columns are micro-precision TIMESTAMP_NTZ — compare
+  // against NTZ literals (events.ts is handled by Tables.tsMicros, which
+  // adapts to whichever physical type the testdata generator shipped)
   private def d(date: String) = lit(date).cast("timestamp_ntz")
 
   private def dec(c: String, t: String = "decimal(12,2)") = col(c).cast(t)
@@ -218,8 +219,9 @@ object Olap {
     * window passes share one shuffle on user_id.
     */
   def qSessionize(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+    val raw = Tables.events(spark, dir)
+    val ev = raw
+      .select(col("user_id"), col("event_id"), Tables.tsMicros(raw).as("ts_us"),
         col("value").cast("decimal(12,2)").as("val"))
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val gapped = ev.withColumn("new_session",
@@ -374,9 +376,12 @@ object Olap {
     * cast at the edge; the moving average divides two exact window values.
     */
   def qDailyDelta(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(col("event_type"),
-      expr("(ts div 1000) div 86400000000").as("day"),
+    val raw = Tables.events(spark, dir)
+    val ev = raw.select(col("event_type"),
+      Tables.tsMicros(raw).as("ts_us"),
       col("value").cast("decimal(12,2)").as("val"))
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+        col("val"))
     val daily = ev.groupBy("event_type", "day")
       .agg(sum(col("val")).as("rev_dec"), count(lit(1)).as("n_events"))
     val w = Window.partitionBy("event_type").orderBy("day")

@@ -49,10 +49,8 @@ object OrderEvents {
       col("event_id"),
       (col("event_id") / 10).cast("long").as("block_number"),
       (col("event_id") % 10).cast("int").as("log_index"),
-      // epoch-MICROS long: parquet carries nanos (read as long via
-      // nanosAsLong) but DuckDB truncates TIMESTAMP to micros — so both
-      // engines canonicalize to micros (oracle: epoch_us(ts))
-      expr("ts div 1000").as("block_time"),
+      // epoch-MICROS long, schema-adaptive (oracle: epoch_us(ts))
+      Tables.tsMicros(events).as("block_time"),
       (col("event_id") % 10).cast("int").as("action"),
       col("value").cast("decimal(18,2)").as("val"))
 

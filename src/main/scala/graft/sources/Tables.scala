@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -47,6 +49,29 @@ object Tables {
       v
     }
   }
+
+  /** `events.ts` as epoch-MICROS long, whatever physical type the driver
+    * wrote this round. The testdata generator has shipped the column two
+    * ways already: INT64 nanos (reads as BIGINT under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and parquet
+    * TIMESTAMP_MICROS/isAdjustedToUTC=false (reads as TIMESTAMP_NTZ).
+    * Both canonicalize to micros — micros is the shared precision floor
+    * with the DuckDB oracle's `epoch_us(ts)`. Requires
+    * `spark.sql.session.timeZone=UTC` (all graft sessions set it) so the
+    * NTZ→instant cast matches DuckDB's tz-naive epoch arithmetic.
+    * Resolves against the column's dtype at plan time: pure projection,
+    * codegen'd, nothing here shuffles or blocks pushdown.
+    */
+  def tsMicros(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(name).cast(TimestampType))
+      case LongType => expr(s"$name div 1000") // INT64 nanos → micros
+      case other =>
+        throw new IllegalStateException(
+          s"events.$name arrived as $other — testdata schema drifted again; " +
+            "extend graft.sources.Tables.tsMicros for the new type")
+    }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")

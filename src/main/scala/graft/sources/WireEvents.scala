@@ -92,9 +92,19 @@ object WireEvents {
     * §7.4). Scaling joins the broadcast token dim on the pool's base token.
     */
   def normalize(wire: DataFrame, pools: DataFrame, tokens: DataFrame,
-                sort: Boolean = true): DataFrame = {
-    val parsed = parse(wire)
-      .join(broadcast(pools), Seq("pool"), "left")
+                sort: Boolean = true): DataFrame =
+    normalizeWithBase(parse(wire).join(broadcast(pools), Seq("pool"), "left"),
+      tokens, sort)
+
+  /** Like [[normalize]] for frames that ALREADY carry their pool's
+    * `base_token` column (the dynamic-registry streaming path,
+    * [[graft.streaming.WireStream.wireOrdersStreamDynamic]], attaches it
+    * from streamed HiveCoreCreated events instead of a static pools dim).
+    * Input must be [[parse]]d.
+    */
+  def normalizeWithBase(parsedWithBase: DataFrame, tokens: DataFrame,
+                        sort: Boolean = false): DataFrame = {
+    val parsed = parsedWithBase
       .join(broadcast(tokens.withColumnRenamed("address", "base_token")),
         Seq("base_token"), "left")
     val scale = pow(lit(10), col("decimals")).cast("decimal(38,0)")

@@ -93,7 +93,8 @@ object WireFixture {
 
   /** events parquet → wire frames conforming to [[WireEvents.envelopeSchema]]. */
   def frames(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(
+    val rawEvents = Tables.events(spark, dir)
+    val ev = rawEvents.select(
       col("event_type").as("pool"),
       col("user_id").as("trader"),
       col("event_id"),
@@ -103,8 +104,8 @@ object WireFixture {
       // regresses WireOrderFold's injective (block, log) encoding
       (col("event_id") / 25).cast("long").as("block_number"),
       (col("event_id") % 25).cast("int").as("log_index"),
-      // parquet nanos (read as long) → micros: both engines' precision floor
-      timestamp_micros(expr("ts div 1000")).as("block_time"),
+      // schema-adaptive micros: both engines' precision floor
+      timestamp_micros(Tables.tsMicros(rawEvents)).as("block_time"),
       (col("event_id") % 10).cast("int").as("action"),
       col("value").cast("decimal(18,2)").as("val"))
 

@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.operators.WireOrderFold
 import graft.sources.WireEvents
 
@@ -23,6 +25,23 @@ import graft.sources.WireEvents
   */
 object WireStream {
 
+  /** One wire frame + its (possibly null) HiveCoreCreated baseToken,
+    * pre-extracted so the registry fold below never parses JSON. */
+  case class DynFrame(block_number: Long, log_index: Int,
+                      block_time: java.sql.Timestamp, pool: String,
+                      event_type: String, payload: String,
+                      base_token_evt: Option[String])
+
+  /** A frame whose pool registration is resolved: `base_token` attached. */
+  case class EnrichedFrame(base_token: String, block_number: Long,
+                           log_index: Int, block_time: java.sql.Timestamp,
+                           pool: String, event_type: String, payload: String)
+
+  /** Per-pool registry state: the bound base token once the pool's
+    * HiveCoreCreated has been seen, plus order frames that arrived BEFORE
+    * registration (held back, released in order on registration). */
+  case class PoolReg(baseToken: Option[String], buffered: List[DynFrame])
+
   /** frames: a STREAMING DataFrame with [[WireEvents.envelopeSchema]];
     * pools/tokens: static dimensions (broadcast into every micro-batch).
     */
@@ -30,6 +49,75 @@ object WireStream {
                        fidelity: Boolean = false): DataFrame =
     WireOrderFold.ordersByOrderId(
       WireEvents.normalize(frames, pools, tokens, sort = false), fidelity)
+
+  /** DYNAMIC-REGISTRY variant of [[wireOrdersStream]]: no static pools dim —
+    * pool registration is itself part of the stream, exactly the
+    * reference's runtime shape (its factory listener registers each
+    * HiveCoreCreated pool on the fly and the core listener enriches events
+    * for that pool from that moment,
+    * `src/services/hive-factory-listener.ts:101-115`).
+    *
+    * `framesWithFactory` carries BOTH factory events (HiveCoreCreated /
+    * QuoteTokenAdded) and order events on one envelope stream. Keying by
+    * pool puts a pool's registration and its order flow in the same
+    * `flatMapGroupsWithState` group, so the binding is visible to the SAME
+    * micro-batch's later events — strictly stronger than a per-batch dim
+    * re-read (which only sees pools as of the previous batch). Order frames
+    * arriving before their pool's registration are buffered in the group
+    * state and released in (block, log) order on registration — the
+    * reference silently drops those (it can't subscribe to an unknown
+    * address); buffering is the durable-engine upgrade of the same rule.
+    *
+    * Output chain: Append-mode fMGWS (registration resolve) → [[WireEvents
+    * .normalizeWithBase]] (JSON parse + broadcast token-dim scaling) → the
+    * unchanged [[WireOrderFold.ordersByOrderId]] streaming aggregation.
+    * State size: one (pool → base_token) binding per pool (pools are born
+    * once — tiny forever) + the pre-registration buffer, which drains on
+    * registration and only accretes for pools that never register (the
+    * stream's own factory log bounds that to a transient window; a TTL
+    * timeout is the production knob, same as ST5).
+    */
+  def wireOrdersStreamDynamic(framesWithFactory: DataFrame, tokens: DataFrame,
+                              fidelity: Boolean = false): DataFrame = {
+    val spark = framesWithFactory.sparkSession
+    import spark.implicits._
+    val dyn: Dataset[DynFrame] = framesWithFactory
+      .withColumn("base_token_evt",
+        when(col("event_type") === "HiveCoreCreated",
+          from_json(col("payload"),
+            WireEvents.payloadSchemas("HiveCoreCreated")).getField("baseToken")))
+      .as[DynFrame]
+    val enriched: Dataset[EnrichedFrame] = dyn
+      .groupByKey(_.pool)
+      .flatMapGroupsWithState[PoolReg, EnrichedFrame](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, evs, state: GroupState[PoolReg]) =>
+          val st = state.getOption.getOrElse(PoolReg(None, Nil))
+          val sorted = evs.toSeq.sortBy(f => (f.block_number, f.log_index))
+          def enrich(bt: String, f: DynFrame) = EnrichedFrame(bt,
+            f.block_number, f.log_index, f.block_time, f.pool, f.event_type,
+            f.payload)
+          var baseToken = st.baseToken
+          var buffered = st.buffered
+          val out = Seq.newBuilder[EnrichedFrame]
+          sorted.foreach { f =>
+            if (f.event_type == "HiveCoreCreated") {
+              baseToken = f.base_token_evt
+              // release held-back frames in arrival order
+              baseToken.foreach(bt => buffered.reverse.foreach(b => out += enrich(bt, b)))
+              buffered = Nil
+            } else if (f.event_type != "QuoteTokenAdded") baseToken match {
+              case Some(bt) => out += enrich(bt, f)
+              case None     => buffered = f :: buffered
+            }
+          }
+          state.update(PoolReg(baseToken, buffered))
+          out.result().iterator
+      }
+    WireOrderFold.ordersByOrderId(
+      WireEvents.normalizeWithBase(
+        WireEvents.parse(enriched.toDF()), tokens), fidelity)
+  }
 
   /** `latest_price` as a streaming aggregation: the SAME
     * [[graft.operators.WireViews.latestPriceFrom]] `max_by` over the

@@ -116,9 +116,20 @@ class PlanSpec extends SparkSpec {
     // the exact-verify side must read the shingle index THROUGH a broadcast
     // LeftSemi prune on candidate doc ids — without it the verify join
     // shuffles every corpus shingle hash, linear in corpus size instead of
-    // bounded by candidates (the round-6 regression this pin prevents)
-    assert(plan.contains("LeftSemi"),
-      s"corpus shingle table reaches the verify join unpruned:\n$plan")
+    // bounded by candidates (the round-6 regression this pin prevents).
+    // 'LeftSemi' alone is not enough: a Shuffled/SortMerge LeftSemi would
+    // still shuffle every corpus shingle — the prune must be a BROADCAST
+    // hash join (at sf0.001 the candidate-id set is far below the guard in
+    // DedupOps.shardDedup, so the hint always applies here).
+    val bhjSemi = plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(bhjSemi,
+      s"shingle prune is not a broadcast LeftSemi (corpus shingles would " +
+        s"shuffle at scale):\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+        l.contains("LeftSemi")),
+      s"shingle prune regressed to a shuffled semi-join:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"shard verify became an all-pairs join:\n$plan")

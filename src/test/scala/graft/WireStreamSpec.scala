@@ -175,4 +175,62 @@ class WireStreamSpec extends SparkSpec {
         s"param overload diverged for ($pool, $trader)")
     } finally { full.unpersist(); () }
   }
+
+  test("dynamic pool registry: mid-stream HiveCoreCreated enriches from that point (== batch fold, no static pools dim)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val tokens = WireFixture.tokens(spark, sfTiny)
+    def toFrames(df: org.apache.spark.sql.DataFrame): Array[Frame] =
+      df.collect().map(r => Frame(
+        r.getAs[Long]("block_number"), r.getAs[Int]("log_index"),
+        r.getAs[java.sql.Timestamp]("block_time"),
+        r.getAs[String]("pool"), r.getAs[String]("event_type"),
+        r.getAs[String]("payload")))
+    val factory = toFrames(WireFixture.factoryFrames(spark, sfTiny))
+      .sortBy(f => (f.block_number, f.log_index))
+    val orders = toFrames(WireFixture.frames(spark, sfTiny))
+      .sortBy(f => (f.block_number, f.log_index))
+
+    // split pools: half register BEFORE any order flow (batch 1), half
+    // register only in batch 2 — their batch-1 order frames must be held
+    // back and enriched on registration, the hive-factory-listener
+    // dynamic-registration scenario (ts:101-115)
+    val poolIds = factory.map(_.pool).distinct.sorted
+    val late = poolIds.zipWithIndex.collect { case (p, i) if i % 2 == 1 => p }.toSet
+    val cut = orders.length / 2
+
+    val source = MemoryStream[Frame]
+    val folded = WireStream.wireOrdersStreamDynamic(source.toDF(), tokens)
+    val state = scala.collection.mutable.Map.empty[(String, Long), Row]
+    val query = folded.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          state((r.getAs[String]("pool"), r.getAs[Long]("order_id"))) = r
+        }
+      }
+      .start()
+    try {
+      source.addData((factory.filterNot(f => late(f.pool)) ++
+        orders.slice(0, cut)).toIndexedSeq)
+      query.processAllAvailable()
+      source.addData((factory.filter(f => late(f.pool)) ++
+        orders.slice(cut, orders.length)).toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val batchRows = WireOrderFold.wireOrdersCurrent(spark, sfTiny).collect()
+    assert(batchRows.nonEmpty && state.nonEmpty)
+    val batchMap = batchRows
+      .map(r => (r.getAs[String]("pool"), r.getAs[Long]("order_id")) -> r.toSeq).toMap
+    val streamMap = state.view.mapValues(_.toSeq).toMap
+    assert(streamMap.keySet == batchMap.keySet,
+      "dynamic-registry fold emitted a different key set than the batch fold " +
+        s"(missing: ${(batchMap.keySet -- streamMap.keySet).take(5)}, " +
+        s"extra: ${(streamMap.keySet -- batchMap.keySet).take(5)})")
+    val diverged = batchMap.collect { case (k, v) if streamMap(k) != v => k }
+    assert(diverged.isEmpty, s"state diverged for keys: ${diverged.take(5)}")
+    assert(late.nonEmpty, "fixture produced no late-registered pools")
+  }
 }
