@@ -235,10 +235,19 @@ object BookQueries {
   /** `GET /pools/:a/:trader/market-orders` (order-book-controller.ts:26-42) —
     * trade history per trader (A6).
     */
-  def userMarketOrders(spark: SparkSession, dir: String): DataFrame = {
+  def userMarketOrders(spark: SparkSession, dir: String): DataFrame =
+    userMarketOrders(spark, dir, col("trader") % 7 === 3)
+
+  /** Path-parameter overload (the endpoint's actual shape). */
+  def userMarketOrders(spark: SparkSession, dir: String, pool: String,
+                       trader: Long): DataFrame =
+    userMarketOrders(spark, dir, col("pool") === pool && col("trader") === trader)
+
+  def userMarketOrders(spark: SparkSession, dir: String,
+                       where: org.apache.spark.sql.Column): DataFrame = {
     val (ev, _) = views(spark, dir)
     BookViews.marketOrders(ev)
-      .filter(col("trader") % 7 === 3)
+      .filter(where)
       .select(
         col("pool"), col("trader"), col("event_id"), col("side"),
         col("amount").cast("double").as("amount"),

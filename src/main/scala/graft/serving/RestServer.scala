@@ -1,0 +1,112 @@
+package graft.serving
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.operators.{BookQueries, BookServing}
+
+/** The live HTTP serving edge — the reference's REST surface
+  * (`src/api/server.ts:16-51`, `src/api/routes.ts:11-17`) over the SAME
+  * query functions the DuckDB oracle gate verifies. JDK-built-in
+  * `HttpServer` (zero new dependencies), rows rendered with Spark's own
+  * `Dataset.toJSON` encoder.
+  *
+  * Routes (all under `/api`, mirroring routes.ts):
+  * {{{
+  *   GET /api/pools
+  *   GET /api/pools/:address
+  *   GET /api/pools/:address/orderbook?depth=N
+  *   GET /api/pools/:address/orders/:id
+  *   GET /api/pools/:address/:trader/orders
+  *   GET /api/pools/:address/:trader/market-orders
+  *   GET /api/pools/:address/get-amount-out?amountIn=X&side=buy|sell
+  * }}}
+  *
+  * Architecture note: each request runs a point query whose plan is a
+  * pushed-down filter over the persisted fold view
+  * ([[BookQueries]] `views` memo) — the driver collects only the request's
+  * own result (a point lookup / one pool's book), never a table. On a
+  * cluster this process is a thin stateless frontend talking to a shared
+  * SparkSession (e.g. Spark Connect); N frontends scale horizontally
+  * because every query is a read over the same snapshot views.
+  */
+object RestServer {
+
+  final case class Running(server: HttpServer) {
+    def port: Int = server.getAddress.getPort
+    def stop(): Unit = server.stop(0)
+  }
+
+  /** Start serving `dir`'s book on `port` (0 = ephemeral). Non-blocking. */
+  def start(spark: SparkSession, dir: String, port: Int = 0): Running = {
+    val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    server.createContext("/api", (x: HttpExchange) => handle(spark, dir, x))
+    server.start()
+    Running(server)
+  }
+
+  private def handle(spark: SparkSession, dir: String, x: HttpExchange): Unit =
+    try {
+      val segs = x.getRequestURI.getPath.stripPrefix("/api").split("/")
+        .filter(_.nonEmpty).toList
+      val q = query(x)
+      route(spark, dir, segs, q) match {
+        case Some(body) => respond(x, 200, body)
+        case None       => respond(x, 404, """{"error":"not found"}""")
+      }
+    } catch {
+      case e: NumberFormatException =>
+        respond(x, 400, s"""{"error":"bad parameter: ${e.getMessage}"}""")
+      case e: Throwable =>
+        respond(x, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+    }
+
+  private def route(spark: SparkSession, dir: String, segs: List[String],
+                    q: Map[String, String]): Option[String] = segs match {
+    case "pools" :: Nil =>
+      Some(rows(BookQueries.poolInfo(spark, dir)))
+    case "pools" :: a :: Nil =>
+      Some(rows(BookQueries.poolInfo(spark, dir).filter(col("pool") === a)))
+    case "pools" :: a :: "orderbook" :: Nil =>
+      val depth = q.get("depth").map(_.toInt).getOrElse(10)
+      // one pool's pre-rendered nested book (A7/S12)
+      BookServing.orderBookJson(spark, dir, depth)
+        .filter(col("pool") === a).collect()
+        .headOption.map(_.getString(1))
+    case "pools" :: a :: "orders" :: id :: Nil =>
+      Some(rows(BookQueries.orderLookup(spark, dir, a, id.toLong)))
+    case "pools" :: a :: "get-amount-out" :: Nil =>
+      val amountIn = BigDecimal(q.getOrElse("amountIn", "50000.00"))
+      val df = q.getOrElse("side", "buy") match {
+        case "sell" => BookQueries.amountOutSell(spark, dir, amountIn)
+        case _      => BookQueries.amountOutBuy(spark, dir, amountIn)
+      }
+      Some(rows(df.filter(col("pool") === a)))
+    case "pools" :: a :: t :: "orders" :: Nil =>
+      Some(rows(BookQueries.userOrders(spark, dir, a, t.toLong)))
+    case "pools" :: a :: t :: "market-orders" :: Nil =>
+      Some(rows(BookQueries.userMarketOrders(spark, dir, a, t.toLong)))
+    case _ => None
+  }
+
+  /** JSON array of row objects via Spark's own encoder — schema-faithful
+    * (decimals as numbers, nulls omitted), no hand-rolled serialization. */
+  private def rows(df: DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+
+  private def query(x: HttpExchange): Map[String, String] =
+    Option(x.getRequestURI.getRawQuery).getOrElse("").split("&")
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    x.getResponseHeaders.set("Content-Type", "application/json")
+    x.sendResponseHeaders(code, bytes.length)
+    val os = x.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

@@ -67,6 +67,13 @@ object OrderBookStream {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[St], batchId: Long) =>
+        // Bounded by construction: Update-mode fMGWS emits at most ONE state
+        // row per (pool, trader) key per micro-batch, so this collect is
+        // ≤ |keys touched this batch| — steady-state that's the event rate,
+        // worst-case (full replay) it's |all keys|. The replay case is what
+        // snapshotSink is for (distributed MERGE, nothing to the driver);
+        // the change FEED is push semantics — its consumers are WS fanout
+        // loops that are themselves driver-sized (server.ts:43-51).
         onUpdate(batchId, batch.collect().toSeq)
       }
       .start()

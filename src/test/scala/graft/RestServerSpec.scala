@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.operators.BookQueries
+import graft.serving.RestServer
+
+/** The live HTTP edge (server.ts/routes.ts parity): every route served over
+  * a real socket, responses compared against the SAME oracle-gated query
+  * functions they wrap.
+  */
+class RestServerSpec extends SparkSpec {
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val url = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(is.readAllBytes(), "UTF-8")
+    is.close()
+    (code, body)
+  }
+
+  test("REST edge: all 7 routes serve the oracle-gated query results over HTTP") {
+    val srv = RestServer.start(spark, sfTiny)
+    try {
+      val port = srv.port
+
+      val (c1, pools) = get(port, "/api/pools")
+      assert(c1 == 200 && pools.startsWith("[") && pools.contains("\"pool\""))
+      // every pool from the gated poolInfo view appears in the JSON
+      val poolIds = BookQueries.poolInfo(spark, sfTiny)
+        .select("pool").collect().map(_.getString(0))
+      assert(poolIds.nonEmpty)
+      poolIds.foreach(p => assert(pools.contains(s""""pool":"$p""""), s"missing $p"))
+      val a = poolIds.sorted.head
+
+      val (c2, one) = get(port, s"/api/pools/$a")
+      assert(c2 == 200 && one.contains(s""""pool":"$a"""") &&
+        one.contains("\"latest_price\""))
+
+      val (c3, book) = get(port, s"/api/pools/$a/orderbook?depth=5")
+      assert(c3 == 200 && book.contains("\"bids\":[") && book.contains("\"asks\":["))
+      // depth honored: no side exceeds 5 levels
+      assert("\"price_lvl\"".r.findAllIn(book).size <= 10)
+
+      // a real (pool, trader, order) from the fold to point-look-up
+      val row = BookQueries.ordersCurrentQ(spark, sfTiny)
+        .filter(col("pool") === a).head()
+      val trader = row.getAs[Long]("trader")
+      val orderId = row.getAs[Long]("order_id")
+
+      val (c4, order) = get(port, s"/api/pools/$a/orders/$orderId")
+      assert(c4 == 200 && order.contains(s""""order_id":$orderId"""))
+
+      val (c5, uo) = get(port, s"/api/pools/$a/$trader/orders")
+      assert(c5 == 200 && uo.contains(s""""trader":$trader"""))
+      val nServed = "\"order_id\"".r.findAllIn(uo).size
+      val nGated = BookQueries.userOrders(spark, sfTiny, a, trader).count()
+      assert(nServed == nGated, s"served $nServed orders, gated query has $nGated")
+
+      val (c6, mo) = get(port, s"/api/pools/$a/$trader/market-orders")
+      assert(c6 == 200 && mo.startsWith("["))
+      val nMoGated = BookQueries.userMarketOrders(spark, sfTiny, a, trader).count()
+      assert("\"event_id\"".r.findAllIn(mo).size == nMoGated)
+
+      val (c7, ao) = get(port, s"/api/pools/$a/get-amount-out?amountIn=1000.00&side=buy")
+      assert(c7 == 200 && ao.contains("\"amount_out\""))
+      val gatedAo = BookQueries.amountOutBuy(spark, sfTiny, BigDecimal("1000.00"))
+        .filter(col("pool") === a).head().getAs[Double]("amount_out")
+      assert(ao.contains(s""""amount_out":$gatedAo"""),
+        s"served $ao, gated amount_out=$gatedAo")
+
+      val (c404, _) = get(port, "/api/nope")
+      assert(c404 == 404)
+      val (c400, _) = get(port, s"/api/pools/$a/orders/not-a-number")
+      assert(c400 == 400)
+    } finally srv.stop()
+  }
+}
