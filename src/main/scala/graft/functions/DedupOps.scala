@@ -220,7 +220,20 @@ object DedupOps {
   def shardDedup(spark: SparkSession, dir: String,
                  minJaccard: Double = 0.5): DataFrame = {
     val isShard = col("doc_id") % 10 === 7
-    val sig = minhashSignatures(spark, dir).cache()
+    // ONE cached exploded-shingle scan serves both the signature build and
+    // the exact-verify index: the corpus tokenizer (the dominant cost) runs
+    // once, not twice. Locally this cache is the inline stand-in for the
+    // 100 TB deployment's PRECOMPUTED index tables (signatures + shingle
+    // hashes maintained by ingest) — there, neither pass exists at query
+    // time and the cache is moot.
+    val ex = explodedShingles(spark, dir, distinctShingles = false)
+      .withColumn("h", mdhash(col("s")))
+      .cache()
+    // distinct unnecessary for minhash: MIN over a multiset == MIN over set
+    val sig = ex.groupBy("doc_id")
+      .agg(minhashCol(0), minhashCol(1), minhashCol(2), minhashCol(3),
+        minhashCol(4), minhashCol(5), minhashCol(6), minhashCol(7))
+      .cache()
     val bands = (0 until 4).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),
         concat_ws(":", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bkey"))
@@ -249,12 +262,14 @@ object DedupOps {
       .distinct()
     val nCandIds = candIds.count()
     val prunedIds = if (nCandIds <= 8000000L) broadcast(candIds) else candIds
-    // cached: the pruned shingle set is candidate-bounded (small) and read
-    // three times below (counts + both sides of the intersection join) —
-    // uncached, each read re-runs the document scan, regex tokenizer, and
-    // shingle explode (~3× the whole query's cost; the r7 local regression)
-    val exCand = explodedShingles(spark, dir)
+    // cached: the pruned DISTINCT shingle set is candidate-bounded (small)
+    // and read three times below (counts + both sides of the intersection
+    // join) — uncached, each read re-ran the corpus tokenizer (the r7 local
+    // regression). Prune BEFORE distinct so the dedup shuffle is
+    // candidate-bounded too.
+    val exCand = ex.select(col("doc_id"), col("s"))
       .join(prunedIds, Seq("doc_id"), "left_semi")
+      .distinct()
       .cache()
     val counts = exCand.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
