@@ -220,15 +220,15 @@ object DedupOps {
   def shardDedup(spark: SparkSession, dir: String,
                  minJaccard: Double = 0.5): DataFrame = {
     val isShard = col("doc_id") % 10 === 7
-    // ONE cached exploded-shingle scan serves both the signature build and
-    // the exact-verify index: the corpus tokenizer (the dominant cost) runs
-    // once, not twice. Locally this cache is the inline stand-in for the
-    // 100 TB deployment's PRECOMPUTED index tables (signatures + shingle
-    // hashes maintained by ingest) — there, neither pass exists at query
-    // time and the cache is moot.
+    // One shared exploded-shingle DEFINITION feeds both the signature build
+    // and the exact-verify index (deliberately NOT cached: materializing the
+    // full corpus shingle set costs more than the second tokenizer pass it
+    // saves — measured at sf0.1; the verify-side read is broadcast-pruned to
+    // candidates before anything heavy happens). At 100 TB both derivations
+    // are PRECOMPUTED index tables maintained by ingest — neither tokenizer
+    // pass exists at query time.
     val ex = explodedShingles(spark, dir, distinctShingles = false)
       .withColumn("h", mdhash(col("s")))
-      .cache()
     // distinct unnecessary for minhash: MIN over a multiset == MIN over set
     val sig = ex.groupBy("doc_id")
       .agg(minhashCol(0), minhashCol(1), minhashCol(2), minhashCol(3),
@@ -251,17 +251,25 @@ object DedupOps {
     // usually tiny relative to the corpus; broadcast so the semi-join
     // prunes the shingle scan WITHOUT shuffling it. This is what keeps the
     // verify candidates-bounded: only pruned shingles ever enter an
-    // exchange. GUARDED: on a duplication-heavy corpus the band buckets
-    // blow up (|candIds| ~ Σ bucket²) and a forced broadcast hint bypasses
-    // autoBroadcastJoinThreshold straight into the 8 GB broadcast limit /
-    // driver OOM — so count first (cand is cached; this is an agg over the
-    // cache, not a recompute) and degrade to a shuffled left-semi beyond
-    // ~8M ids (~128 MB broadcast), which is slower but finishes.
+    // exchange. GUARDED: a forced broadcast hint bypasses
+    // autoBroadcastJoinThreshold, so an unbounded candIds would hit the
+    // 8 GB broadcast limit / driver OOM on adversarial inputs. Band-bucket
+    // blowup inflates candidate PAIRS (~ Σ bucket²), but candIds is a set
+    // of doc IDS — bounded by |documents| — so the cheap primary guard is
+    // the parquet row count (footer metadata, no data scan). Only past 8M
+    // docs does the real |candIds| count run (an agg over the cached cand,
+    // not a recompute); past 8M ids (~128 MB) degrade to a shuffled
+    // left-semi, which is slower but finishes. NOTE the hint is
+    // load-bearing vs letting AQE decide: AQE converts the SortMergeJoin
+    // to broadcast only AFTER the static plan placed a shuffle under the
+    // corpus-shingle side — the 100 TB scale-killer this prune exists to
+    // avoid — whereas the hint keeps any exchange off that side entirely.
     val candIds = cand.select(col("shard_id").as("doc_id"))
       .union(cand.select(col("corpus_id").as("doc_id")))
       .distinct()
-    val nCandIds = candIds.count()
-    val prunedIds = if (nCandIds <= 8000000L) broadcast(candIds) else candIds
+    val broadcastSafe = Tables.documents(spark, dir).count() <= 8000000L ||
+      candIds.count() <= 8000000L
+    val prunedIds = if (broadcastSafe) broadcast(candIds) else candIds
     // cached: the pruned DISTINCT shingle set is candidate-bounded (small)
     // and read three times below (counts + both sides of the intersection
     // join) — uncached, each read re-ran the corpus tokenizer (the r7 local
