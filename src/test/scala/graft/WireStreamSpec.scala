@@ -233,4 +233,40 @@ class WireStreamSpec extends SparkSpec {
     assert(diverged.isEmpty, s"state diverged for keys: ${diverged.take(5)}")
     assert(late.nonEmpty, "fixture produced no late-registered pools")
   }
+
+  test("streaming pool catalog (S3/S4): factory-event fold across micro-batches == batch catalog") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val all = WireFixture.factoryFrames(spark, sfTiny).collect().map(r => Frame(
+      r.getAs[Long]("block_number"), r.getAs[Int]("log_index"),
+      r.getAs[java.sql.Timestamp]("block_time"),
+      r.getAs[String]("pool"), r.getAs[String]("event_type"),
+      r.getAs[String]("payload")))
+      .sortBy(f => (f.pool, f.event_type, f.payload))
+
+    val source = MemoryStream[Frame]
+    val catalog = graft.operators.WireCatalog.poolCatalog(source.toDF())
+    val state = scala.collection.mutable.Map.empty[String, Seq[Any]]
+    val query = catalog.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => state(r.getAs[String]("pool")) = r.toSeq)
+      }
+      .start()
+    try {
+      // split mid-pool so one pool's catalog row is built incrementally
+      // across the batch boundary (QuoteTokenAdded arriving after the
+      // HiveCoreCreated was already aggregated)
+      val cut = all.length / 2
+      source.addData(all.slice(0, cut).toIndexedSeq); query.processAllAvailable()
+      source.addData(all.slice(cut, all.length).toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val batchRows = graft.operators.WireCatalog.wirePoolCatalog(spark, sfTiny)
+      .collect().map(r => r.getAs[String]("pool") -> r.toSeq).toMap
+    assert(batchRows.nonEmpty && state.nonEmpty)
+    assert(state.toMap == batchRows,
+      s"streaming catalog diverged: ${state.toMap.keySet} vs ${batchRows.keySet}")
+  }
 }
