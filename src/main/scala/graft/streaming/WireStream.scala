@@ -78,7 +78,24 @@ object WireStream {
     * timeout is the production knob, same as ST5).
     */
   def wireOrdersStreamDynamic(framesWithFactory: DataFrame, tokens: DataFrame,
-                              fidelity: Boolean = false): DataFrame = {
+                              fidelity: Boolean = false): DataFrame =
+    WireOrderFold.ordersByOrderId(
+      normalizeDynamic(framesWithFactory, tokens), fidelity)
+
+  /** `latest_price` over the dynamic registry — [[latestPriceStream]]
+    * without a static pools dim; the same enrichment stage feeds any view.
+    */
+  def latestPriceStreamDynamic(framesWithFactory: DataFrame,
+                               tokens: DataFrame): DataFrame =
+    graft.operators.WireViews.latestPriceFrom(
+      normalizeDynamic(framesWithFactory, tokens))
+
+  /** The shared dynamic-registry front end: registration-resolving fMGWS →
+    * JSON parse → broadcast token-dim scaling. Every `*StreamDynamic` view
+    * composes on top of this one normalized stream.
+    */
+  private def normalizeDynamic(framesWithFactory: DataFrame,
+                               tokens: DataFrame): DataFrame = {
     val spark = framesWithFactory.sparkSession
     import spark.implicits._
     val dyn: Dataset[DynFrame] = framesWithFactory
@@ -114,9 +131,7 @@ object WireStream {
           state.update(PoolReg(baseToken, buffered))
           out.result().iterator
       }
-    WireOrderFold.ordersByOrderId(
-      WireEvents.normalizeWithBase(
-        WireEvents.parse(enriched.toDF()), tokens), fidelity)
+    WireEvents.normalizeWithBase(WireEvents.parse(enriched.toDF()), tokens)
   }
 
   /** `latest_price` as a streaming aggregation: the SAME

@@ -234,6 +234,46 @@ class WireStreamSpec extends SparkSpec {
     assert(late.nonEmpty, "fixture produced no late-registered pools")
   }
 
+  test("dynamic registry composes: latest_price with no static pools dim == batch view") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val tokens = WireFixture.tokens(spark, sfTiny)
+    def toFrames(df: org.apache.spark.sql.DataFrame): Array[Frame] =
+      df.collect().map(r => Frame(
+        r.getAs[Long]("block_number"), r.getAs[Int]("log_index"),
+        r.getAs[java.sql.Timestamp]("block_time"),
+        r.getAs[String]("pool"), r.getAs[String]("event_type"),
+        r.getAs[String]("payload")))
+    val all = (toFrames(WireFixture.factoryFrames(spark, sfTiny)) ++
+      toFrames(WireFixture.frames(spark, sfTiny)))
+      .sortBy(f => (f.block_number, f.log_index))
+
+    val source = MemoryStream[Frame]
+    val lp = WireStream.latestPriceStreamDynamic(source.toDF(), tokens)
+    val state = scala.collection.mutable.Map.empty[String, Double]
+    val query = lp.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          state(r.getAs[String]("pool")) = r.getAs[Double]("latest_price")
+        }
+      }
+      .start()
+    try {
+      val cut = all.length / 2
+      source.addData(all.slice(0, cut).toIndexedSeq); query.processAllAvailable()
+      source.addData(all.slice(cut, all.length).toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val batchLp = graft.operators.WireViews.wireLatestPrice(spark, sfTiny)
+      .collect().map(r => r.getAs[String]("pool") -> r.getAs[Double]("latest_price"))
+      .toMap
+    assert(batchLp.nonEmpty)
+    assert(state.toMap == batchLp,
+      s"dynamic latest_price diverged: ${state.toMap} vs $batchLp")
+  }
+
   test("streaming pool catalog (S3/S4): factory-event fold across micro-batches == batch catalog") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
