@@ -29,12 +29,34 @@ object Serve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val rest = RestServer.start(spark, sfDir, httpPort)
-    val ws = WsServer.start({ pool =>
+    def bookJson(pool: String): Option[String] =
       graft.operators.BookServing.orderBookJson(spark, sfDir)
         .filter(org.apache.spark.sql.functions.col("pool") === pool)
         .collect().headOption.map(_.getString(1))
-    }, wsPort)
+
+    val rest = RestServer.start(spark, sfDir, httpPort)
+    val ws = WsServer.start(bookJson _, wsPort)
+
+    // ST8 update chain (server.ts:43-51): a file-source STREAM over the
+    // events table feeds the keyed fold; each micro-batch's changed pools
+    // get their re-rendered book pushed to that pool's subscribers. On
+    // static data this replays the log as one initial batch (every pool
+    // pushes once) and then idles; dropping new event files into the
+    // directory pushes incrementally. A production deployment swaps the
+    // file source for the live block stream — nothing downstream changes.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-serve-ckpt-").toString
+    val rawStream = spark.readStream
+      .schema(graft.sources.Tables.events(spark, sfDir).schema)
+      // file streams need a DIRECTORY; the glob filter selects the events
+      // table out of the shared testdata dir
+      .option("pathGlobFilter", "events*.parquet")
+      .parquet(sfDir)
+    graft.streaming.OrderBookStream.changeFeed(rawStream, ckpt) { (_, states) =>
+      states.map(_.pool).distinct.foreach { p =>
+        if (ws.subscriberCount(p) > 0) bookJson(p).foreach(ws.push(p, _))
+      }
+    }
+
     // warm the fold view so the first request doesn't pay plan+fold cost
     graft.operators.BookQueries.poolInfo(spark, sfDir).collect()
     println(s"[serve] REST on :${rest.port}  WS on :${ws.port}  data=$sfDir")

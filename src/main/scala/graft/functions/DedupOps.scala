@@ -153,10 +153,17 @@ object DedupOps {
   /** MinHash signatures (8 perms) per document. One explode + one hash agg;
     * the signature is 64 bytes per doc regardless of document size.
     */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesFrom(explodedShingles(spark, dir, distinctShingles = false)
+      .withColumn("h", mdhash(col("s"))))
+
+  /** Signature build over an already-exploded-and-hashed (doc_id, s, h)
+    * frame — the single definition of the 8-perm scheme; [[shardDedup]]
+    * shares it so the shard gate and the LSH views cannot drift.
+    */
+  private[graft] def signaturesFrom(exHashed: DataFrame): DataFrame = {
     // distinct unnecessary: MIN over a multiset equals MIN over its set
-    explodedShingles(spark, dir, distinctShingles = false)
-      .withColumn("h", mdhash(col("s")))
+    exHashed
       .groupBy("doc_id")
       .agg(minhashCol(0), minhashCol(1), minhashCol(2), minhashCol(3),
            minhashCol(4), minhashCol(5), minhashCol(6), minhashCol(7))
@@ -229,11 +236,7 @@ object DedupOps {
     // pass exists at query time.
     val ex = explodedShingles(spark, dir, distinctShingles = false)
       .withColumn("h", mdhash(col("s")))
-    // distinct unnecessary for minhash: MIN over a multiset == MIN over set
-    val sig = ex.groupBy("doc_id")
-      .agg(minhashCol(0), minhashCol(1), minhashCol(2), minhashCol(3),
-        minhashCol(4), minhashCol(5), minhashCol(6), minhashCol(7))
-      .cache()
+    val sig = signaturesFrom(ex).cache()
     val bands = (0 until 4).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),
         concat_ws(":", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bkey"))
@@ -267,7 +270,7 @@ object DedupOps {
     val candIds = cand.select(col("shard_id").as("doc_id"))
       .union(cand.select(col("corpus_id").as("doc_id")))
       .distinct()
-    val broadcastSafe = Tables.documents(spark, dir).count() <= 8000000L ||
+    val broadcastSafe = Tables.rowCount(spark, dir, "documents") <= 8000000L ||
       candIds.count() <= 8000000L
     val prunedIds = if (broadcastSafe) broadcast(candIds) else candIds
     // cached: the pruned DISTINCT shingle set is candidate-bounded (small)

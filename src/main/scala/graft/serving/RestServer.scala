@@ -41,6 +41,9 @@ object RestServer {
   def start(spark: SparkSession, dir: String, port: Int = 0): Running = {
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
     server.createContext("/api", (x: HttpExchange) => handle(spark, dir, x))
+    // without an executor every handler runs on the single dispatcher
+    // thread — one slow collect would serialize all clients
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.start()
     Running(server)
   }
@@ -56,9 +59,17 @@ object RestServer {
       }
     } catch {
       case e: NumberFormatException =>
-        respond(x, 400, s"""{"error":"bad parameter: ${e.getMessage}"}""")
+        respond(x, 400, s"""{"error":"bad parameter: ${jsonEscape(e.getMessage)}"}""")
       case e: Throwable =>
-        respond(x, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+        respond(x, 500, s"""{"error":"${jsonEscape(e.getClass.getSimpleName)}"}""")
+    }
+
+  private def jsonEscape(s: String): String =
+    Option(s).getOrElse("").flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
     }
 
   private def route(spark: SparkSession, dir: String, segs: List[String],

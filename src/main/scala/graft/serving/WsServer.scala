@@ -101,13 +101,19 @@ object WsServer {
             // (server.ts:29-35) — but resolved, not a Promise
             snapshot(pool).foreach(writeText(out, _))
           }
-        case Some((0x9, payload)) => writeFrame(out, 0xA, payload) // ping→pong
+        case Some((0x9, payload)) => // ping→pong, under the same write lock
+          out.synchronized { writeFrame(out, 0xA, payload) }
         case Some((0x8, _)) | None =>
           open = false; r.unsubscribe(sock); sock.close()
         case Some(_) => // ignore binary/continuation
       }
     } catch {
-      case _: java.io.IOException => r.unsubscribe(sock)
+      // any failure — I/O, malformed frame, a Spark error from the snapshot
+      // callback — must still unsubscribe and close, or the room map leaks
+      // a dead socket
+      case _: Throwable =>
+        r.unsubscribe(sock)
+        try sock.close() catch { case _: Throwable => () }
     }
 
   private def handshake(in: InputStream, out: OutputStream): Unit = {
@@ -139,22 +145,28 @@ object WsServer {
     out.flush()
   }
 
-  /** One client frame → (opcode, unmasked payload); None on EOF/close. */
+  /** One client frame → (opcode, unmasked payload); None on EOF, a
+    * truncated header, or a length outside what this endpoint accepts
+    * (subscribe commands are tiny — anything past 1 MiB is protocol abuse).
+    */
   private def readFrame(in: InputStream): Option[(Int, Array[Byte])] = {
-    val b0 = in.read()
+    def byte(): Int = in.read() // -1 on EOF, poisons len below
+    val b0 = byte()
     if (b0 == -1) return None
     val opcode = b0 & 0x0f
-    val b1 = in.read()
+    val b1 = byte()
     if (b1 == -1) return None
     val masked = (b1 & 0x80) != 0
     var len: Long = b1 & 0x7f
-    if (len == 126) len = (in.read() << 8) | in.read()
+    if (len == 126) len = (byte().toLong << 8) | byte()
     else if (len == 127) {
       len = 0
-      for (_ <- 0 until 8) len = (len << 8) | in.read()
+      for (_ <- 0 until 8) len = (len << 8) | byte()
     }
-    val mask = if (masked) Array.fill(4)(in.read().toByte) else Array.empty[Byte]
+    if (len < 0 || len > 1048576) return None // EOF mid-header or absurd size
+    val mask = if (masked) Array.fill(4)(byte().toByte) else Array.empty[Byte]
     val payload = in.readNBytes(len.toInt)
+    if (payload.length < len) return None // EOF mid-payload
     if (masked) payload.indices.foreach(i => payload(i) = (payload(i) ^ mask(i % 4)).toByte)
     Some((opcode, payload))
   }

@@ -73,6 +73,16 @@ object Tables {
             "extend graft.sources.Tables.tsMicros for the new type")
     }
 
+  // memoized row counts: count(*) over parquet is footer-metadata-only but
+  // still a Spark job — callers that need a cardinality at PLAN time (e.g.
+  // DedupOps.shardDedup's broadcast-safety guard) should not re-pay it per
+  // call. Tables are driver-written and immutable within a round.
+  private val countMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), Long]()
+
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    countMemo.getOrElseUpdate((spark, dir, name), table(spark, dir, name).count())
+
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")

@@ -119,10 +119,14 @@ object WireStream {
           val out = Seq.newBuilder[EnrichedFrame]
           sorted.foreach { f =>
             if (f.event_type == "HiveCoreCreated") {
-              baseToken = f.base_token_evt
-              // release held-back frames in arrival order
-              baseToken.foreach(bt => buffered.reverse.foreach(b => out += enrich(bt, b)))
-              buffered = Nil
+              // a malformed payload (from_json → null baseToken) must NOT
+              // clear an existing binding or drop the held-back buffer —
+              // only a well-formed registration binds and releases
+              f.base_token_evt.foreach { bt =>
+                baseToken = Some(bt)
+                buffered.reverse.foreach(b => out += enrich(bt, b))
+                buffered = Nil
+              }
             } else if (f.event_type != "QuoteTokenAdded") baseToken match {
               case Some(bt) => out += enrich(bt, f)
               case None     => buffered = f :: buffered
