@@ -73,8 +73,26 @@ class RestServerSpec extends SparkSpec {
 
       val (c404, _) = get(port, "/api/nope")
       assert(c404 == 404)
-      val (c400, _) = get(port, s"/api/pools/$a/orders/not-a-number")
+      val (c400, body400) = get(port, s"/api/pools/$a/orders/not-a-number")
       assert(c400 == 400)
+      // the error body must itself be valid JSON (the exception message
+      // contains quotes that have to be escaped)
+      assert(body400.contains("\\\"not-a-number\\\""), s"unescaped error body: $body400")
+    } finally srv.stop()
+  }
+
+  test("REST edge: concurrent requests are served in parallel, all complete") {
+    val srv = RestServer.start(spark, sfTiny)
+    try {
+      val port = srv.port
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val results = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = get(port, "/api/pools")._1
+        })
+      }
+      assert(results.forall(_.get(60, java.util.concurrent.TimeUnit.SECONDS) == 200))
+      pool.shutdown()
     } finally srv.stop()
   }
 }

@@ -234,6 +234,59 @@ class WireStreamSpec extends SparkSpec {
     assert(late.nonEmpty, "fixture produced no late-registered pools")
   }
 
+  test("dynamic registry property: random factory/order interleavings and batch cuts all converge to the batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val tokens = WireFixture.tokens(spark, sfTiny)
+    def toFrames(df: org.apache.spark.sql.DataFrame): Array[Frame] =
+      df.collect().map(r => Frame(
+        r.getAs[Long]("block_number"), r.getAs[Int]("log_index"),
+        r.getAs[java.sql.Timestamp]("block_time"),
+        r.getAs[String]("pool"), r.getAs[String]("event_type"),
+        r.getAs[String]("payload")))
+    val factory = toFrames(WireFixture.factoryFrames(spark, sfTiny))
+    val orders = toFrames(WireFixture.frames(spark, sfTiny))
+      .sortBy(f => (f.block_number, f.log_index))
+    val batchMap = WireOrderFold.wireOrdersCurrent(spark, sfTiny).collect()
+      .map(r => (r.getAs[String]("pool"), r.getAs[Long]("order_id")) -> r.toSeq).toMap
+
+    val rnd = new scala.util.Random(42) // deterministic
+    for (trial <- 1 to 3) {
+      // registrations land at random positions in the order flow (possibly
+      // AFTER their pool's first orders → exercises the buffer), and the
+      // whole sequence is cut into 2-4 micro-batches at random points.
+      // Within-pool order flow stays in (block, log) order — the engine's
+      // ingest contract (ST4); only the registry's arrival is adversarial.
+      val seq = new scala.collection.mutable.ArrayBuffer[Frame]
+      seq ++= orders
+      factory.foreach(f => seq.insert(rnd.nextInt(seq.length + 1), f))
+      val nCuts = 1 + rnd.nextInt(3)
+      val cuts = (Seq(0, seq.length) ++ Seq.fill(nCuts)(rnd.nextInt(seq.length)))
+        .distinct.sorted
+
+      val source = MemoryStream[Frame]
+      val folded = WireStream.wireOrdersStreamDynamic(source.toDF(), tokens)
+      val state = scala.collection.mutable.Map.empty[(String, Long), Seq[Any]]
+      val query = folded.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach { r =>
+            state((r.getAs[String]("pool"), r.getAs[Long]("order_id"))) = r.toSeq
+          }
+        }
+        .start()
+      try {
+        cuts.sliding(2).foreach { case Seq(a, b) =>
+          source.addData(seq.slice(a, b).toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      assert(state.toMap == batchMap,
+        s"trial $trial (cuts=$cuts) diverged from the batch fold")
+    }
+  }
+
   test("dynamic registry composes: latest_price with no static pools dim == batch view") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -55,6 +55,24 @@ class WsServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("protocol robustness: ping gets ponged, garbage subscribe ignored, connection stays usable") {
+    val srv = WsServer.start(pool => Some(s"""{"pool":"$pool"}"""))
+    try {
+      val c = new Collector
+      val ws = connect(srv.port, c)
+      // ping → pong keeps the connection alive (JDK client handles the pong
+      // transparently; a broken pong frame would kill the connection)
+      ws.sendPing(java.nio.ByteBuffer.wrap("hi".getBytes)).get(5, TimeUnit.SECONDS)
+      // a non-subscribe text frame is ignored, not fatal
+      ws.sendText("bogus command", true).get(5, TimeUnit.SECONDS)
+      // the connection still works: a real subscribe gets its snapshot
+      ws.sendText("subscribe:orderbook:click", true).get(5, TimeUnit.SECONDS)
+      assert(c.latch.await(5, TimeUnit.SECONDS), "connection died before subscribe")
+      assert(c.messages.poll() == """{"pool":"click"}""")
+      ws.sendClose(WebSocket.NORMAL_CLOSURE, "done").get(5, TimeUnit.SECONDS)
+    } finally srv.stop()
+  }
+
   test("change feed → WebSocket: streamed micro-batches push changed pools' books to a live client") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
