@@ -140,6 +140,9 @@ object SparkEntry {
     "label_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
     "ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     "embedding_dedup" -> ((s, d) => SimilarityOps.embeddingDedup(s, d)),
+    // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup —
+    // within-cell near-dup pruning over the stored IVF cell assignment
+    "semdedup"        -> ((s, d) => SimilarityOps.semDedup(s, d)),
     "token_counts"    -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "quality_filter"  -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     // CCNet-style reference-frequency scoring (exact-arithmetic LM proxy)
@@ -239,6 +242,7 @@ object SparkEntry {
     "label_centroids" -> TextSql.labelCentroidsSql,
     "ivf_topk"        -> TextSql.ivfTopKSql,
     "embedding_dedup" -> TextSql.embeddingDedupSql,
+    "semdedup"        -> TextSql.semDedupSql,
     "token_counts"    -> TextSql.tokenCountsSql,
     "quality_filter"  -> TextSql.qualityFilterSql,
     "freq_score"      -> TextSql.freqScoreSql,

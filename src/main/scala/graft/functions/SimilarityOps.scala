@@ -130,11 +130,16 @@ object SimilarityOps {
       }
     }
 
-  def ivfTopK(spark: SparkSession, dir: String,
-              nQueries: Long = 20, k: Int = 3, nprobe: Int = 1): DataFrame = {
-    // ranked assignment feeds both the stored index side (rk = 1: each
-    // vector lives in exactly one cell) and the probe side (rk <= nprobe)
-    val ranked = ivfIndexCache.synchronized {
+  /** Ranked nearest-centroid assignment (memoized, see [[ivfIndexCache]]):
+    * every vector scored against every centroid via one broadcast of the
+    * ~|cells| centroid rows — the corpus never shuffles — keeping the
+    * `nprobe` best cells per vector. rk = 1 is the stored cell index shared
+    * by [[ivfTopK]] and [[semDedup]]. cscore is `bround`ed half-even before
+    * the DECIMAL cast so emitted values match DuckDB's cast ties exactly.
+    */
+  private def rankedAssignment(spark: SparkSession, dir: String,
+                               nprobe: Int): DataFrame =
+    ivfIndexCache.synchronized {
       val key = (spark, dir, math.max(nprobe, 1))
       val hit = ivfIndexCache.get(key)
       if (hit != null) hit
@@ -145,7 +150,8 @@ object SimilarityOps {
         // nearest-centroid assignment, rank on rounded score + label tie-break
         val v = emb.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("v"), col("label"),
-            nativeCosine(spark, "c", "v").cast("decimal(12,8)").as("cscore"))
+            bround(nativeCosine(spark, "c", "v"), 8)
+              .cast("decimal(12,8)").as("cscore"))
           .withColumn("rk", row_number().over(
             Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("label"))))
           .filter(col("rk") <= math.max(nprobe, 1))
@@ -154,6 +160,12 @@ object SimilarityOps {
         v
       }
     }
+
+  def ivfTopK(spark: SparkSession, dir: String,
+              nQueries: Long = 20, k: Int = 3, nprobe: Int = 1): DataFrame = {
+    // ranked assignment feeds both the stored index side (rk = 1: each
+    // vector lives in exactly one cell) and the probe side (rk <= nprobe)
+    val ranked = rankedAssignment(spark, dir, nprobe)
     val assigned = ranked.filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("label").as("cell"))
     val q = ranked.filter(col("vec_id") < nQueries && col("rk") <= nprobe)
@@ -169,6 +181,56 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("score").cast("double").as("score"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * by clustering embeddings and pruning near-duplicates WITHIN each
+    * cluster — the embedding-space analog of MinHash dedup, and the
+    * standard curation pass between exact dedup and quality filtering in a
+    * web-scale training pipeline.
+    *
+    * Clustering reuses the IVF nearest-centroid assignment
+    * ([[rankedAssignment]] rk = 1): one broadcast of ~|cells| centroids,
+    * the corpus never shuffles to be assigned. Within each cell, pairwise
+    * cosine runs as an equi-join ON THE CELL ID — cost Σ|cell|² exactly as
+    * in the paper, never a corpus-wide cross join. The keep policy is the
+    * paper's (retain the examples with LOW similarity to their centroid —
+    * they carry the most marginal information), made deterministic and
+    * order-free: a vector is dropped iff some τ-near neighbor in its cell
+    * sits strictly closer to the centroid (ties broken by lower vec_id).
+    *
+    * At 100 TB the assignment is a stored table PARTITIONED BY cell (the
+    * same layout the IVF index wants), so the pairwise stage is
+    * shuffle-free per-partition work, and |cell| is bounded by choosing
+    * |cells| ∝ corpus size — the paper runs k = 50k clusters over 5 B
+    * images with exactly this shape.
+    *
+    * Output per vector: cell, cosine to its centroid, τ-neighbor count,
+    * and the keep verdict.
+    */
+  def semDedup(spark: SparkSession, dir: String,
+               minCosine: Double = 0.3): DataFrame = {
+    val assigned = rankedAssignment(spark, dir, 1)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("label").as("cell"), col("cscore"))
+    val pairs = assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"),
+        col("x.cscore").as("xc"), col("y.vec_id").as("other_id"),
+        col("y.cscore").as("yc"),
+        bround(nativeCosine(spark, "x.v", "y.v"), 8)
+          .cast("decimal(12,8)").as("cos"))
+      .filter(col("cos") >= minCosine)
+    val near = pairs.groupBy("vec_id").agg(
+      count(lit(1)).as("n_near"),
+      max(when(col("yc") < col("xc") ||
+          (col("yc") === col("xc") && col("other_id") < col("vec_id")), 1)
+        .otherwise(0)).as("dominated"))
+    assigned.join(near, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        col("cscore").cast("double").as("centroid_cos"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        (coalesce(col("dominated"), lit(0)) === 0).as("keep"))
   }
 
   /** Embedding-cosine near-duplicate detection (driver contract): vector

@@ -396,8 +396,11 @@ object TextSql {
     s"""WITH $centroidCte
        |SELECT label, d, mean FROM centroid""".stripMargin
 
-  val ivfTopKSql: String =
-    s"""WITH $centroidCte,
+  // shared by ivfTopKSql and semDedupSql: the rk = 1 nearest-centroid cell
+  // assignment, mirroring SimilarityOps.rankedAssignment (cscore rounded to
+  // DECIMAL(12,8) half-even on both engines)
+  private val assignedCte: String =
+    s"""$centroidCte,
        |cent AS (
        |  SELECT label, list(mean ORDER BY d) AS c FROM centroid GROUP BY label),
        |emb AS (
@@ -410,11 +413,14 @@ object TextSql {
        |    ${cosineExprOn("cv", "v")} AS cscore
        |  FROM cellpairs),
        |assigned AS (
-       |  SELECT vec_id, v, label AS cell FROM (
+       |  SELECT vec_id, v, label AS cell, cscore FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |      ORDER BY cscore DESC, label) AS rk
        |    FROM scored_cells) a
-       |  WHERE rk = 1),
+       |  WHERE rk = 1)""".stripMargin
+
+  val ivfTopKSql: String =
+    s"""WITH $assignedCte,
        |q AS (SELECT vec_id AS query_id, v AS q_v, cell FROM assigned
        |      WHERE vec_id < 20),
        |pairs AS (
@@ -427,6 +433,27 @@ object TextSql {
        |    ORDER BY score DESC, neighbor_id) AS rank
        |  FROM scored) t
        |WHERE rank <= 3""".stripMargin
+
+  // SemDeDup (SimilarityOps.semDedup): within-cell pairwise cosine, keep
+  // the low-centroid-similarity member of each τ-near pair (ties → low id)
+  val semDedupSql: String =
+    s"""WITH $assignedCte,
+       |pairs AS (
+       |  SELECT x.vec_id, x.cscore AS xc, y.vec_id AS other_id,
+       |    y.cscore AS yc,
+       |    ${cosineExprOn("x.v", "y.v")} AS cos
+       |  FROM assigned x JOIN assigned y
+       |    ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+       |near AS (
+       |  SELECT vec_id, COUNT(*) AS n_near,
+       |    MAX(CASE WHEN yc < xc OR (yc = xc AND other_id < vec_id)
+       |        THEN 1 ELSE 0 END) AS dominated
+       |  FROM pairs WHERE cos >= 0.3 GROUP BY vec_id)
+       |SELECT a.vec_id, a.cell,
+       |  CAST(a.cscore AS DOUBLE) AS centroid_cos,
+       |  CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near,
+       |  COALESCE(n.dominated, 0) = 0 AS keep
+       |FROM assigned a LEFT JOIN near n ON a.vec_id = n.vec_id""".stripMargin
 
   val asofPriceJoinSql: String =
     s"""WITH ${OracleSql.orderEventsCte},

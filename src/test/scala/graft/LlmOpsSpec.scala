@@ -114,6 +114,40 @@ class LlmOpsSpec extends SparkSpec {
       s"IVF top-1 recall ${hits.toDouble / top1.length} implausibly low")
   }
 
+  test("SemDeDup: kept set is a τ-independent set and the cell's least-central member always survives") {
+    val tau = 0.3
+    val rows = SimilarityOps.semDedup(spark, sfTiny, minCosine = tau)
+    val got = rows.collect()
+    val n = spark.read.parquet(s"$sfTiny/embeddings.parquet").count()
+    assert(got.length == n, s"one verdict per vector expected: ${got.length} vs $n")
+    // verdict/n_near consistency: a drop needs at least one τ-near neighbor
+    got.foreach { r =>
+      if (!r.getBoolean(4)) assert(r.getLong(3) >= 1L,
+        s"vec ${r.getLong(0)} dropped with n_near=0")
+    }
+    assert(got.exists(!_.getBoolean(4)) && got.exists(_.getBoolean(4)),
+      "fixture should produce a keep/drop mix at τ=0.3")
+    // the paper's keep policy: the member FARTHEST from its centroid (min
+    // cscore, tie → min id) is never dominated, so it always survives
+    got.groupBy(_.getInt(1)).foreach { case (cell, members) =>
+      val least = members.minBy(r => (r.getDouble(2), r.getLong(0)))
+      assert(least.getBoolean(4), s"least-central member of cell $cell was dropped")
+    }
+    // independence: within a τ-near pair the more-central member is always
+    // dominated, so no two KEPT vectors in a cell may be τ-near — verify
+    // with an exact cosine recomputation over the kept set
+    import org.apache.spark.sql.functions._
+    val kept = rows.filter(col("keep"))
+      .join(graft.sources.Tables.embeddings(spark, sfTiny), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("embedding").as("v"))
+    val violations = kept.as("x").join(kept.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(SimilarityOps.cosine(col("x.v"), col("y.v")).as("cos"))
+      .filter(col("cos") >= tau)
+      .count()
+    assert(violations == 0, s"$violations τ-near pairs survived in the kept set")
+  }
+
   test("IVF multi-probe: recall@5 vs brute force is monotone in nprobe") {
     val brute = SimilarityOps.cosineTopK(spark, sfTiny, nQueries = 20, k = 5)
       .select("query_id", "neighbor_id").collect()

@@ -135,6 +135,35 @@ class PlanSpec extends SparkSpec {
       s"shard verify became an all-pairs join:\n$plan")
   }
 
+  test("semdedup: pairwise stage is a cell equi-join — the only nested loop is the centroid broadcast") {
+    val df = graft.functions.SimilarityOps.semDedup(spark, sfTiny)
+    df.collect() // AQE finalizes the physical plan only on execution
+    // count by TREE traversal, not plan-string lines: the memoized cell
+    // assignment renders its cached subplan (which legitimately holds the
+    // bounded ~|cells| centroid nested loop) once per InMemoryTableScan
+    // reference, so string counts overstate executed nodes
+    def count(pred: org.apache.spark.sql.execution.SparkPlan => Boolean): Int = {
+      var n = 0
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p.foreach {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s if pred(s) => n += 1
+        case _ =>
+      }
+      walk(df.queryExecution.executedPlan)
+      n
+    }
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    assert(count(_.isInstanceOf[CartesianProductExec]) == 0,
+      s"semdedup pairwise stage is a cartesian:\n${physicalPlan(df)}")
+    // the nearest-centroid assignment broadcasts ~|cells| centroid rows (a
+    // deliberate bounded nested loop, usually hidden inside the cached
+    // assignment); the within-cell pairwise must stay an equi-join on the
+    // cell id — a second executed nested loop means the n² corpus join
+    // materialized
+    assert(count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) <= 1,
+      s"pairwise stage regressed to all-pairs:\n${physicalPlan(df)}")
+  }
+
   test("embedding_dedup: LSH candidate front-end — no all-pairs join") {
     val plan = physicalPlan(graft.functions.SimilarityOps.embeddingDedup(spark, sfTiny))
     assert(!plan.contains("CartesianProduct"),
