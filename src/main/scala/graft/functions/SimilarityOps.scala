@@ -233,6 +233,26 @@ object SimilarityOps {
         (coalesce(col("dominated"), lit(0)) === 0).as("keep"))
   }
 
+  /** Materialize the rk = 1 cell assignment as a parquet table PARTITIONED
+    * BY cell — the stored IVF index layout that [[ivfTopK]] and
+    * [[semDedup]] docs assume at 100 TB. An `nprobe`-cell probe then reads
+    * exactly `nprobe` partitions (directory pruning, no data scanned
+    * outside the probed cells), and SemDeDup's pairwise stage becomes
+    * per-partition local work.
+    */
+  def writeCellIndex(spark: SparkSession, dir: String, path: String): Unit =
+    rankedAssignment(spark, dir, 1)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cscore"), col("label").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Read one cell of a stored index written by [[writeCellIndex]]. The
+    * `cell = …` predicate must prune at the DIRECTORY level (PlanSpec
+    * asserts `PartitionFilters`, not a post-scan filter).
+    */
+  def readCell(spark: SparkSession, path: String, cell: Int): DataFrame =
+    spark.read.parquet(path).filter(col("cell") === cell)
+
   /** Embedding-cosine near-duplicate detection (driver contract): vector
     * pairs above a cosine threshold, with the canonical keep decision
     * (min id survives).

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import graft.operators.{BookQueries, Olap, OrderEvents, OrderState}
@@ -162,6 +163,34 @@ class PlanSpec extends SparkSpec {
     // materialized
     assert(count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) <= 1,
       s"pairwise stage regressed to all-pairs:\n${physicalPlan(df)}")
+  }
+
+  test("cell index: stored assignment partition-prunes — a 1-cell probe reads 1 directory") {
+    val path = java.nio.file.Files.createTempDirectory("cellidx").toString
+    try {
+      graft.functions.SimilarityOps.writeCellIndex(spark, sfTiny, path)
+      // layout: one directory per cell — the probe cost model of the 100 TB
+      // claim (nprobe cells → nprobe directories)
+      val cells = new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cells.length >= 2, s"expected >=2 cell partitions, got ${cells.length}")
+      val probe = graft.functions.SimilarityOps.readCell(spark, path, 3)
+      val plan = physicalPlan(probe)
+      assert(plan.contains("PartitionFilters: [isnotnull(cell"),
+        s"cell predicate did not reach the partition pruner:\n$plan")
+      // and it is PRUNING, not a post-scan filter: the data filter set has
+      // no cell predicate (cell is a partition column, not a data column)
+      assert(!plan.contains("PushedFilters: [IsNotNull(cell"),
+        s"cell filtered post-scan instead of pruned:\n$plan")
+      // probing one cell returns exactly that cell's members
+      val got = probe.select("vec_id").collect().map(_.getLong(0)).toSet
+      val want = graft.functions.SimilarityOps.semDedup(spark, sfTiny)
+        .filter(col("cell") === 3).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want, s"stored cell 3 ${got.size} ids != live assignment ${want.size}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
   }
 
   test("embedding_dedup: LSH candidate front-end — no all-pairs join") {
