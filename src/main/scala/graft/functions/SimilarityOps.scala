@@ -200,10 +200,14 @@ object SimilarityOps {
     * sits strictly closer to the centroid (ties broken by lower vec_id).
     *
     * At 100 TB the assignment is a stored table PARTITIONED BY cell (the
-    * same layout the IVF index wants), so the pairwise stage is
-    * shuffle-free per-partition work, and |cell| is bounded by choosing
-    * |cells| ∝ corpus size — the paper runs k = 50k clusters over 5 B
-    * images with exactly this shape.
+    * same layout the IVF index wants — [[writeCellIndex]]), so the
+    * pairwise stage is shuffle-free per-partition work, and |cell| is
+    * bounded by choosing |cells| ∝ corpus size — the paper runs k = 50k
+    * clusters over 5 B images with exactly this shape. NOTE the fixture
+    * quantizer here is the 10 label centroids, a DATA-FIXED k: a rehearsal
+    * that scales the corpus under constant k grows the pairwise stage
+    * ~(N/k)² by design — that is the k-dial, not a plan defect; the plan
+    * itself stays a cell equi-join at any k (PlanSpec gate).
     *
     * Output per vector: cell, cosine to its centroid, τ-neighbor count,
     * and the keep verdict.
