@@ -237,6 +237,25 @@ object SimilarityOps {
         (coalesce(col("dominated"), lit(0)) === 0).as("keep"))
   }
 
+  /** The undirected within-cell τ-near pair set underlying [[semDedup]]
+    * (id1 < id2, exact rounded cosine) — the batch ground truth the
+    * streaming admission index ([[graft.streaming.SemIngest.pairStream]])
+    * must reproduce once drained (spec-asserted equivalence).
+    */
+  def semDedupPairs(spark: SparkSession, dir: String,
+                    minCosine: Double = 0.3): DataFrame = {
+    val assigned = rankedAssignment(spark, dir, 1)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("label").as("cell"))
+    assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
+        bround(nativeCosine(spark, "x.v", "y.v"), 8)
+          .cast("decimal(12,8)").as("cos"))
+      .filter(col("cos") >= minCosine)
+      .select(col("id1"), col("id2"), col("cos").cast("double").as("cos"))
+  }
+
   /** Materialize the rk = 1 cell assignment as a parquet table PARTITIONED
     * BY cell — the stored IVF index layout that [[ivfTopK]] and
     * [[semDedup]] docs assume at 100 TB. An `nprobe`-cell probe then reads

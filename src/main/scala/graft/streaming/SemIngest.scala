@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Ingest-time SEMANTIC dedup — the streaming lift of the batch SemDeDup
+  * pass ([[graft.functions.SimilarityOps.semDedup]]), exactly as
+  * [[IngestDedup]] lifts the batch MinHash-LSH pipeline: as vectors
+  * ARRIVE, each is assigned to its IVF cell and compared against the
+  * cell's already-ingested members, emitting τ-near pairs immediately —
+  * the admission-time form of semantic dedup a production corpus pipeline
+  * runs at the front door.
+  *
+  * Two stages, both value-identical to the batch path (spec-asserted in
+  * `SemIngestSpec` — streaming and batch verdicts cannot drift):
+  *
+  *  1. '''Stateless assignment''' ([[assignedStream]]): nearest-centroid
+  *     cell computed ROW-LOCALLY against a broadcast-sized static centroid
+  *     list (the same ~|cells| rows the batch path broadcasts). Scoring
+  *     mirrors the codegen cosine fold and the batch DECIMAL(12,8)
+  *     half-even rounding + low-label tie-break bit-for-bit, so the
+  *     streaming cell equals the batch cell for every vector. No shuffle.
+  *  2. '''Stateful cell index''' ([[pairStream]]):
+  *     `flatMapGroupsWithState` keyed by cell. State per cell is the list
+  *     of previously-admitted (vec_id, vector) members; a new arrival
+  *     emits one [[Pair]] per τ-near member and joins the cell.
+  *     Re-delivered vec_ids are ignored (replay-idempotent, the P4
+  *     offset-dedup discipline). A fully-drained stream's pair set equals
+  *     batch [[graft.functions.SimilarityOps.semDedupPairs]] regardless
+  *     of micro-batch boundaries.
+  *
+  * State-size discipline: unlike the MinHash index (64 B signatures), a
+  * semantic index must keep the VECTORS themselves (256 B for 64-dim
+  * float) — this is the per-executor RocksDB-backed cell index, sharded
+  * by the same cell id the stored batch layout partitions by
+  * ([[graft.functions.SimilarityOps.writeCellIndex]]). |cell| stays
+  * bounded by the k ∝ N dial (see semDedup's Scaladoc), which bounds both
+  * state size and per-arrival compare cost.
+  */
+object SemIngest {
+
+  /** An arriving vector with its row-locally computed cell. */
+  case class Assigned(vecId: Long, cell: Int, v: Seq[Float])
+
+  /** A τ-near pair: earlier-admitted id1 < id2, exact rounded cosine. */
+  case class Pair(id1: Long, id2: Long, cos: Double)
+
+  /** Half-even round to 8 dp — the Scala mirror of `bround(x, 8)` (Spark
+    * routes doubles through `BigDecimal.valueOf`, i.e. the canonical
+    * string representation, so `valueOf` here is the bit-exact match).
+    */
+  private def round8(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(8, java.math.RoundingMode.HALF_EVEN).doubleValue
+
+  /** Bit-exact mirror of the codegen cosine fold
+    * ([[graft.functions.VectorExpressions.CosineSim]]): sequential
+    * left-to-right accumulation, float operands widened per element.
+    * Returns -2.0 (below any true cosine) for a zero-norm operand, where
+    * the native expression returns null — both sort/filter identically.
+    */
+  private def cosineDF(c: Seq[Double], v: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(c.length, v.length)
+    while (i < n) {
+      val x = c(i); val y = v(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def cosineFF(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Row-local nearest-centroid assignment of a (vec_id, embedding)
+    * stream. `centroids` is the static side input — collect it from
+    * [[graft.functions.SimilarityOps.centroidVectors]] (broadcast-sized:
+    * one (label, vector) per cell). Mirrors the batch ranking exactly:
+    * max rounded score, ties to the lower label.
+    */
+  def assignedStream(vecs: DataFrame,
+                     centroids: Seq[(Int, Seq[Double])]): Dataset[Assigned] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = centroids.sortBy(_._1)
+    vecs.selectExpr("vec_id", "embedding").as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        var bestLabel = Int.MaxValue
+        var best = -3.0
+        cents.foreach { case (l, c) =>
+          val s = round8(cosineDF(c, v))
+          if (s > best) { best = s; bestLabel = l } // asc labels: ties keep low
+        }
+        Assigned(id, bestLabel, v)
+      }
+  }
+
+  /** The online τ-near pair stream (Append mode): for every arriving
+    * vector, one [[Pair]] per already-admitted same-cell member with
+    * cosine ≥ minCosine. Within a micro-batch, lower vec_id is treated as
+    * "earlier" (deterministic batch-internal order), so the drained pair
+    * set is batch-boundary independent.
+    */
+  def pairStream(vecs: DataFrame, centroids: Seq[(Int, Seq[Double])],
+                 minCosine: Double = 0.3): Dataset[Pair] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    assignedStream(vecs, centroids)
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[Seq[(Long, Seq[Float])], Pair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[Pair]
+          rows.toSeq.sortBy(_.vecId).foreach { r =>
+            if (!seen.exists(_._1 == r.vecId)) { // replay-idempotent (P4)
+              seen.foreach { case (id, v) =>
+                val c = round8(cosineFF(v, r.v))
+                if (c >= minCosine)
+                  out += Pair(math.min(id, r.vecId), math.max(id, r.vecId), c)
+              }
+              seen = seen :+ (r.vecId -> r.v)
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+}

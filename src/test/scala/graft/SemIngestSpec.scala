@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.functions.SimilarityOps
+import graft.streaming.SemIngest
+
+/** Ingest-time semantic dedup must agree with the batch SemDeDup pass:
+  * same cell assignment per vector, and — once the stream has drained —
+  * the same τ-near pair set with the same rounded cosine, regardless of
+  * micro-batch boundaries.
+  */
+class SemIngestSpec extends SparkSpec {
+
+  private def centroids: Seq[(Int, Seq[Double])] =
+    SimilarityOps.centroidVectors(spark, sfTiny).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+
+  private def vecRows: Seq[(Long, Seq[Float])] =
+    graft.sources.Tables.embeddings(spark, sfTiny)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+
+  test("row-local streaming assignment == batch broadcast assignment, every vector") {
+    import spark.implicits._
+    val batch = SimilarityOps.semDedup(spark, sfTiny)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val streamed = SemIngest.assignedStream(
+        vecRows.toDF("vec_id", "embedding"), centroids)
+      .collect().map(a => a.vecId -> a.cell).toMap
+    assert(batch.nonEmpty && streamed.keySet == batch.keySet,
+      s"vector coverage differs: ${streamed.size} vs ${batch.size}")
+    streamed.foreach { case (id, cell) =>
+      assert(cell == batch(id), s"cell drift for vector $id: $cell vs ${batch(id)}")
+    }
+  }
+
+  test("drained pair stream == batch semDedupPairs, any batch boundaries") {
+    val expected = SimilarityOps.semDedupPairs(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(expected.nonEmpty, "fixture produced no τ-near pairs to compare")
+
+    def run(splits: Seq[Int]): Map[(Long, Long), Double] = {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val source = MemoryStream[(Long, Seq[Float])]
+      val query = SemIngest.pairStream(
+          source.toDF().toDF("vec_id", "embedding"), centroids)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("sem_pairs").start()
+      try {
+        var rest = vecRows
+        splits.foreach { n =>
+          val (batch, tail) = rest.splitAt(n)
+          rest = tail
+          if (batch.nonEmpty) { source.addData(batch); query.processAllAvailable() }
+        }
+        if (rest.nonEmpty) { source.addData(rest); query.processAllAvailable() }
+        spark.table("sem_pairs").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      } finally {
+        query.stop()
+        spark.sql("DROP TABLE IF EXISTS sem_pairs")
+      }
+    }
+
+    // one shot, uneven batches, and per-replay re-delivery of a prefix
+    // (idempotence: re-added vectors must not duplicate or re-pair)
+    val oneShot = run(Seq(vecRows.size))
+    assert(oneShot == expected,
+      s"one-batch drain: ${oneShot.size} pairs vs batch ${expected.size}")
+    val uneven = run(Seq(7, 31, 2))
+    assert(uneven == expected,
+      s"uneven drain: ${uneven.size} pairs vs batch ${expected.size}")
+  }
+
+  test("replayed prefix is idempotent — no duplicate pairs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, Seq[Float])]
+    val query = SemIngest.pairStream(
+        source.toDF().toDF("vec_id", "embedding"), centroids)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sem_pairs_replay").start()
+    try {
+      val (head, tail) = vecRows.splitAt(20)
+      source.addData(head); query.processAllAvailable()
+      source.addData(head); query.processAllAvailable() // replay
+      source.addData(tail); query.processAllAvailable()
+      val got = spark.table("sem_pairs_replay").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.distinct.length,
+        s"replay produced ${got.length - got.distinct.length} duplicate pairs")
+      val expected = SimilarityOps.semDedupPairs(spark, sfTiny).count()
+      assert(got.length == expected,
+        s"replayed drain: ${got.length} pairs vs batch $expected")
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS sem_pairs_replay")
+    }
+  }
+}
