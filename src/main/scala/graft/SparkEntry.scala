@@ -105,6 +105,9 @@ object SparkEntry {
     // algorithm here while dedup_clusters times the materialized-view read
     "dedup_clusters_fresh" -> ((s, d) => DedupOps.dedupClustersFresh(s, d)),
     "dedup_select"    -> ((s, d) => CurationOps.dedupSelect(s, d)),
+    // eval-integrity split: hash of the near-dup CLUSTER id, so near-dups
+    // can never straddle train/val/test
+    "leakage_split"   -> ((s, d) => CurationOps.leakageSplit(s, d)),
     "decontaminate"   -> ((s, d) => CurationOps.decontaminate(s, d)),
     "decontaminate_bloom" -> ((s, d) => CurationOps.decontaminateBloom(s, d)),
     "domain_mix"      -> ((s, d) => CurationOps.domainMix(s, d)),
@@ -222,6 +225,7 @@ object SparkEntry {
     "dedup_clusters"  -> TextSql.dedupClustersSql,
     "dedup_clusters_fresh" -> TextSql.dedupClustersSql,
     "dedup_select"    -> TextSql.dedupSelectSql,
+    "leakage_split"   -> TextSql.leakageSplitSql,
     "decontaminate"   -> TextSql.decontaminateSql,
     // bit-identical to the exact form by construction — same oracle
     "decontaminate_bloom" -> TextSql.decontaminateSql,

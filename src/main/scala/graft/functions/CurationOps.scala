@@ -307,6 +307,41 @@ object CurationOps {
         (col("prefix_before") % budget).as("bin_offset"))
   }
 
+  /** Leakage-safe train/val/test split — the eval-integrity discipline a
+    * training pipeline applies AFTER near-dup detection: the split is
+    * assigned by hashing the near-dup CLUSTER id, not the document id, so
+    * two near-duplicate documents can never land in different splits (the
+    * classic eval-leakage bug that a doc-hash split commits silently).
+    * Singleton documents (no near-dup edges) are their own cluster.
+    *
+    * Same deterministic hash-mod discipline as [[TextAnalysis
+    * .stratifiedSample]] (no RNG state — reproducible across engines,
+    * runs, and cluster sizes): bucket = mdhash("split:" + cluster_id)
+    * mod 1000; bucket < testPermille → test, next valPermille → val,
+    * rest → train.
+    *
+    * Scale: one left join of the corpus against the (bounded, LSH-edge
+    * derived) cluster view on doc_id, then a row-local projection — the
+    * cheapest shuffle family in the suite. The cluster view is the
+    * memoized [[DedupOps.dedupClusters]] materialization; at 100 TB both
+    * sides are bucketed by doc_id, making the join co-partitioned.
+    */
+  def leakageSplit(spark: SparkSession, dir: String,
+                   valPermille: Int = 100, testPermille: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val cl = DedupOps.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    docs.join(cl, Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        TextAnalysis.mdhash(
+          concat(lit("split:"), col("cluster_id").cast("string"))) % 1000)
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("bucket") < testPermille, "test")
+          .when(col("bucket") < testPermille + valPermille, "val")
+          .otherwise("train").as("split"))
+  }
+
   def dedupSelect(spark: SparkSession, dir: String): DataFrame = {
     val clusters = DedupOps.dedupClusters(spark, dir)
       .select(col("doc_id"), col("cluster_id"))

@@ -273,6 +273,34 @@ object TextSql {
        |  doc_id = cluster_id AS keep
        |FROM labels""".stripMargin
 
+  // CurationOps.leakageSplit: split by hash of the near-dup CLUSTER id
+  // (transitive closure over the same LSH candidate edges), singletons are
+  // their own cluster
+  val leakageSplitSql: String =
+    s"""WITH RECURSIVE $candCte,
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM cand
+       |  UNION SELECT id2, id1 FROM cand),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |d AS (
+       |  SELECT doc.doc_id, COALESCE(l.cluster_id, doc.doc_id) AS cluster_id
+       |  FROM documents doc LEFT JOIN labels l ON doc.doc_id = l.doc_id),
+       |b AS (
+       |  SELECT doc_id, cluster_id,
+       |    ${mdh("'split:' || CAST(cluster_id AS VARCHAR)")} % 1000 AS bucket
+       |  FROM d)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN bucket < 100 THEN 'test'
+       |       WHEN bucket < 200 THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM b""".stripMargin
+
   val simhashSql: String =
     s"""WITH $tokCte,
        |ex AS (SELECT doc_id, unnest(t) AS w FROM tok),

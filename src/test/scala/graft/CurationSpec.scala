@@ -23,6 +23,41 @@ class CurationSpec extends SparkSpec {
     assert(norms == 0, "quantized vector norm far from 127")
   }
 
+  test("leakage_split: near-dup clusters never straddle splits, full coverage, sane fractions") {
+    val rows = graft.functions.CurationOps.leakageSplit(spark, sfTiny).collect()
+    val n = graft.sources.Tables.documents(spark, sfTiny).count()
+    assert(rows.length == n, s"one split per doc expected: ${rows.length} vs $n")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "duplicate doc_id rows")
+    // THE property: every cluster maps to exactly one split — a near-dup
+    // pair in different splits is the eval-leakage bug this op exists to
+    // prevent
+    val byCluster = rows.groupBy(_.getLong(1)).map { case (c, rs) =>
+      c -> rs.map(_.getString(2)).distinct
+    }
+    byCluster.foreach { case (c, splits) =>
+      assert(splits.length == 1, s"cluster $c straddles splits: ${splits.toList}")
+    }
+    // the fixture must actually exercise the guarantee (multi-doc clusters
+    // exist) and produce all three splits at plausible hash-mod fractions
+    assert(byCluster.exists(_ => true) &&
+      rows.groupBy(_.getLong(1)).exists(_._2.length > 1),
+      "fixture has no multi-doc near-dup cluster — property untested")
+    val frac = rows.groupBy(_.getString(2)).view.mapValues(_.length.toDouble / n).toMap
+    assert(frac.keySet == Set("train", "val", "test"), s"missing split: $frac")
+    assert(frac("train") > 0.6 && frac("val") < 0.25 && frac("test") < 0.25,
+      s"implausible split fractions for 800/100/100 permille: $frac")
+    // and the cluster ids agree with the canonical cluster view for every
+    // doc that HAS near-dups (singletons fall back to their own id)
+    val canon = graft.functions.DedupOps.dedupClusters(spark, sfTiny)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val want = canon.getOrElse(r.getLong(0), r.getLong(0))
+      assert(r.getLong(1) == want,
+        s"doc ${r.getLong(0)} split on cluster ${r.getLong(1)}, canonical $want")
+    }
+  }
+
   test("decontaminate covers exactly the test split, ratios consistent") {
     val d = CurationOps.decontaminate(spark, sfTiny)
     assert(d.filter(col("doc_id") % 10 < 8).count() == 0,
