@@ -154,6 +154,8 @@ object SparkEntry {
     "score_select"    -> ((s, d) => TextAnalysis.scoreSelect(s, d)),
     "chunk_docs"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "tfidf_topk"      -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
+    // lexical ranked retrieval — the keyword twin of the ANN path
+    "bm25_topk"       -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "rep_signals"     -> ((s, d) => TextAnalysis.repSignals(s, d)),
     // tokenizer-training: first BPE merge iteration (pair counts over vocab)
@@ -253,6 +255,7 @@ object SparkEntry {
     "score_select"    -> TextSql.scoreSelectSql,
     "chunk_docs"      -> TextSql.chunkDocsSql,
     "tfidf_topk"      -> TextSql.tfidfTopKSql,
+    "bm25_topk"       -> TextSql.bm25TopKSql,
     "stratified_sample" -> TextSql.stratifiedSampleSql,
     "rep_signals"     -> TextSql.repSignalsSql,
     "bpe_merges"      -> TextSql.bpeMergesSql,

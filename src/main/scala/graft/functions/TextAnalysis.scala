@@ -584,4 +584,72 @@ object TextAnalysis {
           expr("(n_tokens_bpe * 1000000) div n_units"))
           .otherwise(lit(0L)).as("compression_ppm"))
   }
+
+  /** BM25 query terms for the gated retrieval query — mixed document
+    * frequencies so the idf weighting actually discriminates. */
+  val bm25Terms: Seq[String] = Seq("spark", "window", "hash", "customer")
+
+  /** BM25 ranked retrieval (Robertson & Sparck Jones / Okapi BM25,
+    * k1 = 1.2, b = 0.75) — lexical search over the corpus, the retrieval
+    * twin of the vector path ([[graft.functions.SimilarityOps]]): every
+    * serving stack pairs an ANN index with a keyword index.
+    *
+    * Shape is the probe of an inverted index: the token array is filtered
+    * to the query terms BEFORE the explode (a row-local HOF — non-matching
+    * tokens never leave the scan), so the only corpus-sized work is the
+    * scan itself and the per-doc aggregation shuffle is bounded by
+    * occurrences of the query terms (= the postings lists). Corpus scalars
+    * (N docs, Σdl) and per-term document frequencies are one-row aggregates
+    * broadcast back; the final top-k is `orderBy(...).limit(k)` — Catalyst
+    * plans TakeOrderedAndProject, a partial per-partition top-k with no
+    * global sort. At 100 TB the tf table IS the precomputed postings index
+    * (term-bucketed), and a query probes only its terms' buckets; this
+    * one-pass form is the index-build + probe fused, linear in corpus size.
+    *
+    * Numeric policy (the [[tfidfTopK]] discipline): log-free rarity weight
+    * idf = (N − df + 0.5) / (df + 0.5) — transcendentals are not
+    * ulp-identical across engines, but +,−,×,÷ on doubles are correctly
+    * rounded, so an IDENTICAL expression tree (the oracle mirrors this
+    * parenthesization exactly) yields bit-identical scores. The per-doc
+    * score sums the 4 per-term contributions as one fixed left-associated
+    * chain — never a float aggregate whose addend order could vary.
+    * A term absent from a doc contributes exactly 0.0 (zero numerator).
+    */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val qt = bm25Terms
+    // postings probe: keep only query-term occurrences, row-locally
+    val hits = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
+        filter(tokens(col("text")), t => qt.map(t === _).reduce(_ || _)).as("m"))
+      .filter(size(col("m")) > 0)
+      .select(col("doc_id"), col("dl"), explode(col("m")).as("term"))
+    // per-doc tf pivot: one shuffle, bounded by query-term postings
+    val tfAggs = max(col("dl")).as("dl") +:
+      qt.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    // cached: postings-bounded (only docs matching a query term), and read
+    // twice below (scoring + the df aggregate) — uncached, the corpus scan
+    // and the postings shuffle would run twice
+    val tf = hits.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*).cache()
+    // corpus scalars: N docs + total token mass (no shuffle — partial aggs),
+    // per-term df from the pivoted tf table (candidate-bounded)
+    val corpus = docs.select(size(tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("d"))
+    val dfCols = qt.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val dfs = tf.agg(dfCols.head, dfCols.tail: _*)
+    // per-term contribution: idf × saturated tf, identical parse tree in SQL
+    def contrib(t: String): Column =
+      ((col(s"df_$t") * lit(-2L) + (col("n") * lit(2L) + lit(1L))).cast("double") /
+        (col(s"df_$t") * lit(2L) + lit(1L)).cast("double")) *
+        (col(s"tf_$t").cast("double") * lit(2.2) /
+          (col(s"tf_$t").cast("double") + lit(0.3) +
+            lit(0.9) * col("dl").cast("double") * col("n") / col("d")))
+    val scored = tf.crossJoin(broadcast(corpus)).crossJoin(broadcast(dfs))
+      .withColumn("score", qt.map(contrib).reduceLeft(_ + _))
+    scored
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id") +: col("dl") +:
+        qt.map(t => col(s"tf_$t")) :+ col("score"): _*)
+  }
 }

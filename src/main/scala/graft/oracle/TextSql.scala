@@ -1210,4 +1210,50 @@ object TextSql {
        |  CAST(n_shared_total AS BIGINT) AS n_shared_total,
        |  train_doc AS top_train_doc, n_shared AS top_shared
        |FROM r WHERE rn = 1""".stripMargin
+
+  // BM25 ranked retrieval (mirror of TextAnalysis.bm25TopK, k1=1.2 b=0.75):
+  // log-free idf as one exact-integer ratio cast to DOUBLE, per-term
+  // contributions in the SAME parenthesization as the Spark expression tree
+  // (correctly-rounded IEEE ops → bit-identical), summed left-associated.
+  val bm25TopKSql: String = {
+    val qt = graft.functions.TextAnalysis.bm25Terms
+    val tfCases = qt.map(t =>
+      s"    CAST(SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$t")
+      .mkString(",\n")
+    val dfCases = qt.map(t =>
+      s"    CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n")
+    val inList = qt.map(t => s"x = '$t'").mkString(" OR ")
+    val contribs = qt.map(t =>
+      s"(CAST(df_$t * -2 + (n * 2 + 1) AS DOUBLE) / CAST(df_$t * 2 + 1 AS DOUBLE))" +
+        s" * (CAST(tf_$t AS DOUBLE) * 2.2 / (CAST(tf_$t AS DOUBLE) + 0.3" +
+        s" + 0.9 * CAST(dl AS DOUBLE) * n / d))")
+      .mkString("\n    + ")
+    val tfCols = qt.map(t => s"tf_$t").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+       |    unnest(list_filter(t, x -> $inList)) AS term
+       |  FROM tok),
+       |tf AS (
+       |  SELECT doc_id, MAX(dl) AS dl,
+       |$tfCases
+       |  FROM hits GROUP BY doc_id),
+       |corpus AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS d
+       |  FROM documents),
+       |dfs AS (
+       |  SELECT
+       |$dfCases
+       |  FROM tf),
+       |scored AS (
+       |  SELECT doc_id, dl, $tfCols,
+       |    $contribs AS score
+       |  FROM tf CROSS JOIN corpus CROSS JOIN dfs)
+       |SELECT doc_id, dl, $tfCols, score
+       |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
 }

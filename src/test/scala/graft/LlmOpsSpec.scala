@@ -553,4 +553,32 @@ class LlmOpsSpec extends SparkSpec {
     }
     assert(rows.nonEmpty)
   }
+
+  test("bm25: top-k matches a straight-line in-memory BM25 on the tiny corpus") {
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tok = "[a-z0-9]+".r
+    val toks = docs.map { case (id, t) => id -> tok.findAllIn(t).toVector }.toMap
+    val qt = TextAnalysis.bm25Terms
+    val n = docs.length.toLong
+    val dTot = toks.values.map(_.length.toLong).sum
+    val dfm = qt.map(t => t -> toks.values.count(_.contains(t)).toLong).toMap
+    // same expression tree as the engine and the oracle — correctly-rounded
+    // IEEE ops make this comparison bit-exact, no tolerance needed
+    def score(id: Long): Double = {
+      val dl = toks(id).length.toDouble
+      qt.map { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        val idf = (dfm(t) * -2 + (n * 2 + 1)).toDouble / (dfm(t) * 2 + 1).toDouble
+        idf * (tf * 2.2 / (tf + 0.3 + 0.9 * dl * n / dTot))
+      }.reduceLeft(_ + _)
+    }
+    val expected = docs.map(_._1).filter(id => qt.exists(toks(id).contains))
+      .map(id => (id, score(id)))
+      .sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    val got = TextAnalysis.bm25TopK(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getDouble(r.fieldIndex("score")))).toSeq
+    assert(got == expected, s"BM25 top-10 diverged:\n got=$got\n exp=$expected")
+  }
 }

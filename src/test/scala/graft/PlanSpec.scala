@@ -209,6 +209,22 @@ class PlanSpec extends SparkSpec {
       s"rank<=k not pushed below the window shuffle:\n$plan")
   }
 
+  test("bm25: top-k is a partial TakeOrderedAndProject, postings filtered before the explode") {
+    val df = graft.functions.TextAnalysis.bm25TopK(spark, sfTiny)
+    val plan = physicalPlan(df)
+    // limit+orderBy must plan the partial per-partition top-k, never a
+    // global Sort over all matching docs
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k planned a global sort instead of TakeOrderedAndProject:\n$plan")
+    // the corpus-sized generator must explode the HOF-FILTERED token array
+    // (query-term postings only, aliased by the Project feeding the
+    // Generate) — an unfiltered explode shuffles every token occurrence
+    // instead of only the query terms' postings
+    assert(plan.contains("Generate explode") &&
+      plan.contains("filter(regexp_extract_all"),
+      s"bm25 explodes the unfiltered token array (full token stream would shuffle):\n$plan")
+  }
+
   test("rep_signals: prunes to the 4 used columns, single doc_id shuffle") {
     val df = graft.functions.TextAnalysis.repSignals(spark, sfTiny)
     val plan = physicalPlan(df)
