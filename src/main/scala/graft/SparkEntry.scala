@@ -142,6 +142,8 @@ object SparkEntry {
     "asof_price_join" -> ((s, d) => AsofJoin.marketOrdersWithAsofPrice(s, d)),
     "label_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
     "ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
+    // all-vectors kNN graph over the same cell index
+    "knn_graph"       -> ((s, d) => SimilarityOps.knnGraph(s, d)),
     "embedding_dedup" -> ((s, d) => SimilarityOps.embeddingDedup(s, d)),
     // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup —
     // within-cell near-dup pruning over the stored IVF cell assignment
@@ -247,6 +249,7 @@ object SparkEntry {
     "asof_price_join" -> TextSql.asofPriceJoinSql,
     "label_centroids" -> TextSql.labelCentroidsSql,
     "ivf_topk"        -> TextSql.ivfTopKSql,
+    "knn_graph"       -> TextSql.knnGraphSql,
     "embedding_dedup" -> TextSql.embeddingDedupSql,
     "semdedup"        -> TextSql.semDedupSql,
     "token_counts"    -> TextSql.tokenCountsSql,

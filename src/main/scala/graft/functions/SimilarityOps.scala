@@ -256,6 +256,39 @@ object SimilarityOps {
       .select(col("id1"), col("id2"), col("cos").cast("double").as("cos"))
   }
 
+  /** Approximate kNN GRAPH construction — every vector's top-k nearest
+    * neighbors within its IVF cell (the all-vectors generalization of
+    * [[ivfTopK]]'s per-query probe). The kNN graph is the substrate of
+    * graph-based curation: semantic-cluster discovery (connected components
+    * over the graph, as [[graft.functions.DedupOps.dedupClusters]] does over
+    * MinHash edges), diversity sampling, and kNN-graph ANN indexes.
+    *
+    * Shape: one cell equi-join of the stored assignment against itself
+    * (cost Σ|cell|², never corpus-wide — the [[semDedup]] discipline), then
+    * a per-vector top-k window that plans a partial WindowGroupLimit below
+    * the shuffle. At 100 TB the assignment is the cell-partitioned stored
+    * index ([[writeCellIndex]]), making the join per-partition local work;
+    * |cell| stays bounded by scaling |cells| with the corpus (the k-dial).
+    * Restricted to vectors with `vec_id < nQueries`, the graph rows equal
+    * [[ivfTopK]] at nprobe = 1 by construction (spec-asserted).
+    */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val assigned = rankedAssignment(spark, dir, 1)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("label").as("cell"))
+    assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("x.cell").as("cell"),
+        col("y.vec_id").as("neighbor_id"),
+        bround(nativeCosine(spark, "x.v", "y.v"), 8)
+          .cast("decimal(12,8)").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("cell"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos").cast("double").as("cos"))
+  }
+
   /** Materialize the rk = 1 cell assignment as a parquet table PARTITIONED
     * BY cell — the stored IVF index layout that [[ivfTopK]] and
     * [[semDedup]] docs assume at 100 TB. An `nprobe`-cell probe then reads

@@ -483,6 +483,22 @@ object TextSql {
        |  COALESCE(n.dominated, 0) = 0 AS keep
        |FROM assigned a LEFT JOIN near n ON a.vec_id = n.vec_id""".stripMargin
 
+  // kNN graph (SimilarityOps.knnGraph): within-cell pairwise cosine,
+  // per-vector top-5 window — the all-vectors generalization of ivfTopKSql
+  val knnGraphSql: String =
+    s"""WITH $assignedCte,
+       |pairs AS (
+       |  SELECT x.vec_id, x.cell, y.vec_id AS neighbor_id,
+       |    ${cosineExprOn("x.v", "y.v")} AS cos
+       |  FROM assigned x JOIN assigned y
+       |    ON x.cell = y.cell AND x.vec_id <> y.vec_id)
+       |SELECT vec_id, cell, rank, neighbor_id, CAST(cos AS DOUBLE) AS cos
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM pairs) t
+       |WHERE rank <= 5""".stripMargin
+
   val asofPriceJoinSql: String =
     s"""WITH ${OracleSql.orderEventsCte},
        |pe AS (SELECT * FROM order_events WHERE action IN (8, 9)),

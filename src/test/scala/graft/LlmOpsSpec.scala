@@ -581,4 +581,26 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(r.fieldIndex("score")))).toSeq
     assert(got == expected, s"BM25 top-10 diverged:\n got=$got\n exp=$expected")
   }
+
+  test("knn_graph: restricted to the query ids it equals ivfTopK at nprobe=1") {
+    val graph = SimilarityOps.knnGraph(spark, sfTiny, k = 5).collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")), r.getLong(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("neighbor_id")), r.getDouble(r.fieldIndex("cos"))))
+    val probe = SimilarityOps.ivfTopK(spark, sfTiny, nQueries = 20, k = 5).collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("neighbor_id")), r.getDouble(r.fieldIndex("score"))))
+      .toSet
+    assert(graph.filter(_._1 < 20).toSet == probe,
+      "kNN graph rows for the query ids diverge from the per-query IVF probe")
+    // per-vertex sanity: ranks consecutive, scores non-increasing
+    graph.groupBy(_._1).foreach { case (v, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to byRank.length).toSeq,
+        s"vec $v: ranks not consecutive")
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4; case _ => true
+      }, s"vec $v: cos not non-increasing in rank")
+    }
+    assert(graph.nonEmpty)
+  }
 }

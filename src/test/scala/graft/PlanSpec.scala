@@ -225,6 +225,16 @@ class PlanSpec extends SparkSpec {
       s"bm25 explodes the unfiltered token array (full token stream would shuffle):\n$plan")
   }
 
+  test("knn_graph: cell equi-join (no all-pairs) with a partial per-vertex top-k") {
+    val df = graft.functions.SimilarityOps.knnGraph(spark, sfTiny)
+    df.collect() // AQE finalizes on execution
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"kNN graph materializes all pairs via a cartesian:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-vertex rank<=k not pushed below the window shuffle:\n$plan")
+  }
+
   test("rep_signals: prunes to the 4 used columns, single doc_id shuffle") {
     val df = graft.functions.TextAnalysis.repSignals(spark, sfTiny)
     val plan = physicalPlan(df)
