@@ -154,6 +154,8 @@ object SparkEntry {
     "freq_score"      -> ((s, d) => TextAnalysis.freqScore(s, d)),
     // the consumer of that score: per-language top-p% selection
     "score_select"    -> ((s, d) => TextAnalysis.scoreSelect(s, d)),
+    // its 100 TB two-pass realization (quantile cutoff, claim-gated)
+    "score_select_scaled" -> ((s, d) => TextAnalysis.scoreSelectScaled(s, d)),
     "chunk_docs"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "tfidf_topk"      -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     // lexical ranked retrieval — the keyword twin of the ANN path
@@ -256,6 +258,7 @@ object SparkEntry {
     "quality_filter"  -> TextSql.qualityFilterSql,
     "freq_score"      -> TextSql.freqScoreSql,
     "score_select"    -> TextSql.scoreSelectSql,
+    "score_select_scaled" -> TextSql.scoreSelectScaledSql,
     "chunk_docs"      -> TextSql.chunkDocsSql,
     "tfidf_topk"      -> TextSql.tfidfTopKSql,
     "bm25_topk"       -> TextSql.bm25TopKSql,

@@ -418,6 +418,59 @@ object TextAnalysis {
         col("rk"), col("n_lang"))
   }
 
+  /** The 100 TB realization of [[scoreSelect]] — two-pass quantile-cutoff
+    * selection instead of exact per-language ranking. Pass 1 computes one
+    * approximate score quantile per language (`percentile_approx`, a
+    * mergeable GK sketch — a language-count-sized aggregate, no corpus-wide
+    * rank window); pass 2 broadcasts the per-language cutoffs back and
+    * keeps rows row-locally. The exact-rank form shuffles and ranks every
+    * document per language — correct, but its single per-language window
+    * frame is the scale ceiling; this form never materializes a rank.
+    *
+    * Gated as a CLAIM query (the `approx_*` sketch discipline): emitted
+    * values are exact-arithmetic only (per-language doc count and the
+    * exact-rank target size) plus an in-query boolean asserting the
+    * cutoff-selected count lands within tolerance of that target; the
+    * sketch-dependent count itself is never hashed. The differential spec
+    * additionally checks the selected SET against [[scoreSelect]].
+    */
+  def scoreSelectScaled(spark: SparkSession, dir: String,
+                        keepPermille: Int = 500): DataFrame = {
+    val scored = freqScore(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+    val cuts = scored.groupBy("lang").agg(
+      count(lit(1)).as("n_lang"),
+      percentile_approx(col("freq_score"),
+        lit(1.0 - keepPermille / 1000.0), lit(10000)).as("cutoff"))
+    val kept = scored
+      .join(broadcast(cuts.select(col("lang"), col("cutoff"))), Seq("lang"))
+      .filter(col("freq_score") >= col("cutoff"))
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    cuts.join(kept, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_lang"),
+        expr(s"n_lang * $keepPermille div 1000").as("n_target"),
+        (abs(coalesce(col("n_kept"), lit(0L)) -
+          expr(s"n_lang * $keepPermille div 1000")) <=
+          greatest(lit(10L), expr("n_lang div 20"))).as("within_bound"))
+  }
+
+  /** The kept per-document rows of [[scoreSelectScaled]] — not gated (the
+    * membership is sketch-dependent); the spec measures its recall against
+    * the exact-rank selection. */
+  def scoreSelectScaledRows(spark: SparkSession, dir: String,
+                            keepPermille: Int = 500): DataFrame = {
+    val scored = freqScore(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+    val cuts = scored.groupBy("lang").agg(
+      percentile_approx(col("freq_score"),
+        lit(1.0 - keepPermille / 1000.0), lit(10000)).as("cutoff"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .filter(col("freq_score") >= col("cutoff"))
+      .select(col("doc_id"), col("lang"), col("freq_score"))
+  }
+
   /** Vocabulary induction — the first BPE merge iteration over the corpus
     * (Sennrich et al. 2016): count adjacent character pairs across the
     * vocabulary weighted by corpus word frequency, and rank the merge

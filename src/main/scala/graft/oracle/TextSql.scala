@@ -499,6 +499,18 @@ object TextSql {
        |  FROM pairs) t
        |WHERE rank <= 5""".stripMargin
 
+  // Two-pass quantile-cutoff selection (TextAnalysis.scoreSelectScaled):
+  // claim query — exact side is the per-language doc count and exact-rank
+  // target; the sketch-dependent kept count is asserted in-query (boolean)
+  // and never hashed, so the oracle emits the claim as literal TRUE.
+  val scoreSelectScaledSql: String =
+    """SELECT lang, COUNT(*) AS n_lang,
+      |  CAST(COUNT(*) * 500 // 1000 AS BIGINT) AS n_target,
+      |  TRUE AS within_bound
+      |FROM documents
+      |WHERE len(regexp_extract_all(text, '[a-z0-9]+')) > 0
+      |GROUP BY lang""".stripMargin
+
   val asofPriceJoinSql: String =
     s"""WITH ${OracleSql.orderEventsCte},
        |pe AS (SELECT * FROM order_events WHERE action IN (8, 9)),

@@ -582,6 +582,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == expected, s"BM25 top-10 diverged:\n got=$got\n exp=$expected")
   }
 
+  test("score_select_scaled: claims hold and the cutoff set recalls the exact-rank set") {
+    val report = TextAnalysis.scoreSelectScaled(spark, sfTiny).collect()
+    assert(report.nonEmpty)
+    report.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("within_bound")),
+        s"lang ${r.getString(0)}: two-pass kept count outside tolerance of the exact target")
+    }
+    val exact = TextAnalysis.scoreSelect(spark, sfTiny).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getString(r.fieldIndex("lang")))).toSet
+    val cutoff = TextAnalysis.scoreSelectScaledRows(spark, sfTiny).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getString(r.fieldIndex("lang")))).toSet
+    val recall = (exact & cutoff).size.toDouble / exact.size
+    // the two selections may legitimately differ at the tied boundary
+    // score; away from it they must agree
+    assert(recall >= 0.9, f"two-pass selection recalls only $recall%.2f of the exact-rank set")
+  }
+
   test("knn_graph: restricted to the query ids it equals ivfTopK at nprobe=1") {
     val graph = SimilarityOps.knnGraph(spark, sfTiny, k = 5).collect()
       .map(r => (r.getLong(r.fieldIndex("vec_id")), r.getLong(r.fieldIndex("rank")),

@@ -225,6 +225,19 @@ class PlanSpec extends SparkSpec {
       s"bm25 explodes the unfiltered token array (full token stream would shuffle):\n$plan")
   }
 
+  test("score_select_scaled: no per-document rank window — the scale point of the two-pass form") {
+    val df = graft.functions.TextAnalysis.scoreSelectScaledRows(spark, sfTiny)
+    val plan = physicalPlan(df)
+    // the exact-rank form ranks every doc inside one per-language window
+    // frame; the quantile-cutoff form must plan ONLY aggregates + a
+    // broadcast join back — any Window operator means the scale ceiling
+    // came back
+    assert(!plan.contains("Window"),
+      s"two-pass selection still plans a rank window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-language cutoffs are not broadcast back to the row-local filter:\n$plan")
+  }
+
   test("knn_graph: cell equi-join (no all-pairs) with a partial per-vertex top-k") {
     val df = graft.functions.SimilarityOps.knnGraph(spark, sfTiny)
     df.collect() // AQE finalizes on execution
