@@ -144,6 +144,8 @@ object SparkEntry {
     "ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     // all-vectors kNN graph over the same cell index
     "knn_graph"       -> ((s, d) => SimilarityOps.knnGraph(s, d)),
+    // IVF-PQ: cell-bounded candidates scored through quantized codes
+    "pq_topk"         -> ((s, d) => SimilarityOps.pqTopK(s, d)),
     "embedding_dedup" -> ((s, d) => SimilarityOps.embeddingDedup(s, d)),
     // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup —
     // within-cell near-dup pruning over the stored IVF cell assignment
@@ -252,6 +254,7 @@ object SparkEntry {
     "label_centroids" -> TextSql.labelCentroidsSql,
     "ivf_topk"        -> TextSql.ivfTopKSql,
     "knn_graph"       -> TextSql.knnGraphSql,
+    "pq_topk"         -> TextSql.pqTopKSql,
     "embedding_dedup" -> TextSql.embeddingDedupSql,
     "semdedup"        -> TextSql.semDedupSql,
     "token_counts"    -> TextSql.tokenCountsSql,

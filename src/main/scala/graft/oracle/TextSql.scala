@@ -483,6 +483,81 @@ object TextSql {
        |  COALESCE(n.dominated, 0) = 0 AS keep
        |FROM assigned a LEFT JOIN near n ON a.vec_id = n.vec_id""".stripMargin
 
+  // IVF-PQ with exact re-rank (SimilarityOps.pqTopK): sub-quantizer codes
+  // by rounded-DECIMAL argmin (label tie-break), per-query ADC lookup
+  // table, DECIMAL-exact m-addend sums, ADC shortlist top-16, exact cosine
+  // re-rank — every stage mirrors the Spark expression tree
+  val pqTopKSql: String = {
+    def subSlice(v: String, c: String, op: String): String =
+      s"CAST(list_sum(list_transform(list_zip(" +
+        s"list_slice($v, s * 2 + 1, s * 2 + 2), " +
+        s"list_slice($c, s * 2 + 1, s * 2 + 2)), p -> $op)) AS DECIMAL(18,8))"
+    s"""WITH $assignedCte,
+       |subdist AS (
+       |  SELECT e.vec_id, u.s, c.label,
+       |    ${subSlice("e.v", "c.c", "(p[1] - p[2]) * (p[1] - p[2])")} AS dist
+       |  FROM emb e CROSS JOIN cent c,
+       |    UNNEST(generate_series(0, 31)) AS u(s)),
+       |codes AS (
+       |  SELECT vec_id, s, label AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+       |      ORDER BY dist, label) AS rk
+       |    FROM subdist) t
+       |  WHERE rk = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM assigned
+       |      WHERE vec_id < 20),
+       |cand AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id
+       |  FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.query_id),
+       |lut AS (
+       |  SELECT q.query_id, u.s, c.label AS code,
+       |    ${subSlice("q.qv", "c.c", "p[1] * p[2]")} AS w
+       |  FROM q CROSS JOIN cent c,
+       |    UNNEST(generate_series(0, 31)) AS u(s)),
+       |qnorms AS (
+       |  SELECT query_id,
+       |    sqrt(list_sum(list_transform(qv, x -> x * x))) AS qn
+       |  FROM q),
+       |codenorms AS (
+       |  SELECT u.s, c.label AS code,
+       |    CAST(list_sum(list_transform(
+       |      list_slice(c.c, u.s * 2 + 1, u.s * 2 + 2), x -> x * x))
+       |      AS DECIMAL(18,8)) AS n2
+       |  FROM cent c, UNNEST(generate_series(0, 31)) AS u(s)),
+       |sums AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    SUM(l.w) AS dots, SUM(n.n2) AS rn2
+       |  FROM cand
+       |  JOIN codes k2 ON k2.vec_id = cand.neighbor_id
+       |  JOIN lut l ON l.query_id = cand.query_id AND l.s = k2.s
+       |    AND l.code = k2.code
+       |  JOIN codenorms n ON n.s = k2.s AND n.code = k2.code
+       |  GROUP BY cand.query_id, cand.neighbor_id),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id, adc FROM (
+       |    SELECT a.*, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc DESC, neighbor_id) AS srk
+       |    FROM (
+       |      SELECT s2.query_id, s2.neighbor_id,
+       |        CAST(CAST(s2.dots AS DOUBLE) /
+       |          (qn.qn * sqrt(CAST(s2.rn2 AS DOUBLE))) AS DECIMAL(12,8)) AS adc
+       |      FROM sums s2 JOIN qnorms qn ON qn.query_id = s2.query_id) a) t
+       |  WHERE srk <= 16),
+       |rerank AS (
+       |  SELECT sl.query_id, sl.neighbor_id, sl.adc,
+       |    ${cosineExprOn("q.qv", "e.v")} AS score
+       |  FROM shortlist sl
+       |  JOIN q ON q.query_id = sl.query_id
+       |  JOIN emb e ON e.vec_id = sl.neighbor_id)
+       |SELECT query_id, rank, neighbor_id,
+       |  CAST(score AS DOUBLE) AS score, CAST(adc AS DOUBLE) AS adc_score
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM rerank) t
+       |WHERE rank <= 3""".stripMargin
+  }
+
   // kNN graph (SimilarityOps.knnGraph): within-cell pairwise cosine,
   // per-vector top-5 window — the all-vectors generalization of ivfTopKSql
   val knnGraphSql: String =

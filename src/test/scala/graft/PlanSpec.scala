@@ -238,6 +238,19 @@ class PlanSpec extends SparkSpec {
       s"per-language cutoffs are not broadcast back to the row-local filter:\n$plan")
   }
 
+  test("pq_topk: LUT probe is broadcast and the corpus never joins all-pairs") {
+    val df = graft.functions.SimilarityOps.pqTopK(spark, sfTiny)
+    df.collect() // AQE finalizes on execution
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"PQ probe materializes a cartesian:\n$plan")
+    // the per-query ADC lookup table must reach the code stream as a
+    // broadcast — shuffling corpus codes against a shuffled LUT would put
+    // an exchange on the corpus-sized side of the hot probe join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ADC lookup table is not broadcast to the probe join:\n$plan")
+  }
+
   test("knn_graph: cell equi-join (no all-pairs) with a partial per-vertex top-k") {
     val df = graft.functions.SimilarityOps.knnGraph(spark, sfTiny)
     df.collect() // AQE finalizes on execution
