@@ -92,6 +92,8 @@ object SparkEntry {
     // the scale-path composition: exact jaccard verify on LSH candidates
     // only, no doc-id bound (the all-pairs form above is the yardstick)
     "ngram_jaccard_lsh" -> ((s, d) => DedupOps.ngramJaccardLsh(s, d)),
+    // asymmetric containment verify on the same candidates (partial dups)
+    "minhash_containment" -> ((s, d) => DedupOps.minhashContainment(s, d)),
     "dup_spans"       -> ((s, d) => DedupOps.dupSpans(s, d)),
     // the transform the signal motivates: duplicated spans removed,
     // cleaned text re-emitted (Lee et al. substring dedup, apply side)
@@ -129,6 +131,8 @@ object SparkEntry {
     "bpe_encode"      -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "embed_quantize"  -> ((s, d) => CurationOps.embedQuantize(s, d)),
     "pack_chunks"     -> ((s, d) => CurationOps.packChunks(s, d)),
+    // deterministic training-export shuffle + sharding (write side)
+    "export_shards"   -> ((s, d) => CurationOps.exportShards(s, d)),
     "simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
     "simhash_pairs"   -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "cosine_topk"     -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
@@ -226,6 +230,7 @@ object SparkEntry {
     "dedup_exact"     -> TextSql.exactDedupSql,
     "ngram_jaccard"   -> TextSql.ngramJaccardSql,
     "ngram_jaccard_lsh" -> TextSql.ngramJaccardLshSql,
+    "minhash_containment" -> TextSql.minhashContainmentSql,
     "dup_spans"       -> TextSql.dupSpansSql,
     "dedup_spans_apply" -> TextSql.dedupSpansApplySql,
     "minhash_lsh"     -> TextSql.minhashLshSql,
@@ -243,6 +248,7 @@ object SparkEntry {
     "corpus_clean"    -> TextSql.corpusCleanSql,
     "embed_quantize"  -> TextSql.embedQuantizeSql,
     "pack_chunks"     -> TextSql.packChunksSql,
+    "export_shards"   -> TextSql.exportShardsSql,
     "simhash"         -> TextSql.simhashSql,
     "simhash_pairs"   -> TextSql.simhashPairsSql,
     "cosine_topk"     -> TextSql.cosineTopKSql,

@@ -601,4 +601,30 @@ object CurationOps {
         col("train_doc").as("top_train_doc"),
         col("n_shared").as("top_shared"))
   }
+
+  /** Deterministic training-export shuffle + sharding — the WRITE side of
+    * the pipeline: examples are dealt into `nShards` shards by hash-mod and
+    * ordered within each shard by an independent hash (the global "shuffle
+    * the training data" step SGD wants), with NO RNG state anywhere — the
+    * same corpus always exports byte-identical shards, on any engine, any
+    * cluster size, any partitioning (the property hash-mod sampling already
+    * gives [[TextAnalysis.stratifiedSample]], extended to ordering).
+    *
+    * Scale shape: the shard hash exchange is the ONE shuffle; the per-shard
+    * position is a window whose partition IS the shuffle key, so rank
+    * assignment is partition-local (no second exchange — PlanSpec-gated).
+    * At 100 TB the physical write is `partitionBy(shard)` with the same
+    * sort — shard files stream out ordered, nothing collects.
+    */
+  def exportShards(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        (mdhash(concat(lit("shard:"), col("doc_id").cast("string"))) % nShards)
+          .as("shard"),
+        mdhash(concat(lit("pos:"), col("doc_id").cast("string"))).as("hpos"))
+    d.withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("hpos"), col("doc_id"))).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("lang"), col("n_tokens"))
+  }
 }

@@ -137,6 +137,43 @@ object DedupOps {
     jaccardFromInter(inter, counts, minJaccard)
   }
 
+  /** Asymmetric shingle CONTAINMENT on the LSH candidates (Broder 1997:
+    * C(A,B) = |A∩B| / |A|) — the partial-duplication detector Jaccard
+    * structurally misses: a short document quoted verbatim inside a long
+    * one has Jaccard ≈ |A|/|B| (tiny) but containment ≈ 1. Same candidate
+    * front-end and exact-verify discipline as [[ngramJaccardLsh]] (shuffles
+    * bounded by candidates, never all-pairs); both directions and their max
+    * are emitted so a consumer can pick quote-detection (max) or
+    * subset-detection (directional). NOTE the candidates still come from
+    * the Jaccard-tuned 4×2 banding — at scale a containment-tuned index
+    * bands the SHORTER side's shingles only (sketch of Broder's modified
+    * scheme); the verify stage here is front-end-agnostic.
+    */
+  def minhashContainment(spark: SparkSession, dir: String,
+                         minContainment: Double = 0.1): DataFrame = {
+    val cand = minhashLsh(spark, dir).select(col("id1"), col("id2"))
+    val ex = explodedShingles(spark, dir)
+    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(ex.as("a"), col("id1") === col("a.doc_id"))
+      .join(ex.as("b"), col("id2") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(counts.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn("c1",
+        bround(col("n_inter").cast("double") / col("n1"), 6).cast("decimal(10,6)"))
+      .withColumn("c2",
+        bround(col("n_inter").cast("double") / col("n2"), 6).cast("decimal(10,6)"))
+      .withColumn("cmax", greatest(col("c1"), col("c2")))
+      .filter(col("cmax") >= minContainment)
+      .select(col("id1"), col("id2"), col("n_inter"), col("n1"), col("n2"),
+        col("c1").cast("double").as("containment_1"),
+        col("c2").cast("double").as("containment_2"),
+        col("cmax").cast("double").as("containment"))
+  }
+
   /** MinHash permutation constants (a·x + b mod P, P = 2^31−1): fixed public
     * pseudo-random values; signature length 8, banded 4×2.
     */

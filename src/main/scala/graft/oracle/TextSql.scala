@@ -172,6 +172,48 @@ object TextSql {
        |WHERE CAST(CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter)
        |           AS DECIMAL(10,6)) >= 0.02""".stripMargin
 
+  // Asymmetric containment on LSH candidates (DedupOps.minhashContainment):
+  // same candidate/intersection CTEs as ngramJaccardLshSql, containment in
+  // both directions + max (GREATEST over same-scale DECIMALs stays DECIMAL)
+  val minhashContainmentSql: String =
+    s"""WITH $candCte,
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id1, c.id2, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh a ON c.id1 = a.doc_id
+       |  JOIN sh b ON c.id2 = b.doc_id AND a.s = b.s
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT id1, id2, n_inter, c1.n_sh AS n1, c2.n_sh AS n2,
+       |    CAST(CAST(n_inter AS DOUBLE) / c1.n_sh AS DECIMAL(10,6)) AS c1d,
+       |    CAST(CAST(n_inter AS DOUBLE) / c2.n_sh AS DECIMAL(10,6)) AS c2d
+       |  FROM inter
+       |  JOIN counts c1 ON id1 = c1.doc_id
+       |  JOIN counts c2 ON id2 = c2.doc_id)
+       |SELECT id1, id2, n_inter, n1, n2,
+       |  CAST(c1d AS DOUBLE) AS containment_1,
+       |  CAST(c2d AS DOUBLE) AS containment_2,
+       |  CAST(GREATEST(c1d, c2d) AS DOUBLE) AS containment
+       |FROM scored
+       |WHERE GREATEST(c1d, c2d) >= 0.1""".stripMargin
+
+  // Deterministic export sharding (CurationOps.exportShards): hash-mod
+  // shard deal + independent-hash intra-shard order, no RNG anywhere
+  val exportShardsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+       |      AS n_tokens,
+       |    ${mdh("'shard:' || CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+       |    ${mdh("'pos:' || CAST(doc_id AS VARCHAR)")} AS hpos
+       |  FROM documents)
+       |SELECT shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+       |    ORDER BY hpos, doc_id) AS BIGINT) AS pos,
+       |  doc_id, lang, n_tokens
+       |FROM d""".stripMargin
+
   /** Mirror of DedupOps.shardDedup: asymmetric shard-vs-corpus admission.
     * Same sig/bands CTEs; the pairing is shard (doc_id % 10 = 7) probing
     * corpus (the rest), candidates LEFT-joined to the intersection so a

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{DedupOps, MultimodalOps, SimilarityOps, TextAnalysis}
+import graft.functions.{CurationOps, DedupOps, MultimodalOps, SimilarityOps, TextAnalysis}
 
 /** M8 behavioral checks beyond the oracle gate: approximation quality of the
   * scale-path operators against their exact baselines, and the multimodal
@@ -621,6 +621,47 @@ class LlmOpsSpec extends SparkSpec {
     val total = exact.values.map(_.size).sum
     val recall = hits.toDouble / total
     assert(recall >= 0.75, f"PQ recall@$k vs exact same-cell scorer is $recall%.2f (< 0.75)")
+  }
+
+  test("minhash_containment: dominates jaccard on shared pairs and is a true max") {
+    val cont = DedupOps.minhashContainment(spark, sfTiny).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(r.fieldIndex("containment_1")),
+          r.getDouble(r.fieldIndex("containment_2")),
+          r.getDouble(r.fieldIndex("containment"))))).toMap
+    assert(cont.nonEmpty)
+    cont.values.foreach { case (c1, c2, cm) =>
+      assert(cm == math.max(c1, c2))
+      assert(c1 > 0 && c1 <= 1 && c2 > 0 && c2 <= 1)
+    }
+    // C(A,B) = |A∩B|/|A| ≥ |A∩B|/|A∪B| = J(A,B) — on every pair both emit
+    val jac = DedupOps.ngramJaccardLsh(spark, sfTiny).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(r.fieldIndex("jaccard")))).toMap
+    val shared = cont.keySet & jac.keySet
+    assert(shared.nonEmpty)
+    shared.foreach { k =>
+      assert(cont(k)._3 >= jac(k),
+        s"pair $k: max containment ${cont(k)._3} < jaccard ${jac(k)}")
+    }
+  }
+
+  test("export_shards: complete, balanced, and gap-free per-shard positions") {
+    val rows = CurationOps.exportShards(spark, sfTiny).collect()
+      .map(r => (r.getLong(r.fieldIndex("shard")), r.getLong(r.fieldIndex("pos")),
+        r.getLong(r.fieldIndex("doc_id"))))
+    val total = graft.sources.Tables.documents(spark, sfTiny).count()
+    assert(rows.length == total, "export must deal out every document exactly once")
+    assert(rows.map(_._3).distinct.length == rows.length)
+    val byShard = rows.groupBy(_._1)
+    assert(byShard.keySet.forall(s => s >= 0 && s < 16))
+    byShard.foreach { case (s, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"shard $s: positions not 1..n")
+    }
+    // hash-mod dealing keeps shards statistically balanced
+    val sizes = byShard.values.map(_.length)
+    assert(sizes.min * 4 >= sizes.max,
+      s"shard imbalance beyond hash-uniform expectation: ${sizes.toSeq.sorted}")
   }
 
   test("knn_graph: restricted to the query ids it equals ivfTopK at nprobe=1") {

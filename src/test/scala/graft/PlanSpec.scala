@@ -251,6 +251,14 @@ class PlanSpec extends SparkSpec {
       s"ADC lookup table is not broadcast to the probe join:\n$plan")
   }
 
+  test("export_shards: one hash exchange — the position window reuses the shard partitioning") {
+    val df = graft.functions.CurationOps.exportShards(spark, sfTiny)
+    val plan = physicalPlan(df)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"export must shuffle exactly once (shard deal); found $exchanges exchanges:\n$plan")
+  }
+
   test("knn_graph: cell equi-join (no all-pairs) with a partial per-vertex top-k") {
     val df = graft.functions.SimilarityOps.knnGraph(spark, sfTiny)
     df.collect() // AQE finalizes on execution
