@@ -154,6 +154,8 @@ object SparkEntry {
     // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup —
     // within-cell near-dup pruning over the stored IVF cell assignment
     "semdedup"        -> ((s, d) => SimilarityOps.semDedup(s, d)),
+    // connected components over the same τ-near graph (semantic clusters)
+    "semantic_clusters" -> ((s, d) => SimilarityOps.semanticClusters(s, d)),
     "token_counts"    -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "quality_filter"  -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     // CCNet-style reference-frequency scoring (exact-arithmetic LM proxy)
@@ -263,6 +265,7 @@ object SparkEntry {
     "pq_topk"         -> TextSql.pqTopKSql,
     "embedding_dedup" -> TextSql.embeddingDedupSql,
     "semdedup"        -> TextSql.semDedupSql,
+    "semantic_clusters" -> TextSql.semanticClustersSql,
     "token_counts"    -> TextSql.tokenCountsSql,
     "quality_filter"  -> TextSql.qualityFilterSql,
     "freq_score"      -> TextSql.freqScoreSql,

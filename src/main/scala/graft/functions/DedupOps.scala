@@ -407,8 +407,17 @@ object DedupOps {
     * the iterative algorithm's number is visible next to the view-read
     * number (`dedup_clusters`); gated by the same transitive-closure oracle.
     */
-  def dedupClustersFresh(spark: SparkSession, dir: String): DataFrame = {
-    val edges = minhashLsh(spark, dir).select(col("id1"), col("id2"))
+  def dedupClustersFresh(spark: SparkSession, dir: String): DataFrame =
+    componentsOver(minhashLsh(spark, dir).select(col("id1"), col("id2")))
+
+  /** Connected components by min-label propagation + path halving over an
+    * undirected (id1, id2) edge list — the shared engine of
+    * [[dedupClustersFresh]] (MinHash-LSH edges) and
+    * [[graft.functions.SimilarityOps.semanticClusters]] (embedding τ-near
+    * edges). Output: (doc_id, cluster_id = min member, cluster_size, keep).
+    */
+  private[graft] def componentsOver(edges0: DataFrame): DataFrame = {
+    val edges = edges0.toDF("id1", "id2")
     val sym = edges.union(edges.select(col("id2"), col("id1")))
       .toDF("src", "dst").persist()
     var labels = sym.select(col("src").as("v")).distinct()

@@ -413,6 +413,26 @@ object SimilarityOps {
         col("neighbor_id"), col("cos").cast("double").as("cos"))
   }
 
+  /** Semantic cluster discovery — connected components over the embedding
+    * τ-near graph ([[semDedupPairs]] edges), the graph-based counterpart of
+    * [[graft.functions.DedupOps.dedupClusters]] (same component engine,
+    * different edge semantics: cosine τ-neighborhood instead of MinHash
+    * collision). The per-cluster canonical member (min id) is the handle a
+    * curation pipeline keys on: topic-level dedup_select, cluster-stratified
+    * sampling, per-cluster caps ("at most n examples per semantic cluster",
+    * the Abbas et al. SemDeDup follow-up policy).
+    *
+    * Scale shape: edges are cell-bounded (Σ|cell|², the [[semDedup]]
+    * discipline — never corpus-wide); the label-propagation loop touches
+    * ONLY the edge set (corpus text/vectors never re-enter), converging in
+    * O(log diameter) rounds with per-round lineage truncation.
+    */
+  def semanticClusters(spark: SparkSession, dir: String,
+                       minCosine: Double = 0.3): DataFrame =
+    DedupOps.componentsOver(
+      semDedupPairs(spark, dir, minCosine).select(col("id1"), col("id2")))
+      .withColumnRenamed("doc_id", "vec_id")
+
   /** Materialize the rk = 1 cell assignment as a parquet table PARTITIONED
     * BY cell — the stored IVF index layout that [[ivfTopK]] and
     * [[semDedup]] docs assume at 100 TB. An `nprobe`-cell probe then reads

@@ -600,6 +600,31 @@ object TextSql {
        |WHERE rank <= 3""".stripMargin
   }
 
+  // Semantic clusters (SimilarityOps.semanticClusters): transitive closure
+  // over the within-cell τ-near pair edges — same closure shape as
+  // dedupClustersSql, edge set from the semdedup pair predicate
+  val semanticClustersSql: String =
+    s"""WITH RECURSIVE $assignedCte,
+       |sedges AS (
+       |  SELECT x.vec_id AS id1, y.vec_id AS id2
+       |  FROM assigned x JOIN assigned y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE ${cosineExprOn("x.v", "y.v")} >= 0.3),
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM sedges
+       |  UNION SELECT id2, id1 FROM sedges),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT vec_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  vec_id = cluster_id AS keep
+       |FROM labels""".stripMargin
+
   // kNN graph (SimilarityOps.knnGraph): within-cell pairwise cosine,
   // per-vector top-5 window — the all-vectors generalization of ivfTopKSql
   val knnGraphSql: String =

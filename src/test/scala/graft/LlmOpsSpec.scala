@@ -623,6 +623,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.75, f"PQ recall@$k vs exact same-cell scorer is $recall%.2f (< 0.75)")
   }
 
+  test("semantic_clusters: components agree with the τ-near edge set") {
+    val edges = SimilarityOps.semDedupPairs(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = SimilarityOps.semanticClusters(spark, sfTiny).collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")), r.getLong(r.fieldIndex("cluster_id")),
+        r.getLong(r.fieldIndex("cluster_size")), r.getBoolean(r.fieldIndex("keep"))))
+    val label = rows.map(r => r._1 -> r._2).toMap
+    // every τ-near pair ends up in one cluster
+    edges.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"edge ($a,$b) straddles clusters")
+    }
+    // cluster id is the min member, exactly one keep per cluster, sizes hold
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid: id is not the min member")
+      assert(members.count(_._4) == 1 && members.find(_._4).get._1 == cid)
+      assert(members.forall(_._3 == members.length), s"cluster $cid: bad size")
+    }
+    // exactly the edge-incident vectors are clustered
+    assert(rows.map(_._1).toSet == edges.flatMap(e => Seq(e._1, e._2)).toSet)
+  }
+
   test("minhash_containment: dominates jaccard on shared pairs and is a true max") {
     val cont = DedupOps.minhashContainment(spark, sfTiny).collect()
       .map(r => ((r.getLong(0), r.getLong(1)),
