@@ -126,6 +126,17 @@ object DedupOps {
     */
   def ngramJaccardLsh(spark: SparkSession, dir: String,
                       minJaccard: Double = 0.02): DataFrame = {
+    val (inter, counts) = lshCandidateIntersection(spark, dir)
+    jaccardFromInter(inter, counts, minJaccard)
+  }
+
+  /** Shared candidate-verify front half of [[ngramJaccardLsh]] and
+    * [[minhashContainment]]: LSH candidate pairs, per-doc distinct shingle
+    * counts, and the per-pair exact intersection size — so the two scorers
+    * cannot drift in candidate generation or intersection semantics.
+    */
+  private def lshCandidateIntersection(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val cand = minhashLsh(spark, dir).select(col("id1"), col("id2"))
     val ex = explodedShingles(spark, dir)
     val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -134,7 +145,7 @@ object DedupOps {
       .join(ex.as("b"), col("id2") === col("b.doc_id") && col("a.s") === col("b.s"))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("n_inter"))
-    jaccardFromInter(inter, counts, minJaccard)
+    (inter, counts)
   }
 
   /** Asymmetric shingle CONTAINMENT on the LSH candidates (Broder 1997:
@@ -151,14 +162,7 @@ object DedupOps {
     */
   def minhashContainment(spark: SparkSession, dir: String,
                          minContainment: Double = 0.1): DataFrame = {
-    val cand = minhashLsh(spark, dir).select(col("id1"), col("id2"))
-    val ex = explodedShingles(spark, dir)
-    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(ex.as("a"), col("id1") === col("a.doc_id"))
-      .join(ex.as("b"), col("id2") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy("id1", "id2")
-      .agg(count(lit(1)).as("n_inter"))
+    val (inter, counts) = lshCandidateIntersection(spark, dir)
     inter
       .join(counts.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
       .join(counts.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")

@@ -297,6 +297,15 @@ object SimilarityOps {
              nQueries: Long = 20, k: Int = 3, shortlistC: Int = 16): DataFrame = {
     val m = 32     // sub-quantizers
     val sub = 2    // dims per sub-quantizer
+    // fail fast if the corpus dimension ever drifts from m·sub: slice()
+    // past the array end silently yields empty blocks (dist 0 for every
+    // codeword), which would degrade every code with no error — the same
+    // metadata-sized plan-time guard discipline as shardDedup's rowCount
+    val dim = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).limit(1).head().getInt(0)
+    require(dim == m * sub,
+      s"pqTopK assumes $m sub-quantizers × $sub dims = ${m * sub}, " +
+        s"but embeddings have dim $dim — re-derive m/sub")
     val embD = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -371,7 +380,7 @@ object SimilarityOps {
         transform(col("v"), x => x.cast("double")).as("nv")), Seq("neighbor_id"))
       .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("adc"),
-        bround(cosine(col("qv"), col("nv")), 8).cast("decimal(12,8)").as("score"))
+        bround(nativeCosine(spark, "qv", "nv"), 8).cast("decimal(12,8)").as("score"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)

@@ -434,24 +434,37 @@ object TextAnalysis {
     * sketch-dependent count itself is never hashed. The differential spec
     * additionally checks the selected SET against [[scoreSelect]].
     */
-  def scoreSelectScaled(spark: SparkSession, dir: String,
-                        keepPermille: Int = 500): DataFrame = {
+  /** Shared pass-1 of the two-pass selection: per-doc (doc_id, lang,
+    * freq_score) — CACHED because both passes read it (the cutoff aggregate
+    * and the row-local filter); uncached, the corpus-wide freqScore
+    * pipeline (token explode + vocab join) would execute twice per action —
+    * and per-language (n_lang, approximate cutoff). At 100 TB the score
+    * table is a materialized pipeline stage, not a per-query cache.
+    */
+  private def scaledCutoffs(spark: SparkSession, dir: String,
+                            keepPermille: Int): (DataFrame, DataFrame) = {
     val scored = freqScore(spark, dir)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
         Seq("doc_id"))
+      .cache()
     val cuts = scored.groupBy("lang").agg(
       count(lit(1)).as("n_lang"),
       percentile_approx(col("freq_score"),
         lit(1.0 - keepPermille / 1000.0), lit(10000)).as("cutoff"))
+    (scored, cuts)
+  }
+
+  def scoreSelectScaled(spark: SparkSession, dir: String,
+                        keepPermille: Int = 500): DataFrame = {
+    val (scored, cuts) = scaledCutoffs(spark, dir, keepPermille)
     val kept = scored
       .join(broadcast(cuts.select(col("lang"), col("cutoff"))), Seq("lang"))
       .filter(col("freq_score") >= col("cutoff"))
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    val target = expr(s"n_lang * $keepPermille div 1000")
     cuts.join(kept, Seq("lang"), "left_outer")
-      .select(col("lang"), col("n_lang"),
-        expr(s"n_lang * $keepPermille div 1000").as("n_target"),
-        (abs(coalesce(col("n_kept"), lit(0L)) -
-          expr(s"n_lang * $keepPermille div 1000")) <=
+      .select(col("lang"), col("n_lang"), target.as("n_target"),
+        (abs(coalesce(col("n_kept"), lit(0L)) - target) <=
           greatest(lit(10L), expr("n_lang div 20"))).as("within_bound"))
   }
 
@@ -460,13 +473,8 @@ object TextAnalysis {
     * the exact-rank selection. */
   def scoreSelectScaledRows(spark: SparkSession, dir: String,
                             keepPermille: Int = 500): DataFrame = {
-    val scored = freqScore(spark, dir)
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
-        Seq("doc_id"))
-    val cuts = scored.groupBy("lang").agg(
-      percentile_approx(col("freq_score"),
-        lit(1.0 - keepPermille / 1000.0), lit(10000)).as("cutoff"))
-    scored.join(broadcast(cuts), Seq("lang"))
+    val (scored, cuts) = scaledCutoffs(spark, dir, keepPermille)
+    scored.join(broadcast(cuts.select(col("lang"), col("cutoff"))), Seq("lang"))
       .filter(col("freq_score") >= col("cutoff"))
       .select(col("doc_id"), col("lang"), col("freq_score"))
   }

@@ -253,10 +253,9 @@ class PlanSpec extends SparkSpec {
 
   test("export_shards: one hash exchange — the position window reuses the shard partitioning") {
     val df = graft.functions.CurationOps.exportShards(spark, sfTiny)
-    val plan = physicalPlan(df)
-    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges == 1,
-      s"export must shuffle exactly once (shard deal); found $exchanges exchanges:\n$plan")
+    val n = shuffles(df)
+    assert(n == 1,
+      s"export must shuffle exactly once (shard deal); found $n exchanges:\n${physicalPlan(df)}")
   }
 
   test("knn_graph: cell equi-join (no all-pairs) with a partial per-vertex top-k") {
