@@ -310,6 +310,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("trending terms: streaming MG window sketches hold the bound under any micro-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 8
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120).collect()
+      .map(r => (new java.sql.Timestamp(3600000L + (r.getLong(0) % 3) * 60000L),
+        r.getString(1)))
+    // exact per-window token counts, straight-line in-memory oracle
+    val tok = "[a-z0-9]+".r
+    val exact = docs.toSeq
+      .flatMap { case (ts, text) => tok.findAllIn(text).map(t => (ts.getTime, t)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val mass = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+
+    def runSplit(batches: Seq[Seq[(java.sql.Timestamp, String)]],
+                 name: String): Array[org.apache.spark.sql.Row] = {
+      val source = MemoryStream[(java.sql.Timestamp, String)]
+      val query = graft.streaming.TrendingTerms
+        .windowedTokenSketch(source.toDS().toDF("ts", "text"), "1 minute", "10 minutes", k)
+        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      try {
+        batches.foreach { b =>
+          if (b.nonEmpty) { source.addData(b); query.processAllAvailable() }
+        }
+        spark.table(name).collect()
+      } finally query.stop()
+    }
+    val splits = Seq(
+      runSplit(Seq(docs.take(40).toSeq, docs.slice(40, 90).toSeq, docs.drop(90).toSeq), "mg_a"),
+      runSplit(Seq(docs.take(7).toSeq, docs.drop(7).toSeq), "mg_b"))
+    splits.foreach { rows =>
+      assert(rows.length == 3, s"expected 3 windows, got ${rows.length}")
+      rows.foreach { r =>
+        val w = r.getTimestamp(r.fieldIndex("w_start")).getTime
+        val mg = r.getMap[String, Long](r.fieldIndex("mg"))
+        val n = r.getLong(r.fieldIndex("n"))
+        assert(n == mass(w), s"window $w: token mass $n != exact ${mass(w)}")
+        assert(mg.size <= k)
+        // the MG guarantee for EVERY token of the window: est is a lower
+        // bound and undershoots by at most n/(k+1) — independent of how
+        // micro-batches split the stream (mergeable-summaries property)
+        exact.foreach { case ((ew, t), cnt) if ew == w =>
+          val est = mg.getOrElse(t, 0L)
+          assert(est <= cnt, s"window $w token $t: est $est overshoots $cnt")
+          assert((cnt - est) * (k + 1) <= n,
+            s"window $w token $t: undershoot ${cnt - est} breaks n/(k+1) with n=$n")
+        case _ => ()
+        }
+      }
+    }
+  }
+
   private def expr(s: String) = org.apache.spark.sql.functions.expr(s)
   private def col(s: String) = org.apache.spark.sql.functions.col(s)
 }
