@@ -148,6 +148,8 @@ object SparkEntry {
     "ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     // all-vectors kNN graph over the same cell index
     "knn_graph"       -> ((s, d) => SimilarityOps.knnGraph(s, d)),
+    // the nprobe dial, hash-gated: recall@5 vs exact truth per nprobe
+    "ivf_recall"      -> ((s, d) => SimilarityOps.ivfRecall(s, d)),
     // IVF-PQ: cell-bounded candidates scored through quantized codes
     "pq_topk"         -> ((s, d) => SimilarityOps.pqTopK(s, d)),
     "embedding_dedup" -> ((s, d) => SimilarityOps.embeddingDedup(s, d)),
@@ -262,6 +264,7 @@ object SparkEntry {
     "label_centroids" -> TextSql.labelCentroidsSql,
     "ivf_topk"        -> TextSql.ivfTopKSql,
     "knn_graph"       -> TextSql.knnGraphSql,
+    "ivf_recall"      -> TextSql.ivfRecallSql,
     "pq_topk"         -> TextSql.pqTopKSql,
     "embedding_dedup" -> TextSql.embeddingDedupSql,
     "semdedup"        -> TextSql.semDedupSql,

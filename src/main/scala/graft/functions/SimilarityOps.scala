@@ -422,6 +422,34 @@ object SimilarityOps {
         col("neighbor_id"), col("cos").cast("double").as("cos"))
   }
 
+  /** The ANN-index evaluator as a GATED query — the IVF analog of
+    * `lsh_recall`: per `nprobe`, the measured recall@k of [[ivfTopK]]
+    * against the exact brute-force top-k ([[cosineTopK]]). `LlmOpsSpec`
+    * already asserts the monotone recall curve; this puts the NUMBERS under
+    * the cross-engine hash gate, which works because both rankings are
+    * deterministic (rounded-DECIMAL scores, id tie-breaks) — recall here is
+    * a pure integer ratio, not a sketch claim. The operational use is the
+    * nprobe dial: pick the smallest probe count whose recall clears the
+    * application's floor. Cost is the yardstick's (brute force over the
+    * bounded query set); the thing being evaluated stays cell-bounded.
+    */
+  def ivfRecall(spark: SparkSession, dir: String, nQueries: Long = 20,
+                k: Int = 5, nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val truth = cosineTopK(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val probes = nprobes.map { np =>
+      ivfTopK(spark, dir, nQueries, k, np)
+        .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val nTruth = truth.count()
+    probes.join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("nprobe").cast("long").as("nprobe"),
+        lit(nTruth).as("n_truth"), col("n_hits"),
+        expr("n_hits * 1000000 div " + nTruth).as("recall_ppm"))
+  }
+
   /** Semantic cluster discovery — connected components over the embedding
     * τ-near graph ([[semDedupPairs]] edges), the graph-based counterpart of
     * [[graft.functions.DedupOps.dedupClusters]] (same component engine,

@@ -600,6 +600,66 @@ object TextSql {
        |WHERE rank <= 3""".stripMargin
   }
 
+  // IVF recall evaluator (SimilarityOps.ivfRecall): exact brute-force
+  // top-5 truth vs the multi-probe IVF ranking per nprobe ∈ {1,2,4} —
+  // both rankings deterministic (DECIMAL(12,8) scores, id tie-breaks), so
+  // the recall ratio is hash-gated integer arithmetic, not a sketch claim
+  val ivfRecallSql: String = {
+    val nprobes = Seq(1, 2, 4)
+    val probeCtes = nprobes.map { np =>
+      s"""ivf_$np AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, p.neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+         |        ORDER BY p.score DESC, p.neighbor_id) AS rnk
+         |    FROM (
+         |      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |        ${cosineExprOn("q.v", "a.v")} AS score
+         |      FROM ranked q
+         |      JOIN assigned a ON q.label = a.cell AND a.vec_id <> q.vec_id
+         |      WHERE q.vec_id < 20 AND q.rk <= $np) p) t
+         |  WHERE rnk <= 5)""".stripMargin
+    }.mkString(",\n")
+    val probeUnion = nprobes.map(np =>
+      s"SELECT $np AS nprobe, query_id, neighbor_id FROM ivf_$np")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $centroidCte,
+       |cent AS (
+       |  SELECT label, list(mean ORDER BY d) AS c FROM centroid GROUP BY label),
+       |emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |ranked AS (
+       |  SELECT vec_id, v, label,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ${cosineExprOn("c.c", "e.v")} DESC, label) AS rk
+       |  FROM emb e CROSS JOIN cent c),
+       |assigned AS (
+       |  SELECT vec_id, v, label AS cell FROM ranked WHERE rk = 1),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT s.query_id, s.neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |        ORDER BY s.score DESC, s.neighbor_id) AS rnk
+       |    FROM (
+       |      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |        ${cosineExprOn("q.v", "e.v")} AS score
+       |      FROM emb q, emb e
+       |      WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id) s) t
+       |  WHERE rnk <= 5),
+       |n_t AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |$probeCtes,
+       |probes AS (
+       |  $probeUnion)
+       |SELECT CAST(p.nprobe AS BIGINT) AS nprobe, n_t.n_truth,
+       |  COUNT(*) AS n_hits,
+       |  CAST(COUNT(*) * 1000000 // n_t.n_truth AS BIGINT) AS recall_ppm
+       |FROM probes p
+       |JOIN truth USING (query_id, neighbor_id)
+       |CROSS JOIN n_t
+       |GROUP BY p.nprobe, n_t.n_truth""".stripMargin
+  }
+
   // Semantic clusters (SimilarityOps.semanticClusters): transitive closure
   // over the within-cell τ-near pair edges — same closure shape as
   // dedupClustersSql, edge set from the semdedup pair predicate

@@ -623,6 +623,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.75, f"PQ recall@$k vs exact same-cell scorer is $recall%.2f (< 0.75)")
   }
 
+  test("ivf_recall: gated curve is monotone in nprobe and bounded by 100%") {
+    val rows = SimilarityOps.ivfRecall(spark, sfTiny).collect()
+      .map(r => (r.getLong(r.fieldIndex("nprobe")),
+        r.getLong(r.fieldIndex("n_hits")), r.getLong(r.fieldIndex("recall_ppm"))))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L),
+      s"expected one gated row per probed nprobe, got ${rows.toSeq}")
+    assert(rows.forall(_._3 <= 1000000L))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._3,
+        s"recall not monotone: nprobe ${a._1} → ${b._1} went ${a._3} → ${b._3}")
+      case _ =>
+    }
+  }
+
   test("semantic_clusters: components agree with the τ-near edge set") {
     val edges = SimilarityOps.semDedupPairs(spark, sfTiny).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
