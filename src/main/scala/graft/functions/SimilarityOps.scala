@@ -293,10 +293,17 @@ object SimilarityOps {
     * ADC top-3 alone: 48% — quantization noise at 10 codewords/block is
     * exactly what the re-rank stage exists to absorb).
     */
-  def pqTopK(spark: SparkSession, dir: String,
-             nQueries: Long = 20, k: Int = 3, shortlistC: Int = 16): DataFrame = {
-    val m = 32     // sub-quantizers
-    val sub = 2    // dims per sub-quantizer
+  /** PQ geometry: 32 sub-quantizers × 2 dims = the 64-dim corpus. */
+  private val pqM = 32
+  private val pqSub = 2
+
+  /** The PQ ENCODE stage — per (vector, subspace) nearest codeword by
+    * rounded-DECIMAL L2² with label tie-break: (vec_id, s, code). This is
+    * the one-time index build shared by [[pqTopK]] (inline for the gate)
+    * and [[writePqIndex]] (the stored layout at scale).
+    */
+  private[graft] def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val (m, sub) = (pqM, pqSub)
     // fail fast if the corpus dimension ever drifts from m·sub: slice()
     // past the array end silently yields empty blocks (dist 0 for every
     // codeword), which would degrade every code with no error — the same
@@ -304,13 +311,12 @@ object SimilarityOps {
     val dim = Tables.embeddings(spark, dir)
       .select(size(col("embedding"))).limit(1).head().getInt(0)
     require(dim == m * sub,
-      s"pqTopK assumes $m sub-quantizers × $sub dims = ${m * sub}, " +
+      s"PQ assumes $m sub-quantizers × $sub dims = ${m * sub}, " +
         s"but embeddings have dim $dim — re-derive m/sub")
     val embD = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
     val cents = centroidVectors(spark, dir) // (label, c: array<double>)
-    // ── encode: per (vector, subspace) nearest codeword by rounded L2² ──
     val subDists = embD.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"),
         posexplode(transform(sequence(lit(0), lit(m - 1)), s =>
@@ -321,11 +327,35 @@ object SimilarityOps {
             lit(0.0), (acc, x) => acc + x))).as(Seq("s", "dist")))
       .select(col("vec_id"), col("s"), col("label"),
         bround(col("dist"), 8).cast("decimal(18,8)").as("dist"))
-    val codes = subDists
+    subDists
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id", "s").orderBy(col("dist"), col("label"))))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("s"), col("label").as("code"))
+  }
+
+  /** Materialize the PQ code table in the at-scale layout: one row per
+    * vector — (vec_id, codes: array, cell) — PARTITIONED BY the IVF cell,
+    * the same directory scheme as [[writeCellIndex]]. An IVF-PQ probe then
+    * reads `nprobe` directories of ~16 B/vector code rows (never the float
+    * vectors); only the final shortlist re-rank fetches full vectors by id.
+    */
+  def writePqIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    val packed = pqCodes(spark, dir)
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("code")))).as("sc"))
+      .select(col("vec_id"), expr("transform(sc, x -> x.code)").as("codes"))
+    val assigned = rankedAssignment(spark, dir, 1).filter(col("rk") === 1)
+      .select(col("vec_id"), col("label").as("cell"))
+    packed.join(assigned, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  def pqTopK(spark: SparkSession, dir: String,
+             nQueries: Long = 20, k: Int = 3, shortlistC: Int = 16): DataFrame = {
+    val (m, sub) = (pqM, pqSub)
+    val cents = centroidVectors(spark, dir) // (label, c: array<double>)
+    val codes = pqCodes(spark, dir)
     // ── IVF candidates: the query's cell-mates (the ivfTopK front-end) ──
     val assigned = rankedAssignment(spark, dir, 1).filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("label").as("cell"))

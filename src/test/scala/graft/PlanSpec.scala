@@ -193,6 +193,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pq index: stored code table partition-prunes by cell and codes match the live encode") {
+    val path = java.nio.file.Files.createTempDirectory("pqidx").toString
+    try {
+      graft.functions.SimilarityOps.writePqIndex(spark, sfTiny, path)
+      // one directory per cell — the IVF-PQ probe cost model (nprobe
+      // directories of 16 B/vector code rows, vectors untouched)
+      val cells = new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cells.length >= 2, s"expected >=2 cell partitions, got ${cells.length}")
+      val probe = graft.functions.SimilarityOps.readCell(spark, path, 3)
+      val plan = physicalPlan(probe)
+      assert(plan.contains("PartitionFilters: [isnotnull(cell"),
+        s"cell predicate did not reach the partition pruner:\n$plan")
+      // stored codes for the probed cell equal the live encode, in order
+      val got = probe.collect()
+        .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+          r.getSeq[Int](r.fieldIndex("codes")).toSeq).toMap
+      val live = graft.functions.SimilarityOps.pqCodes(spark, sfTiny).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      assert(got.nonEmpty)
+      got.foreach { case (v, cs) =>
+        assert(cs == live(v), s"vec $v: stored codes $cs != live ${live(v)}")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
   test("embedding_dedup: LSH candidate front-end — no all-pairs join") {
     val plan = physicalPlan(graft.functions.SimilarityOps.embeddingDedup(spark, sfTiny))
     assert(!plan.contains("CartesianProduct"),
