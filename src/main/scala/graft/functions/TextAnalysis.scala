@@ -692,10 +692,20 @@ object TextAnalysis {
     // twice below (scoring + the df aggregate) — uncached, the corpus scan
     // and the postings shuffle would run twice
     val tf = hits.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*).cache()
-    // corpus scalars: N docs + total token mass (no shuffle — partial aggs),
-    // per-term df from the pivoted tf table (candidate-bounded)
+    // corpus scalars: N docs + total token mass (no shuffle — partial aggs)
     val corpus = docs.select(size(tokens(col("text"))).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("d"))
+    bm25Rank(tf, corpus, k)
+  }
+
+  /** Scoring tail shared by [[bm25TopK]] (one-pass) and
+    * [[bm25TopKFromIndex]] (stored-postings probe): per-term df from the
+    * pivoted tf table, the fixed left-associated score chain, and the
+    * partial top-k. Inputs: `tf` = (doc_id, dl, tf_<term>…) pivot, `corpus`
+    * = one row (n, d).
+    */
+  private def bm25Rank(tf: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val qt = bm25Terms
     val dfCols = qt.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
     val dfs = tf.agg(dfCols.head, dfCols.tail: _*)
     // per-term contribution: idf × saturated tf, identical parse tree in SQL
@@ -705,12 +715,54 @@ object TextAnalysis {
         (col(s"tf_$t").cast("double") * lit(2.2) /
           (col(s"tf_$t").cast("double") + lit(0.3) +
             lit(0.9) * col("dl").cast("double") * col("n") / col("d")))
-    val scored = tf.crossJoin(broadcast(corpus)).crossJoin(broadcast(dfs))
+    tf.crossJoin(broadcast(corpus)).crossJoin(broadcast(dfs))
       .withColumn("score", qt.map(contrib).reduceLeft(_ + _))
-    scored
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id") +: col("dl") +:
         qt.map(t => col(s"tf_$t")) :+ col("score"): _*)
+  }
+
+  /** Materialize the BM25 inverted index in the at-scale layout the
+    * [[bm25TopK]] Scaladoc promises: the FULL postings table
+    * (term, doc_id, tf, dl) bucketed AND sorted by term, plus a one-row
+    * corpus-stats table (N docs, total token mass). The one corpus scan and
+    * the one token shuffle happen HERE, at index-build time; a query probe
+    * then reads only its terms' buckets (bucket pruning — no shuffle, no
+    * corpus scan) and every per-query cost is postings-bounded.
+    */
+  def writePostingsIndex(spark: SparkSession, dir: String,
+                         table: String = "bm25_postings",
+                         buckets: Int = 16): Unit = {
+    val docs = Tables.documents(spark, dir)
+    docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(table)
+    docs.select(size(tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("d"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+  }
+
+  /** BM25 probe over the stored index ([[writePostingsIndex]]): filter the
+    * postings to the query terms (bucket-pruned scan), pivot, and rank with
+    * the same shared scoring tail — spec-asserted row-identical to the
+    * one-pass [[bm25TopK]]. NOTE a probe deployment pins
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`: the
+    * planner otherwise demotes the scan to non-bucketed (no join/agg on the
+    * bucket key) and forfeits bucket PRUNING — the entire point here.
+    */
+  def bm25TopKFromIndex(spark: SparkSession,
+                        table: String = "bm25_postings",
+                        k: Int = 10): DataFrame = {
+    val qt = bm25Terms
+    val p = spark.table(table).filter(col("term").isin(qt: _*))
+    val tfAggs = max(col("dl")).as("dl") +:
+      qt.map(t => sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$t"))
+    val tf = p.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    bm25Rank(tf, spark.table(s"${table}_stats"), k)
   }
 }

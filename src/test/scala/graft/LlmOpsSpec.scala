@@ -638,6 +638,31 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25 stored postings index: bucket-pruned probe is row-identical to the one-pass query") {
+    TextAnalysis.writePostingsIndex(spark, sfTiny, "bm25_postings_test", buckets = 8)
+    // autoBucketedScan silently converts the scan to non-bucketed when the
+    // plan has no join/agg on the bucket key — which also forfeits bucket
+    // PRUNING, the entire point of the layout for a term probe. Production
+    // index probes pin it off; mirror that here.
+    val prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val probe = TextAnalysis.bm25TopKFromIndex(spark, "bm25_postings_test")
+      val got = probe.collect().map(_.toSeq).toSeq
+      val want = TextAnalysis.bm25TopK(spark, sfTiny).collect().map(_.toSeq).toSeq
+      assert(got == want,
+        s"stored-index probe diverges from the one-pass query:\n got=$got\n want=$want")
+      // the probe's term filter must prune buckets, not scan all postings
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"postings probe reads every bucket (no bucket pruning):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+      spark.sql("DROP TABLE IF EXISTS bm25_postings_test")
+      spark.sql("DROP TABLE IF EXISTS bm25_postings_test_stats")
+    }
+  }
+
   test("semantic_clusters: components agree with the τ-near edge set") {
     val edges = SimilarityOps.semDedupPairs(spark, sfTiny).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
