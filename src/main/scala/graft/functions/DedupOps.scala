@@ -613,10 +613,12 @@ object DedupOps {
         .as("h"))
       .repartition(col("h"))
     // doc frequency per hash and the dup-hash semi-join both run inside
-    // the single h-partitioning — no second exchange on the gram stream
+    // the single h-partitioning — no second exchange on the gram stream.
+    // "appears in ≥ 2 docs" needs only min(doc_id) ≠ max(doc_id), which a
+    // plain hash agg answers without countDistinct's per-key expansion
     val dupH = grams.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2)
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select("h")
     (toks, grams, grams.join(dupH, Seq("h"), "leftsemi"))
   }
