@@ -153,6 +153,10 @@ object SparkEntry {
     // IVF-PQ: cell-bounded candidates scored through quantized codes
     "pq_topk"         -> ((s, d) => SimilarityOps.pqTopK(s, d)),
     "embedding_dedup" -> ((s, d) => SimilarityOps.embeddingDedup(s, d)),
+    // retrieval consumers: majority-vote label prediction over the exact
+    // neighbor list, and RRF fusion of the lexical + dense rankings
+    "knn_classify"    -> ((s, d) => SimilarityOps.knnClassify(s, d)),
+    "hybrid_topk"     -> ((s, d) => SimilarityOps.hybridTopK(s, d)),
     // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup —
     // within-cell near-dup pruning over the stored IVF cell assignment
     "semdedup"        -> ((s, d) => SimilarityOps.semDedup(s, d)),
@@ -267,6 +271,8 @@ object SparkEntry {
     "ivf_recall"      -> TextSql.ivfRecallSql,
     "pq_topk"         -> TextSql.pqTopKSql,
     "embedding_dedup" -> TextSql.embeddingDedupSql,
+    "knn_classify"    -> TextSql.knnClassifySql,
+    "hybrid_topk"     -> TextSql.hybridTopKSql,
     "semdedup"        -> TextSql.semDedupSql,
     "semantic_clusters" -> TextSql.semanticClustersSql,
     "token_counts"    -> TextSql.tokenCountsSql,

@@ -660,4 +660,107 @@ object SimilarityOps {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("score").cast("double").as("score"))
   }
+
+  /** k-NN label classification — the evaluation consumer of the ANN
+    * surface: each query vector's label is predicted by majority vote over
+    * its k nearest neighbors (self excluded), ties broken toward the
+    * smaller label — the standard embedding-quality probe (can the vector
+    * space recover the taxonomy?) and the label-propagation primitive for
+    * weakly-supervised corpus annotation.
+    *
+    * The gated query votes over the exact [[cosineTopK]] ranking so the
+    * verdicts are deterministic and hash-checkable; in production the IVF
+    * shortlist ([[ivfTopK]]) swaps in unchanged — the vote is a plain
+    * aggregate over whichever neighbor list feeds it. Scale shape: the
+    * neighbor list is (queries × k) rows, the label join broadcasts the
+    * k-bounded id set against the stored (vec_id, label) dimension, and
+    * the vote is one tiny hash agg — everything after retrieval is
+    * neighbor-bounded.
+    */
+  def knnClassify(spark: SparkSession, dir: String,
+                  nQueries: Long = 20, k: Int = 5): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val votes = cosineTopK(spark, dir, nQueries, k)
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("votes"))
+    votes
+      .withColumn("r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("votes").desc, col("label"))))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+      .join(labels.withColumnRenamed("vec_id", "query_id"), Seq("query_id"))
+      .select(col("query_id"),
+        col("label").cast("long").as("true_label"),
+        col("pred_label").cast("long").as("pred_label"),
+        col("votes"),
+        (col("pred_label") === col("label")).as("correct"))
+  }
+
+  /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009) of the
+    * lexical and dense rankings, the serving pattern every retrieval stack
+    * runs (keyword recall + semantic recall fused without score
+    * calibration):
+    *
+    *  - LEXICAL leg: "more-like-this" over the shingle inverted index —
+    *    each query doc's RARE word 3-grams (corpus document frequency in
+    *    [2, `dfCap`], the [[graft.functions.CurationOps]]
+    *    contamination-rarity discipline; df = 1 grams can never match and
+    *    are pruned from the index, df ≤ dfCap bounds every posting list)
+    *    probe the corpus shingle index; candidates score Σ(N − df) over
+    *    shared rare shingles — an integer idf surrogate, so the
+    *    per-(query, doc) sum is exact and order-independent (no float
+    *    aggregation in the ranking). Unigrams are useless on this corpus
+    *    (31-token vocabulary, min df ≈ 5% of docs); shingles are the unit
+    *    with a real rarity tail, exactly as in `contamination_report`.
+    *  - DENSE leg: the exact [[cosineTopK]] ranking (vec_id ≙ doc_id in
+    *    this corpus; the IVF shortlist swaps in at scale).
+    *  - FUSION: rrf = Σ_legs 1/(rrfK + rank) over each leg's top-`kList`,
+    *    a doc missing from a leg contributing exactly 0. The two divisions
+    *    and their one fixed-order sum are bit-identical across engines
+    *    (IEEE correctly-rounded ÷ and + on an identical expression tree).
+    *
+    * Scale shape: the lexical leg shuffles only (query, candidate, weight)
+    * postings rows — dfCap-bounded per term, text never moves; the dense
+    * leg is the ANN index probe; fusion itself is rank-bounded
+    * (queries × 2·kList rows). The final per-query top-k is a partial
+    * window limit.
+    */
+  def hybridTopK(spark: SparkSession, dir: String, nQueries: Long = 10,
+                 kList: Int = 20, k: Int = 5, dfCap: Long = 20,
+                 rrfK: Int = 60): DataFrame = {
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val sh = DedupOps.explodedShingles(spark, dir)
+    val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+    val rare = sh.join(dfs, Seq("s"))
+    val qtoks = rare.filter(col("doc_id") < nQueries)
+      .crossJoin(broadcast(n))
+      .select(col("doc_id").as("query_id"), col("s"),
+        (col("n") - col("df")).as("w"))
+    val lex = qtoks
+      .join(rare.select(col("doc_id").as("neighbor_id"), col("s")), Seq("s"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("w")).as("lex_score"))
+      .withColumn("r_lex", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("lex_score").desc, col("neighbor_id"))))
+      .filter(col("r_lex") <= kList)
+      .select(col("query_id"), col("neighbor_id"),
+        col("r_lex").cast("long").as("r_lex"))
+    val dense = cosineTopK(spark, dir, nQueries, kList)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("r_dense"))
+    lex.join(dense, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK.toLong) + col("r_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK.toLong) + col("r_dense")), lit(0.0)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("r_lex"), col("r_dense"), col("rrf"))
+  }
 }

@@ -1486,4 +1486,94 @@ object TextSql {
        |SELECT doc_id, dl, $tfCols, score
        |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
+
+  /** Mirror of [[graft.functions.SimilarityOps.knnClassify]]: majority
+    * label over the exact cosine top-5 (ties toward the smaller label).
+    */
+  val knnClassifySql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    $cosineExpr AS score
+       |  FROM q, emb e WHERE e.vec_id <> q.query_id),
+       |nn AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS rank
+       |    FROM scored) t
+       |  WHERE rank <= 5),
+       |votes AS (
+       |  SELECT query_id, e.label, COUNT(*) AS votes
+       |  FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT query_id, label AS pred_label, votes FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY votes DESC, label) AS r
+       |    FROM votes) t
+       |  WHERE r = 1)
+       |SELECT p.query_id, CAST(t.label AS BIGINT) AS true_label,
+       |  CAST(p.pred_label AS BIGINT) AS pred_label, p.votes,
+       |  p.pred_label = t.label AS correct
+       |FROM pred p JOIN embeddings t ON p.query_id = t.vec_id""".stripMargin
+
+  /** Mirror of [[graft.functions.SimilarityOps.hybridTopK]]: RRF fusion of
+    * the rare-token lexical ranking and the exact cosine ranking. The rrf
+    * arithmetic is the IDENTICAL double expression tree (two
+    * correctly-rounded divisions + one fixed-order sum), so the fused
+    * scores are bit-exact across engines.
+    */
+  val hybridTopKSql: String =
+    s"""WITH ${shCte()},
+       |nrow AS (SELECT COUNT(*) AS n FROM documents),
+       |dfs AS (
+       |  SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+       |  HAVING COUNT(*) BETWEEN 2 AND 20),
+       |rare AS (SELECT sh.doc_id, sh.s, d.df FROM sh JOIN dfs d USING (s)),
+       |lex AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+       |    SUM(nrow.n - q.df) AS lex_score
+       |  FROM rare q JOIN rare c USING (s) CROSS JOIN nrow
+       |  WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+       |  GROUP BY 1, 2),
+       |lexr AS (
+       |  SELECT query_id, neighbor_id, CAST(r_lex AS BIGINT) AS r_lex FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY lex_score DESC, neighbor_id) AS r_lex
+       |    FROM lex) t
+       |  WHERE r_lex <= 20),
+       |emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    $cosineExpr AS score
+       |  FROM q, emb e WHERE e.vec_id <> q.query_id),
+       |denser AS (
+       |  SELECT query_id, neighbor_id, CAST(r_dense AS BIGINT) AS r_dense FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS r_dense
+       |    FROM scored) t
+       |  WHERE r_dense <= 20),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+       |    COALESCE(l.neighbor_id, d.neighbor_id) AS neighbor_id,
+       |    l.r_lex, d.r_dense,
+       |    COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + l.r_lex AS DOUBLE),
+       |             CAST(0.0 AS DOUBLE)) +
+       |    COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + d.r_dense AS DOUBLE),
+       |             CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM lexr l FULL OUTER JOIN denser d
+       |    ON l.query_id = d.query_id AND l.neighbor_id = d.neighbor_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |  r_lex, r_dense, rrf
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, neighbor_id) AS rank
+       |  FROM fused) f
+       |WHERE rank <= 5""".stripMargin
 }
