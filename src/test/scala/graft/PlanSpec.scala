@@ -440,4 +440,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("hybrid_topk: lexical leg is a postings equi-join — the only nested loop is the dense yardstick") {
+    val plan = physicalPlan(graft.functions.SimilarityOps.hybridTopK(spark, sfTiny))
+    assert(!plan.contains("CartesianProduct"),
+      s"hybrid fusion contains a cartesian:\n$plan")
+    // exactly one non-Cross BNLJ: cosineTopK's intentional brute-force
+    // query×corpus scorer (the ANN index replaces it at scale); a second
+    // one would mean the lexical leg regressed to all-pairs. Cross BNLJs
+    // against one-row corpus scalars (the broadcast N frame) are fine.
+    val bnlj = plan.linesIterator
+      .count(l => l.contains("BroadcastNestedLoopJoin") && !l.contains(", Cross"))
+    assert(bnlj == 1,
+      s"expected exactly the dense yardstick's nested loop, found $bnlj:\n$plan")
+    // the per-query top-k must be a partial window limit, not a full sort
+    assert(plan.contains("WindowGroupLimit"),
+      s"fused per-query top-k lacks a partial WindowGroupLimit:\n$plan")
+  }
+
+  test("knn_classify: everything after retrieval is neighbor-bounded — no cartesian beyond the yardstick") {
+    val plan = physicalPlan(graft.functions.SimilarityOps.knnClassify(spark, sfTiny))
+    assert(!plan.contains("CartesianProduct"),
+      s"knn vote contains a cartesian:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj == 1,
+      s"expected exactly the dense yardstick's nested loop, found $bnlj:\n$plan")
+  }
 }
