@@ -113,6 +113,10 @@ object SparkEntry {
     "decontaminate"   -> ((s, d) => CurationOps.decontaminate(s, d)),
     "decontaminate_bloom" -> ((s, d) => CurationOps.decontaminateBloom(s, d)),
     "domain_mix"      -> ((s, d) => CurationOps.domainMix(s, d)),
+    // ingestion-gate column profile: one unpivot pass, staged distinct agg
+    "data_profile"    -> ((s, d) => CurationOps.dataProfile(s, d)),
+    // per-(source, lang) quality rollup sharing quality_filter's signals
+    "source_quality_report" -> ((s, d) => CurationOps.sourceQualityReport(s, d)),
     // the apply side of domain_mix: the rebalanced corpus itself
     "mix_apply"       -> ((s, d) => CurationOps.mixApply(s, d)),
     // the upsample side: fractional-epoch repeat factors, deterministic
@@ -251,6 +255,8 @@ object SparkEntry {
     // bit-identical to the exact form by construction — same oracle
     "decontaminate_bloom" -> TextSql.decontaminateSql,
     "domain_mix"      -> TextSql.domainMixSql,
+    "data_profile"    -> TextSql.dataProfileSql,
+    "source_quality_report" -> TextSql.sourceQualityReportSql,
     "mix_apply"       -> TextSql.mixApplySql,
     "mix_upsample"    -> TextSql.mixUpsampleSql,
     "corpus_clean"    -> TextSql.corpusCleanSql,

@@ -627,4 +627,76 @@ object CurationOps {
         Window.partitionBy("shard").orderBy(col("hpos"), col("doc_id"))).cast("long"))
       .select(col("shard"), col("pos"), col("doc_id"), col("lang"), col("n_tokens"))
   }
+
+  /** Per-column profiling audit — the ingestion gate a 100 TB pipeline runs
+    * on every incoming shard before it is admitted to the corpus: row count,
+    * null count, distinct count, and min/max per column, as one table with a
+    * row per column.
+    *
+    * Shape: ONE scan of the table unpivots each row into (column_name,
+    * value-as-string) pairs — profiling C columns costs one pass + one
+    * shuffle keyed (column_name, value), NOT C separate jobs. The distinct
+    * count is staged explicitly as groupBy(column, value) → groupBy(column)
+    * (no Expand-based planDistinct): map-side partial aggregation collapses
+    * repeated values before anything shuffles, so the exchange carries at
+    * most Σ|distinct(col)| rows per partition. The `text` column is
+    * profiled through its md5 digest — the same text-never-shuffles
+    * discipline as [[DedupOps]] (profiling full bodies through an exchange
+    * would be the scan cost ×2).
+    *
+    * At 100 TB the drop-in swap is `approx_count_distinct` for the distinct
+    * stage (one pass, no (col, value) shuffle at all); the exact version IS
+    * the gate for that sketch, per the `approx_*` discipline.
+    */
+  def dataProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val profiled: Seq[(String, Column)] = Seq(
+      "doc_id" -> col("doc_id").cast("string"),
+      "lang" -> col("lang"),
+      "source" -> col("source"),
+      "n_chars" -> col("n_chars").cast("string"),
+      "text_md5" -> md5(col("text")))
+    val stacked = docs
+      .select(explode(array(profiled.map { case (n, c) =>
+        struct(lit(n).as("column_name"), c.as("v")) }: _*)).as("s"))
+      .select(col("s.column_name").as("column_name"), col("s.v").as("v"))
+    stacked.groupBy("column_name", "v").agg(count(lit(1)).as("c"))
+      .groupBy("column_name")
+      .agg(
+        sum(col("c")).cast("long").as("n_rows"),
+        coalesce(sum(when(col("v").isNull, col("c"))), lit(0L))
+          .cast("long").as("n_null"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+        min(col("v")).as("min_val"),
+        max(col("v")).as("max_val"))
+  }
+
+  /** The corpus report a data team actually reads: per (source, lang), how
+    * many documents, how many tokens, and where the quality gate's rejects
+    * concentrate — the rollup that drives [[domainMix]] decisions (a source
+    * whose reject rate spikes gets its mix weight cut, not its survivors
+    * upweighted). Shares [[TextAnalysis.qualitySignals]] with the
+    * per-document `quality_filter` gate, so the report can never disagree
+    * with the gate about what "passed" means.
+    *
+    * All counters are integers and the rate is integer-permille — the whole
+    * report is engine- and partitioning-exact. Shape: the signal scan is
+    * one narrow codegen pass; the only exchange carries (source, lang)
+    * partial sums (map-side combined, dimension-bounded).
+    */
+  def sourceQualityReport(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualitySignals(spark, dir)
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        sum(col("n_chars")).cast("long").as("n_chars_total"),
+        sum(when(col("passed"), 1L).otherwise(0L)).cast("long").as("n_passed"),
+        sum(when(col("reject_reason") === "length", 1L).otherwise(0L))
+          .cast("long").as("n_reject_length"),
+        sum(when(col("reject_reason") === "repetitive", 1L).otherwise(0L))
+          .cast("long").as("n_reject_repetitive"),
+        sum(when(col("reject_reason") === "low_quality", 1L).otherwise(0L))
+          .cast("long").as("n_reject_low_quality"))
+      .withColumn("pass_permille", expr("n_passed * 1000 div n_docs"))
 }

@@ -159,14 +159,24 @@ object TextAnalysis {
     * the shape of a corpus-cleaning pipeline stage. Exact integer
     * arithmetic throughout.
     */
-  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualitySignals(spark, dir).drop("source")
+
+  /** The quality signal columns WITH the `source` dimension retained — the
+    * shared frame behind [[qualityFilter]] (which drops `source` to keep its
+    * gated schema) and [[CurationOps.sourceQualityReport]] (which aggregates
+    * over it). One definition, so the per-document gate and the per-source
+    * rollup can never disagree on what "passed" means.
+    */
+  private[functions] def qualitySignals(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"),
+      .select(col("doc_id"), col("lang"), col("source"), tokens(col("text")).as("t"),
         length(col("text")).cast("long").as("n_chars"))
-      .select(col("doc_id"), col("lang"), col("n_chars"),
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         size(col("t")).cast("long").as("n_tok"),
         size(array_distinct(col("t"))).cast("long").as("n_uniq"))
-    d.select(col("doc_id"), col("lang"), col("n_chars"), col("n_tok"), col("n_uniq"),
+    d.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("n_tok"), col("n_uniq"),
         // length band: 2 if comfortably sized, 1 if marginal, 0 otherwise
         when(col("n_tok").between(30, 2000), 2)
           .when(col("n_tok").between(10, 5000), 1).otherwise(0).as("len_score"),

@@ -1576,4 +1576,60 @@ object TextSql {
        |    ORDER BY rrf DESC, neighbor_id) AS rank
        |  FROM fused) f
        |WHERE rank <= 5""".stripMargin
+
+  // mirrors CurationOps.dataProfile: same column set, same string casts,
+  // text profiled through md5 on both engines
+  val dataProfileSql: String =
+    """WITH stacked AS (
+      |  SELECT 'doc_id' AS column_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+      |  UNION ALL SELECT 'lang', lang FROM documents
+      |  UNION ALL SELECT 'source', source FROM documents
+      |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+      |  UNION ALL SELECT 'text_md5', md5(text) FROM documents)
+      |SELECT column_name,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+      |  MIN(v) AS min_val,
+      |  MAX(v) AS max_val
+      |FROM stacked GROUP BY column_name""".stripMargin
+
+  // mirrors CurationOps.sourceQualityReport: the CTE is qualityFilterSql's
+  // signal logic with `source` retained
+  val sourceQualityReportSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT)
+      |      AS n_uniq
+      |  FROM documents),
+      |s AS (
+      |  SELECT *,
+      |    CASE WHEN n_tok BETWEEN 30 AND 2000 THEN 2
+      |         WHEN n_tok BETWEEN 10 AND 5000 THEN 1 ELSE 0 END AS len_score,
+      |    CASE WHEN n_uniq * 4 >= n_tok THEN 1 ELSE 0 END AS rep_score
+      |  FROM d),
+      |q AS (
+      |  SELECT source, lang, n_chars, n_tok,
+      |    (len_score + rep_score) >= 2 AS passed,
+      |    CASE WHEN (len_score + rep_score) >= 2 THEN NULL
+      |         WHEN len_score = 0 THEN 'length'
+      |         WHEN rep_score = 0 THEN 'repetitive'
+      |         ELSE 'low_quality' END AS reject_reason
+      |  FROM s)
+      |SELECT source, lang,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+      |  CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+      |  CAST(SUM(CASE WHEN reject_reason = 'length' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_reject_length,
+      |  CAST(SUM(CASE WHEN reject_reason = 'repetitive' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_reject_repetitive,
+      |  CAST(SUM(CASE WHEN reject_reason = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_reject_low_quality,
+      |  CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) * 1000
+      |    // COUNT(*) AS pass_permille
+      |FROM q GROUP BY source, lang""".stripMargin
 }

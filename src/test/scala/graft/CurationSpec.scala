@@ -246,4 +246,51 @@ class CurationSpec extends SparkSpec {
       .filter(col("n_chars") =!= col("max_chars"))
     assert(canon.count() == 0, "canonical is not the longest document")
   }
+
+  test("data_profile: one pass, staged distinct (no Expand), key column is unique") {
+    val q = CurationOps.dataProfile(spark, sfTiny)
+    val plan = q.queryExecution.executedPlan.toString
+    // the distinct count must be the explicit two-stage agg, not the
+    // Expand-based distinct rewrite (which doubles the unpivoted stream)
+    assert(!plan.contains("Expand"), s"distinct stage planned via Expand:\n$plan")
+    // profiling C columns is ONE scan of documents, not C jobs
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"expected a single documents scan:\n$plan")
+    val rows = q.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val n = graft.sources.Tables.documents(spark, sfTiny).count()
+    assert(rows.keySet == Set("doc_id", "lang", "source", "n_chars", "text_md5"))
+    rows.foreach { case (c, (nRows, nNull, _)) =>
+      assert(nRows == n, s"$c: n_rows $nRows != $n")
+      assert(nNull == 0L, s"$c: unexpected nulls")
+    }
+    assert(rows("doc_id")._3 == n, "doc_id must be unique (primary key)")
+    assert(rows("lang")._3 <= 64 && rows("source")._3 <= 64,
+      "dimension columns should be low-cardinality")
+  }
+
+  test("source_quality_report agrees with the per-document quality_filter gate") {
+    import graft.functions.TextAnalysis
+    val rep = CurationOps.sourceQualityReport(spark, sfTiny)
+    // recompute the rollup from the GATED per-doc frame + the source dim —
+    // the report must be exactly the gate's groupBy, nothing else
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("source"))
+    val expected = TextAnalysis.qualityFilter(spark, sfTiny)
+      .join(docs, Seq("doc_id"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("passed"), 1L).otherwise(0L)).as("n_passed"))
+    val joined = rep.as("r").join(expected.as("e"), Seq("source", "lang"), "full")
+      .filter(col("r.n_docs").isNull || col("e.n_docs").isNull ||
+        col("r.n_docs") =!= col("e.n_docs") ||
+        col("r.n_passed") =!= col("e.n_passed"))
+    assert(joined.count() == 0, "report disagrees with the quality gate")
+    // permille arithmetic + reject decomposition: passed + rejects = docs
+    val bad = rep.filter(
+      col("pass_permille") =!= expr("n_passed * 1000 div n_docs") ||
+      col("n_passed") + col("n_reject_length") + col("n_reject_repetitive") +
+        col("n_reject_low_quality") =!= col("n_docs")).count()
+    assert(bad == 0, "reject decomposition or permille broken")
+  }
 }
