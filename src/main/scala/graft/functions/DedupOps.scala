@@ -623,17 +623,27 @@ object DedupOps {
     (toks, grams, grams.join(dupH, Seq("h"), "leftsemi"))
   }
 
-  /** Cleaned-text emission over the duplicated positioned grams. */
+  /** Cleaned-text emission over the duplicated positioned grams.
+    *
+    * The doc-side aggregate collects gram START offsets — one row per
+    * duplicated gram through the exchange — and the L-wide expansion to
+    * covered 1-based positions i+1 .. i+L (matching DuckDB's 1-based list
+    * indexing in the oracle mirror) happens ROW-LOCALLY after the join
+    * (`flatten∘transform∘sequence`): the earlier form exploded every gram
+    * into its L covered positions BEFORE the groupBy, paying an L× row
+    * multiplier through the shuffle plus a distinct-set merge over the
+    * inflated stream for the identical result.
+    */
   private[graft] def spansApplyFrom(toks: DataFrame, dup: DataFrame,
                                     L: Int): DataFrame = {
     val dropSets = dup
-      // covered 1-based positions i+1 .. i+L (matches DuckDB's 1-based
-      // list indexing in the oracle mirror)
-      .select(col("doc_id"),
-        explode(sequence(col("i") + 1, col("i") + lit(L))).as("p"))
       .groupBy("doc_id")
-      .agg(collect_set(col("p")).as("drop"))
+      .agg(collect_set(col("i")).as("starts"))
     toks.join(dropSets, Seq("doc_id"), "left")
+      .withColumn("drop",
+        when(col("starts").isNull, lit(null))
+          .otherwise(array_distinct(flatten(transform(col("starts"),
+            s => sequence(s + 1, s + lit(L)))))))
       .select(
         col("doc_id"),
         array_join(
