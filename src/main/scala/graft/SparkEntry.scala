@@ -64,6 +64,10 @@ object SparkEntry {
     "semi_anti_join"      -> ((s, d) => Olap.qSemiAnti(s, d)),
     "cumulative_monthly"  -> ((s, d) => Olap.qCumulativeMonthly(s, d)),
     "sessionize"          -> ((s, d) => Olap.qSessionize(s, d)),
+    // ordered view->click->purchase funnel: one shuffle, row-local HOF chain
+    "funnel"              -> ((s, d) => Olap.qFunnel(s, d)),
+    // weekly cohort x offset retention table, integer-exact
+    "retention_cohorts"   -> ((s, d) => Olap.qRetentionCohorts(s, d)),
     "event_pivot"         -> ((s, d) => Olap.qEventPivot(s, d)),
     "json_bucket"         -> ((s, d) => Olap.qJsonBucket(s, d)),
     "string_funcs"        -> ((s, d) => Olap.qStringFuncs(s, d)),
@@ -220,6 +224,8 @@ object SparkEntry {
     "semi_anti_join"      -> OlapSql.qSemiAntiSql,
     "cumulative_monthly"  -> OlapSql.qCumulativeMonthlySql,
     "sessionize"          -> OlapSql.qSessionizeSql,
+    "funnel"              -> OlapSql.qFunnelSql,
+    "retention_cohorts"   -> OlapSql.qRetentionCohortsSql,
     "event_pivot"         -> OlapSql.qEventPivotSql,
     "json_bucket"         -> OlapSql.qJsonBucketSql,
     "string_funcs"        -> OlapSql.qStringFuncsSql,

@@ -238,6 +238,75 @@ object Olap {
         sum(col("val")).cast("double").as("total_value"))
   }
 
+  /** Ordered funnel over the event stream (view → click → purchase, strict
+    * temporal order): per step, how many users reached it. The classic
+    * product-analytics query an events engine must answer.
+    *
+    * ONE shuffle: events collapse to a per-user (ts, type) list and each
+    * step time resolves ROW-LOCALLY by chained array HOFs — s2 = min click
+    * ts strictly after s1, s3 = min purchase ts strictly after s2 (a step
+    * not reached is NULL and nulls propagate through the chain, so skipping
+    * a step never counts). The oracle deliberately uses a DIFFERENT
+    * formulation (chained min-aggregate joins) — the gate proves the two
+    * equivalent, which neither alone would show. At 100 TB the per-user
+    * list is bounded by that user's funnel events (the event_type filter
+    * prunes at the scan), not the corpus.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val steps = Seq("view", "click", "purchase")
+    val perUser = raw
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), Tables.tsMicros(raw).as("ts_us"), col("event_type"))
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("ts_us"), col("event_type"))).as("evs"))
+      .withColumn("s1", array_min(expr(
+        "transform(filter(evs, e -> e.event_type = 'view'), e -> e.ts_us)")))
+      .withColumn("s2", array_min(expr(
+        "transform(filter(evs, e -> e.event_type = 'click' AND e.ts_us > s1), e -> e.ts_us)")))
+      .withColumn("s3", array_min(expr(
+        "transform(filter(evs, e -> e.event_type = 'purchase' AND e.ts_us > s2), e -> e.ts_us)")))
+    perUser
+      .agg(count(lit(1)).as("n0"), count(col("s1")).as("n1"),
+        count(col("s2")).as("n2"), count(col("s3")).as("n3"))
+      .select(explode(array(
+        struct(lit(1L).as("step"), lit("view").as("step_name"),
+          col("n1").as("n_users"), expr("n1 * 1000 div n0").as("reach_permille")),
+        struct(lit(2L).as("step"), lit("click").as("step_name"),
+          col("n2").as("n_users"), expr("n2 * 1000 div n0").as("reach_permille")),
+        struct(lit(3L).as("step"), lit("purchase").as("step_name"),
+          col("n3").as("n_users"), expr("n3 * 1000 div n0").as("reach_permille"))))
+        .as("r"))
+      .select(col("r.step").as("step"), col("r.step_name").as("step_name"),
+        col("r.n_users").as("n_users"), col("r.reach_permille").as("reach_permille"))
+  }
+
+  /** Weekly retention cohorts: users grouped by their first active week,
+    * activity counted per week offset k — the cohort table behind every
+    * retention curve. All arithmetic is integer micros (week = ts_us div
+    * 7·86400·10⁶), so the result is engine- and partitioning-exact.
+    *
+    * Scale shape: (user, week) activity dedups in one exchange keyed by
+    * exactly those two longs; the cohort assignment is a user-keyed
+    * aggregate co-partitioned with the activity join; the final rollup is
+    * dimension-bounded (weeks × offsets). Nothing carries more than two
+    * longs per row through any exchange.
+    */
+  def qRetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val evw = raw
+      .select(col("user_id"), Tables.tsMicros(raw).as("ts_us"))
+      .select(col("user_id"), expr("ts_us div 604800000000").as("wk"))
+      .distinct()
+    val w0 = evw.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val cohortSize = w0.groupBy("cohort_wk").agg(count(lit(1)).as("n_cohort"))
+    evw.join(w0, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("k"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(cohortSize, "cohort_wk")
+      .withColumn("retention_permille", expr("n_active * 1000 div n_cohort"))
+  }
+
   /** Manual pivot (conditional aggregation) over event types — the demux the
     * reference hand-codes as six parallel scans (S2) collapses into one scan
     * with per-type conditional aggregates.

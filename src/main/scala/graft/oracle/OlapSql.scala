@@ -138,6 +138,50 @@ object OlapSql {
       |  CAST(SUM(val) AS DOUBLE) AS total_value
       |FROM sessioned GROUP BY user_id""".stripMargin
 
+  // DIFFERENT formulation from the Spark side on purpose: chained
+  // min-aggregate joins instead of row-local array HOFs — the gate proves
+  // the two equivalent
+  val qFunnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |u0 AS (SELECT COUNT(DISTINCT user_id) AS n0 FROM ev),
+      |u1 AS (SELECT user_id, MIN(ts_us) AS s1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |u2 AS (SELECT e.user_id, MIN(ts_us) AS s2 FROM ev e
+      |       JOIN u1 USING (user_id)
+      |       WHERE event_type = 'click' AND ts_us > s1 GROUP BY e.user_id),
+      |u3 AS (SELECT e.user_id, MIN(ts_us) AS s3 FROM ev e
+      |       JOIN u2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts_us > s2 GROUP BY e.user_id),
+      |c AS (SELECT
+      |  (SELECT n0 FROM u0) AS n0,
+      |  (SELECT COUNT(*) FROM u1) AS n1,
+      |  (SELECT COUNT(*) FROM u2) AS n2,
+      |  (SELECT COUNT(*) FROM u3) AS n3)
+      |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+      |  CAST(n1 AS BIGINT) AS n_users, CAST(n1 AS BIGINT) * 1000 // n0 AS reach_permille FROM c
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'click', CAST(n2 AS BIGINT),
+      |  CAST(n2 AS BIGINT) * 1000 // n0 FROM c
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'purchase', CAST(n3 AS BIGINT),
+      |  CAST(n3 AS BIGINT) * 1000 // n0 FROM c""".stripMargin
+
+  val qRetentionCohortsSql: String =
+    """WITH evw AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |w0 AS (SELECT user_id, MIN(wk) AS cohort_wk FROM evw GROUP BY user_id),
+      |cs AS (SELECT cohort_wk, COUNT(*) AS n_cohort FROM w0 GROUP BY cohort_wk),
+      |act AS (
+      |  SELECT w0.cohort_wk, e.wk - w0.cohort_wk AS k, COUNT(*) AS n_active
+      |  FROM evw e JOIN w0 USING (user_id) GROUP BY 1, 2)
+      |SELECT act.cohort_wk, CAST(act.k AS BIGINT) AS k,
+      |  CAST(act.n_active AS BIGINT) AS n_active,
+      |  CAST(cs.n_cohort AS BIGINT) AS n_cohort,
+      |  CAST(act.n_active AS BIGINT) * 1000 // cs.n_cohort AS retention_permille
+      |FROM act JOIN cs USING (cohort_wk)""".stripMargin
+
   val qEventPivotSql: String = {
     val types = Seq("click", "view", "purchase", "signup", "error")
     val cols = types.map { t =>

@@ -458,6 +458,31 @@ class PlanSpec extends SparkSpec {
       s"fused per-query top-k lacks a partial WindowGroupLimit:\n$plan")
   }
 
+  test("funnel: one user-keyed exchange + the final single-row agg — step logic is row-local") {
+    val plan = physicalPlan(graft.operators.Olap.qFunnel(spark, sfTiny))
+    // the event_type prune must reach the parquet scan
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"),
+      s"funnel step filter not pushed to the scan:\n$plan")
+    // exactly 2 exchanges: groupBy(user) + the one-row global count; a
+    // third would mean a step resolved via join/window instead of the
+    // row-local HOF chain
+    val ex = "Exchange".r.findAllIn(plan).size
+    assert(ex <= 2, s"expected <= 2 exchanges, found $ex:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"funnel must not join:\n$plan")
+  }
+
+  test("retention_cohorts: every exchange carries only id/week longs, no cartesian") {
+    val plan = physicalPlan(graft.operators.Olap.qRetentionCohorts(spark, sfTiny))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"retention rollup contains a nested loop:\n$plan")
+    // the events scan must prune to (ts, user_id) — dragging value/props
+    // through the (user, week) dedup would multiply the exchange payload
+    assert(plan.contains("ReadSchema") && !plan.contains("props"),
+      s"retention scan reads unneeded columns:\n$plan")
+  }
+
   test("knn_classify: everything after retrieval is neighbor-bounded — no cartesian beyond the yardstick") {
     val plan = physicalPlan(graft.functions.SimilarityOps.knnClassify(spark, sfTiny))
     assert(!plan.contains("CartesianProduct"),
