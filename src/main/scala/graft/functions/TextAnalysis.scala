@@ -775,4 +775,74 @@ object TextAnalysis {
     val tf = p.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
     bm25Rank(tf, spark.table(s"${table}_stats"), k)
   }
+
+  /** INCREMENTAL index maintenance — the lifecycle move that makes the
+    * stored layout viable under continuous ingest: a newly-arrived shard
+    * writes its OWN postings generation (same schema, same term bucketing,
+    * cost linear in the shard), and queries probe base ∪ deltas. A 100 TB
+    * index is never rebuilt per ingest — Σ shard cost replaces corpus-scan
+    * cost, exactly the [[graft.functions.DedupOps]] `shard_dedup` admission
+    * discipline applied to the serving index.
+    *
+    * `writePostingsGeneration` indexes one document subset (the `shard`
+    * predicate) into its own generation tables. Docs are append-only here
+    * (each doc_id lives in exactly ONE generation, so the probe-side union
+    * needs no reconciliation); updates/deletes would add a tombstone column
+    * merged at probe/compaction — noted, out of scope.
+    */
+  def writePostingsGeneration(spark: SparkSession, dir: String,
+                              shard: Column,
+                              table: String,
+                              buckets: Int = 16): Unit = {
+    val docs = Tables.documents(spark, dir).filter(shard)
+    docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(table)
+    docs.select(size(tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("d"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+  }
+
+  /** BM25 probe over base ∪ delta generations: each generation's scan is
+    * independently bucket-pruned to the query terms (the union does NOT
+    * defeat pruning — it happens below the union, per scan), corpus stats
+    * are the one-row SUM of the generations' stats, and the scoring tail is
+    * the shared [[bm25Rank]]. Spec-asserted row-identical to the one-pass
+    * [[bm25TopK]] over the full corpus.
+    */
+  def bm25TopKIncremental(spark: SparkSession,
+                          tables: Seq[String],
+                          k: Int = 10): DataFrame = {
+    val qt = bm25Terms
+    val p = tables.map(t => spark.table(t).filter(col("term").isin(qt: _*)))
+      .reduce(_ unionByName _)
+    val tfAggs = max(col("dl")).as("dl") +:
+      qt.map(t => sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$t"))
+    val tf = p.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    val stats = tables.map(t => spark.table(s"${t}_stats"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n")).as("n"), sum(col("d")).as("d"))
+    bm25Rank(tf, stats, k)
+  }
+
+  /** Compaction: merge generations back into one bucketed table (+ summed
+    * stats) — run when the delta count makes probe-side fan-in noticeable.
+    * The rewrite is one term-bucketed shuffle of the union, after which
+    * probes pay single-generation cost again. Spec-asserted: a probe over
+    * the compacted table is row-identical to the multi-generation probe.
+    */
+  def compactPostings(spark: SparkSession, tables: Seq[String],
+                      outTable: String, buckets: Int = 16): Unit = {
+    tables.map(spark.table).reduce(_ unionByName _)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(outTable)
+    tables.map(t => spark.table(s"${t}_stats")).reduce(_ unionByName _)
+      .agg(sum(col("n")).as("n"), sum(col("d")).as("d"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${outTable}_stats")
+  }
 }

@@ -663,6 +663,46 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25 incremental index: base∪delta probe == one-pass query; compaction preserves it") {
+    import org.apache.spark.sql.functions.col
+    // base = already-indexed corpus, delta = newly ingested shard
+    TextAnalysis.writePostingsGeneration(spark, sfTiny,
+      col("doc_id") % 10 < 8, "bm25_inc_base", buckets = 8)
+    TextAnalysis.writePostingsGeneration(spark, sfTiny,
+      col("doc_id") % 10 >= 8, "bm25_inc_delta", buckets = 8)
+    val prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val gens = Seq("bm25_inc_base", "bm25_inc_delta")
+      val probe = TextAnalysis.bm25TopKIncremental(spark, gens)
+      val got = probe.collect().map(_.toSeq).toSeq
+      val want = TextAnalysis.bm25TopK(spark, sfTiny).collect().map(_.toSeq).toSeq
+      assert(got == want,
+        s"incremental probe diverges from the one-pass query:\n got=$got\n want=$want")
+      // the union must NOT defeat bucket pruning: every generation scan in
+      // the plan (they appear once per consumer — df agg + scoring) prunes
+      // to the query terms' buckets, reading strictly fewer than all 8
+      val plan = probe.queryExecution.executedPlan.toString
+      val prunes = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findAllMatchIn(plan).map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+      assert(prunes.size >= 2, s"generation scans not bucket-pruned:\n$plan")
+      prunes.foreach { case (sel, tot) =>
+        assert(sel < tot, s"a scan read every bucket ($sel of $tot):\n$plan")
+      }
+      // compaction: one merged generation, probe unchanged
+      TextAnalysis.compactPostings(spark, gens, "bm25_inc_merged", buckets = 8)
+      val merged = TextAnalysis.bm25TopKIncremental(spark, Seq("bm25_inc_merged"))
+        .collect().map(_.toSeq).toSeq
+      assert(merged == got, "compacted probe diverges from the generational probe")
+    } finally {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+      Seq("bm25_inc_base", "bm25_inc_delta", "bm25_inc_merged").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_stats")
+      }
+    }
+  }
+
   test("semantic_clusters: components agree with the τ-near edge set") {
     val edges = SimilarityOps.semDedupPairs(spark, sfTiny).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
