@@ -26,6 +26,7 @@ object Serve {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -106,6 +106,15 @@ object SparkEntry {
     // incremental admission: dedupe an incoming shard against the immutable
     // corpus (batch analog of streaming/IngestDedup), asymmetric banding probe
     "shard_dedup"     -> ((s, d) => DedupOps.shardDedup(s, d)),
+    // the same gate probing the STORED corpus index (built once per dir —
+    // the 100 TB form: probe-time plans never scan corpus text); same
+    // oracle as shard_dedup because the output contract is identical
+    "shard_dedup_indexed" -> ((s, d) => {
+      val t = s"minhash_idx_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
+      if (!s.catalog.tableExists(s"${t}_bands"))
+        DedupOps.writeMinhashIndex(s, d, t)
+      DedupOps.shardDedupFromIndex(s, d, t)
+    }),
     "dedup_clusters"  -> ((s, d) => DedupOps.dedupClusters(s, d)),
     // the un-memoized fixpoint: same result, but BENCH times the iterative
     // algorithm here while dedup_clusters times the materialized-view read
@@ -253,6 +262,7 @@ object SparkEntry {
     "dedup_spans_apply" -> TextSql.dedupSpansApplySql,
     "minhash_lsh"     -> TextSql.minhashLshSql,
     "shard_dedup"     -> TextSql.shardDedupSql,
+    "shard_dedup_indexed" -> TextSql.shardDedupSql,
     "dedup_clusters"  -> TextSql.dedupClustersSql,
     "dedup_clusters_fresh" -> TextSql.dedupClustersSql,
     "dedup_select"    -> TextSql.dedupSelectSql,

@@ -191,6 +191,18 @@ object DedupOps {
     min((lit(a) * (col("h") % P) + b) % P).as(s"m$k")
   }
 
+  /** The 4×2 LSH banding of an 8-value signature frame — one (doc_id,
+    * band, bkey) row per band. The single definition used by every banding
+    * consumer ([[minhashLsh]], [[shardDedup]], [[writeMinhashIndex]],
+    * [[shardDedupFromIndex]]) so the live and stored band keys cannot
+    * drift.
+    */
+  private[graft] def bandKeys(sig: DataFrame): DataFrame =
+    (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat_ws(":", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bkey"))
+    }.reduce(_ union _)
+
   /** MinHash signatures (8 perms) per document. One explode + one hash agg;
     * the signature is 64 bytes per doc regardless of document size.
     */
@@ -217,10 +229,7 @@ object DedupOps {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(spark, dir).cache()
-    val bands = (0 until 4).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        concat_ws(":", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bkey"))
-    }.reduce(_ union _)
+    val bands = bandKeys(sig)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -278,10 +287,7 @@ object DedupOps {
     val ex = explodedShingles(spark, dir, distinctShingles = false)
       .withColumn("h", mdhash(col("s")))
     val sig = signaturesFrom(ex).cache()
-    val bands = (0 until 4).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        concat_ws(":", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bkey"))
-    }.reduce(_ union _)
+    val bands = bandKeys(sig)
     // cached: the candidate-pair set is bounded by the banding probe and is
     // read four times below (intersection, score join-back, both sides of
     // the candidate-id prune)
@@ -329,9 +335,22 @@ object DedupOps {
       .join(exCand.as("b"), col("corpus_id") === col("b.doc_id") && col("a.s") === col("b.s"))
       .groupBy("shard_id", "corpus_id")
       .agg(count(lit(1)).as("n_inter"))
-    // LEFT join back to cand: a banding false positive CAN share zero
-    // shingles (min-hash collision without set overlap) — it must still
-    // count as a candidate, at Jaccard 0
+    admissionVerdicts(
+      Tables.documents(spark, dir).filter(isShard), cand, inter, counts,
+      minJaccard)
+  }
+
+  /** Shared admission tail of [[shardDedup]] and [[shardDedupFromIndex]]:
+    * score candidate pairs (LEFT join back to `cand` — a banding false
+    * positive CAN share zero shingles via a min-hash collision without set
+    * overlap; it must still count as a candidate, at Jaccard 0), roll up
+    * per shard doc, pick the deterministic rank-1 best duplicate, and emit
+    * one verdict row per shard doc. `counts` must cover every doc id
+    * appearing in `cand` (both sides).
+    */
+  private def admissionVerdicts(docsShard: DataFrame, cand: DataFrame,
+                                inter: DataFrame, counts: DataFrame,
+                                minJaccard: Double): DataFrame = {
     val scored = cand
       .join(inter, Seq("shard_id", "corpus_id"), "left")
       .na.fill(0L, Seq("n_inter"))
@@ -352,7 +371,7 @@ object DedupOps {
       .filter(col("rn") === 1)
       .select(col("shard_id"), col("corpus_id").as("best_dup_id"),
         col("j").cast("double").as("best_jaccard"))
-    Tables.documents(spark, dir).filter(isShard)
+    docsShard
       .select(col("doc_id"))
       .join(roll.withColumnRenamed("shard_id", "doc_id"), Seq("doc_id"), "left")
       .join(best.withColumnRenamed("shard_id", "doc_id"), Seq("doc_id"), "left")
@@ -361,6 +380,110 @@ object DedupOps {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         col("best_dup_id"), col("best_jaccard"),
         (coalesce(col("n_dup"), lit(0L)) === 0).as("admit"))
+  }
+
+  /** Materialize the corpus-side MinHash admission index in the at-scale
+    * layout [[shardDedup]]'s Scaladoc promises — the same stored-index
+    * discipline as the BM25 postings ([[TextAnalysis.writePostingsIndex]])
+    * and PQ code ([[SimilarityOps.writePqIndex]]) layouts. Three tables,
+    * all maintained by ingest at 100 TB (each admitted shard appends its
+    * own rows — cost linear in the shard, the corpus is never re-scanned):
+    *
+    *  - `<table>_bands`: the 4×2 banding keys (doc_id, band, bkey),
+    *    bucketed AND sorted by (band, bkey) — an oversized shard probe
+    *    sort-merges against it with the exchange on the SHARD side only;
+    *  - `<table>_shingles`: the distinct (doc_id, shingle) exact-verify
+    *    index, bucketed by doc_id;
+    *  - `<table>_counts`: per-doc distinct-shingle counts (derived from
+    *    the STORED shingle table, so count and index cannot disagree).
+    *
+    * The corpus tokenizer pass happens HERE, once, at index-build time —
+    * at probe time corpus text does not exist in the plan at all.
+    */
+  def writeMinhashIndex(spark: SparkSession, dir: String,
+                        table: String = "minhash_index",
+                        buckets: Int = 16): Unit = {
+    // the index owns its layout: clear both the catalog entry AND any stale
+    // managed location (an interrupted build leaves the directory behind
+    // without a catalog row, which CTAS then refuses to overwrite)
+    Seq(s"${table}_bands", s"${table}_shingles", s"${table}_counts")
+      .foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    val isCorpus = col("doc_id") % 10 =!= 7
+    val ex = explodedShingles(spark, dir, isCorpus, distinctShingles = false)
+      .withColumn("h", mdhash(col("s")))
+    bandKeys(signaturesFrom(ex))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+      .format("parquet").saveAsTable(s"${table}_bands")
+    ex.select(col("doc_id"), col("s")).distinct()
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${table}_shingles")
+    spark.table(s"${table}_shingles")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .write.mode("overwrite")
+      .format("parquet").saveAsTable(s"${table}_counts")
+  }
+
+  /** [[shardDedup]] probing the STORED corpus index
+    * ([[writeMinhashIndex]]) instead of deriving it inline — the form that
+    * actually runs at 100 TB, spec-asserted row-identical to the live gate.
+    * The only `documents` scans left in the plan are the SHARD's (its
+    * shingles + the final verdict join); every corpus-derived input comes
+    * from the index tables:
+    *
+    *  - band probe: broadcast(shard bands) ⋈ stored bands — zero exchange
+    *    on the index side (a shard too large to broadcast degrades to a
+    *    sort-merge where the (band, bkey) bucketing keeps the exchange off
+    *    the index side — the layout's second job);
+    *  - exact verify: stored shingles broadcast-semi-pruned to candidate
+    *    corpus ids ([[shardDedup]]'s candidate-bounded discipline), stored
+    *    counts pruned the same way — no probe-time exchange is ever
+    *    corpus-sized.
+    */
+  def shardDedupFromIndex(spark: SparkSession, dir: String,
+                          table: String = "minhash_index",
+                          minJaccard: Double = 0.5): DataFrame = {
+    val isShard = col("doc_id") % 10 === 7
+    val ex = explodedShingles(spark, dir, isShard, distinctShingles = false)
+      .withColumn("h", mdhash(col("s")))
+    val shardBands = bandKeys(signaturesFrom(ex))
+    // shard-bounded by the admission premise (a shard is one ingest batch,
+    // not a corpus); guarded like shardDedup's candIds broadcast — past the
+    // bound the hint is dropped and the bucketed layout carries the join
+    val shardSmall = Tables.rowCount(spark, dir, "documents") <= 8000000L
+    val probe = if (shardSmall) broadcast(shardBands) else shardBands
+    val cand = probe.as("x")
+      .join(spark.table(s"${table}_bands").as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("shard_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+      .cache()
+    val corpusIds = cand.select(col("corpus_id").as("doc_id")).distinct()
+    val prunedCorpusIds =
+      if (shardSmall || corpusIds.count() <= 8000000L) broadcast(corpusIds)
+      else corpusIds
+    val exCorpus = spark.table(s"${table}_shingles")
+      .join(prunedCorpusIds, Seq("doc_id"), "left_semi")
+    val exShard = ex.select(col("doc_id"), col("s")).distinct()
+    val counts = exShard.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .union(spark.table(s"${table}_counts")
+        .join(prunedCorpusIds, Seq("doc_id"), "left_semi"))
+    val inter = cand
+      .join(exShard.as("a"), col("shard_id") === col("a.doc_id"))
+      .join(exCorpus.as("b"),
+        col("corpus_id") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy("shard_id", "corpus_id")
+      .agg(count(lit(1)).as("n_inter"))
+    admissionVerdicts(
+      Tables.documents(spark, dir).filter(isShard), cand, inter, counts,
+      minJaccard)
   }
 
   /** Duplicate clusters: connected components over the MinHash-LSH candidate
