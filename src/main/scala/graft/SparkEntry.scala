@@ -120,6 +120,9 @@ object SparkEntry {
     // algorithm here while dedup_clusters times the materialized-view read
     "dedup_clusters_fresh" -> ((s, d) => DedupOps.dedupClustersFresh(s, d)),
     "dedup_select"    -> ((s, d) => CurationOps.dedupSelect(s, d)),
+    // topic balancing: at most `cap` docs per semantic (embedding τ-near)
+    // cluster, ranked by the deterministic dedup_select election rule
+    "cluster_cap_sample" -> ((s, d) => CurationOps.clusterCapSample(s, d)),
     // eval-integrity split: hash of the near-dup CLUSTER id, so near-dups
     // can never straddle train/val/test
     "leakage_split"   -> ((s, d) => CurationOps.leakageSplit(s, d)),
@@ -266,6 +269,7 @@ object SparkEntry {
     "dedup_clusters"  -> TextSql.dedupClustersSql,
     "dedup_clusters_fresh" -> TextSql.dedupClustersSql,
     "dedup_select"    -> TextSql.dedupSelectSql,
+    "cluster_cap_sample" -> TextSql.clusterCapSampleSql,
     "leakage_split"   -> TextSql.leakageSplitSql,
     "decontaminate"   -> TextSql.decontaminateSql,
     // bit-identical to the exact form by construction — same oracle

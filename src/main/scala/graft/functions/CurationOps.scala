@@ -354,6 +354,40 @@ object CurationOps {
         col("canonical_id"), (col("doc_id") === col("canonical_id")).as("keep"))
   }
 
+  /** Per-semantic-cluster cap sampling — the topic-balancing policy the
+    * [[SimilarityOps.semanticClusters]] handle exists for ("at most n
+    * examples per semantic cluster", the Abbas et al. SemDeDup follow-up):
+    * every document joins its embedding's τ-near component (singletons are
+    * their own cluster, as in [[leakageSplit]]), members rank
+    * deterministically by length (n_chars desc, doc_id asc — the
+    * [[dedupSelect]] election rule generalized from keep-1 to keep-cap),
+    * and `keep = rank <= cap`.
+    *
+    * Scale shape: the cluster map is EDGE-bounded (τ-near pairs, never
+    * corpus-wide); the join back to documents moves (id, cluster) pairs
+    * only; both windows (size, rank) share one partitioning on cluster_id,
+    * so a single exchange of (id, cluster, n_chars) triples — no text —
+    * serves the whole policy.
+    */
+  def clusterCapSample(spark: SparkSession, dir: String,
+                       cap: Int = 2): DataFrame = {
+    val cl = SimilarityOps.semanticClusters(spark, dir)
+      .select(col("vec_id"), col("cluster_id"))
+    val assign = Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(cl, Seq("vec_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+      .withColumnRenamed("vec_id", "doc_id")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val byCluster = Window.partitionBy("cluster_id")
+    assign.join(docs, Seq("doc_id"))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .withColumn("rank", row_number().over(
+        byCluster.orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+        col("cluster_size"), col("rank").cast("long").as("rank"),
+        (col("rank") <= cap).as("keep"))
+  }
+
   /** The curation pipeline composed as ONE relational query — the capstone
     * a training-data run actually executes, not three separate audits:
     *

@@ -685,6 +685,24 @@ object TextSql {
        |  vec_id = cluster_id AS keep
        |FROM labels""".stripMargin
 
+  // Cluster-cap sampling (CurationOps.clusterCapSample): the semantic
+  // clusters (reused verbatim as a nested CTE so the two oracles cannot
+  // drift), singletons self-clustered, members ranked by (n_chars desc,
+  // doc_id) with keep = rank <= 2
+  val clusterCapSampleSql: String =
+    s"""WITH sc AS ($semanticClustersSql),
+       |assign AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    COALESCE(sc.cluster_id, e.vec_id) AS cluster_id
+       |  FROM embeddings e LEFT JOIN sc ON sc.vec_id = e.vec_id)
+       |SELECT doc_id, cluster_id, n_chars,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank,
+       |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |    ORDER BY n_chars DESC, doc_id) <= 2 AS keep
+       |FROM assign JOIN documents USING (doc_id)""".stripMargin
+
   // kNN graph (SimilarityOps.knnGraph): within-cell pairwise cosine,
   // per-vector top-5 window — the all-vectors generalization of ivfTopKSql
   val knnGraphSql: String =

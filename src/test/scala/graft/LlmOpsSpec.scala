@@ -757,6 +757,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_._1).toSet == edges.flatMap(e => Seq(e._1, e._2)).toSet)
   }
 
+  test("cluster_cap_sample: at most cap keeps per semantic cluster, singletons always kept") {
+    val cap = 2
+    val rows = graft.functions.CurationOps.clusterCapSample(spark, sfTiny, cap)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("cluster_id")),
+        r.getLong(r.fieldIndex("cluster_size")),
+        r.getLong(r.fieldIndex("rank")),
+        r.getBoolean(r.fieldIndex("keep"))))
+    // one verdict per embedded doc — the policy must judge the whole corpus
+    val nVecs = spark.read.parquet(s"$sfTiny/embeddings.parquet").count()
+    assert(rows.length == nVecs, "not every embedded doc got a verdict")
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._5) == math.min(cap, members.length),
+        s"cluster $cid: keeps != min(cap, size)")
+      assert(members.forall(m => m._3 == members.length), s"cluster $cid: bad size")
+      assert(members.map(_._4).sorted.toSeq == (1L to members.length).toSeq,
+        s"cluster $cid: ranks not consecutive")
+      // the kept members are exactly the top-ranked ones
+      members.foreach(m => assert(m._5 == (m._4 <= cap)))
+    }
+    // singleton docs (no τ-near neighbor) form their own cluster and survive
+    val singles = rows.filter(_._3 == 1)
+    assert(singles.nonEmpty && singles.forall(_._5), "singletons not all kept")
+    // the cluster map agrees with semantic_clusters on clustered vectors
+    val sc = SimilarityOps.semanticClusters(spark, sfTiny).collect()
+      .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        r.getLong(r.fieldIndex("cluster_id"))).toMap
+    val byDoc = rows.map(r => r._1 -> r._2).toMap
+    sc.foreach { case (v, c) => assert(byDoc(v) == c,
+      s"doc $v: cap-sample cluster ${byDoc(v)} != semantic cluster $c") }
+    // non-vacuous: some cluster actually exceeds the cap
+    assert(rows.exists(r => r._3 > cap), "no cluster above cap — policy untested")
+  }
+
   test("minhash_containment: dominates jaccard on shared pairs and is a true max") {
     val cont = DedupOps.minhashContainment(spark, sfTiny).collect()
       .map(r => ((r.getLong(0), r.getLong(1)),
