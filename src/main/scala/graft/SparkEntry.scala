@@ -182,6 +182,9 @@ object SparkEntry {
     "semdedup"        -> ((s, d) => SimilarityOps.semDedup(s, d)),
     // connected components over the same τ-near graph (semantic clusters)
     "semantic_clusters" -> ((s, d) => SimilarityOps.semanticClusters(s, d)),
+    // the un-memoized fixpoint (semantic_clusters times the view read)
+    "semantic_clusters_fresh" -> ((s, d) =>
+      SimilarityOps.semanticClustersFresh(s, d)),
     "token_counts"    -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "quality_filter"  -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     // CCNet-style reference-frequency scoring (exact-arithmetic LM proxy)
@@ -301,6 +304,7 @@ object SparkEntry {
     "hybrid_topk"     -> TextSql.hybridTopKSql,
     "semdedup"        -> TextSql.semDedupSql,
     "semantic_clusters" -> TextSql.semanticClustersSql,
+    "semantic_clusters_fresh" -> TextSql.semanticClustersSql,
     "token_counts"    -> TextSql.tokenCountsSql,
     "quality_filter"  -> TextSql.qualityFilterSql,
     "freq_score"      -> TextSql.freqScoreSql,
