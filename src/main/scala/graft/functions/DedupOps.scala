@@ -402,10 +402,25 @@ object DedupOps {
     */
   def writeMinhashIndex(spark: SparkSession, dir: String,
                         table: String = "minhash_index",
-                        buckets: Int = 16): Unit = {
-    // the index owns its layout: clear both the catalog entry AND any stale
-    // managed location (an interrupted build leaves the directory behind
-    // without a catalog row, which CTAS then refuses to overwrite)
+                        buckets: Int = 16): Unit =
+    writeMinhashGeneration(spark, dir, col("doc_id") % 10 =!= 7, table,
+      buckets)
+
+  /** Index ONE document subset (the `docFilter` predicate) into its own
+    * generation of the three-table layout — the ingest-lifecycle move:
+    * after a shard passes the admission gate, its ADMITTED docs are indexed
+    * as a delta generation (cost linear in the shard; the corpus is never
+    * re-scanned) and the next shard probes base ∪ deltas via
+    * [[shardDedupFromGenerations]]. Docs are append-only (each doc_id lives
+    * in exactly one generation) — the same discipline as the BM25
+    * generations in [[TextAnalysis.writePostingsGeneration]]; a replayed
+    * doc id is the self-rejection case the spec pins, not an update.
+    */
+  /** An index writer owns its layout: clear both the catalog entries AND
+    * any stale managed locations (an interrupted build leaves the directory
+    * behind without a catalog row, which CTAS then refuses to overwrite).
+    */
+  private def clearIndexLayout(spark: SparkSession, table: String): Unit =
     Seq(s"${table}_bands", s"${table}_shingles", s"${table}_counts")
       .foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -414,8 +429,13 @@ object DedupOps {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
       }
-    val isCorpus = col("doc_id") % 10 =!= 7
-    val ex = explodedShingles(spark, dir, isCorpus, distinctShingles = false)
+
+  def writeMinhashGeneration(spark: SparkSession, dir: String,
+                             docFilter: Column,
+                             table: String,
+                             buckets: Int = 16): Unit = {
+    clearIndexLayout(spark, table)
+    val ex = explodedShingles(spark, dir, docFilter, distinctShingles = false)
       .withColumn("h", mdhash(col("s")))
     bandKeys(signaturesFrom(ex))
       .write.mode("overwrite")
@@ -449,7 +469,26 @@ object DedupOps {
     */
   def shardDedupFromIndex(spark: SparkSession, dir: String,
                           table: String = "minhash_index",
-                          minJaccard: Double = 0.5): DataFrame = {
+                          minJaccard: Double = 0.5): DataFrame =
+    shardDedupFromGenerations(spark, dir, Seq(table), minJaccard)
+
+  /** The admission probe over base ∪ delta generations
+    * ([[writeMinhashGeneration]]): each generation's three tables union
+    * BELOW the probe joins, so every generation scan keeps its own
+    * bucketing/pruning and the probe cost stays candidates-bounded
+    * regardless of generation count; [[compactMinhashIndex]] folds deltas
+    * back into one base when fan-in grows. Counts are distinct-unioned: a
+    * REPLAYED shard doc (present in a generation) contributes the same
+    * (doc_id, n_sh) row from both the live shard side and the stored side —
+    * and dedupes to one, so the self-pair scores Jaccard 1.0 and the doc
+    * self-rejects (the idempotent-replay semantics the spec pins).
+    */
+  def shardDedupFromGenerations(spark: SparkSession, dir: String,
+                                tables: Seq[String],
+                                minJaccard: Double = 0.5): DataFrame = {
+    require(tables.nonEmpty, "at least one index generation required")
+    def gen(suffix: String): DataFrame =
+      tables.map(t => spark.table(s"$t$suffix")).reduce(_ unionByName _)
     val isShard = col("doc_id") % 10 === 7
     val ex = explodedShingles(spark, dir, isShard, distinctShingles = false)
       .withColumn("h", mdhash(col("s")))
@@ -460,7 +499,7 @@ object DedupOps {
     val shardSmall = Tables.rowCount(spark, dir, "documents") <= 8000000L
     val probe = if (shardSmall) broadcast(shardBands) else shardBands
     val cand = probe.as("x")
-      .join(spark.table(s"${table}_bands").as("y"),
+      .join(gen("_bands").as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("shard_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
@@ -469,12 +508,13 @@ object DedupOps {
     val prunedCorpusIds =
       if (shardSmall || corpusIds.count() <= 8000000L) broadcast(corpusIds)
       else corpusIds
-    val exCorpus = spark.table(s"${table}_shingles")
+    val exCorpus = gen("_shingles")
       .join(prunedCorpusIds, Seq("doc_id"), "left_semi")
     val exShard = ex.select(col("doc_id"), col("s")).distinct()
     val counts = exShard.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      .union(spark.table(s"${table}_counts")
+      .union(gen("_counts")
         .join(prunedCorpusIds, Seq("doc_id"), "left_semi"))
+      .distinct()
     val inter = cand
       .join(exShard.as("a"), col("shard_id") === col("a.doc_id"))
       .join(exCorpus.as("b"),
@@ -484,6 +524,27 @@ object DedupOps {
     admissionVerdicts(
       Tables.documents(spark, dir).filter(isShard), cand, inter, counts,
       minJaccard)
+  }
+
+  /** Compaction: merge index generations back into one bucketed base
+    * (same discipline as [[TextAnalysis.compactPostings]]) — one bucketed
+    * rewrite of each table's union, after which probes pay
+    * single-generation fan-in again. Spec-asserted: a probe over the
+    * compacted base is row-identical to the multi-generation probe.
+    */
+  def compactMinhashIndex(spark: SparkSession, tables: Seq[String],
+                          outTable: String, buckets: Int = 16): Unit = {
+    clearIndexLayout(spark, outTable)
+    def merge(suffix: String) =
+      tables.map(t => spark.table(s"$t$suffix")).reduce(_ unionByName _)
+    merge("_bands").write.mode("overwrite")
+      .bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+      .format("parquet").saveAsTable(s"${outTable}_bands")
+    merge("_shingles").write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${outTable}_shingles")
+    merge("_counts").write.mode("overwrite")
+      .format("parquet").saveAsTable(s"${outTable}_counts")
   }
 
   /** Duplicate clusters: connected components over the MinHash-LSH candidate

@@ -100,6 +100,40 @@ class LlmOpsSpec extends SparkSpec {
       s"stored-index probe became an all-pairs join:\n$plan")
   }
 
+  test("minhash index generations: admitted docs append as a delta, replay self-rejects, compaction is row-identical") {
+    DedupOps.writeMinhashIndex(spark, sfTiny, "mhgen_base", buckets = 8)
+    val verdicts = DedupOps.shardDedupFromIndex(spark, sfTiny, "mhgen_base")
+      .collect()
+    val admitted = verdicts.filter(_.getBoolean(5)).map(_.getLong(0))
+    assert(admitted.nonEmpty, "no admitted docs — lifecycle test degenerate")
+    // the ingest lifecycle: admitted docs join the corpus as a generation
+    // (cost linear in the shard — the base index is untouched)
+    DedupOps.writeMinhashGeneration(spark, sfTiny,
+      col("doc_id").isin(admitted: _*), "mhgen_delta", buckets = 8)
+    val replay = DedupOps.shardDedupFromGenerations(spark, sfTiny,
+      Seq("mhgen_base", "mhgen_delta")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    admitted.foreach { id =>
+      val r = replay(id)
+      assert(!r.getBoolean(5), s"replayed doc $id re-admitted — not idempotent")
+      assert(r.getDouble(4) == 1.0, s"replayed doc $id best_jaccard != 1.0: $r")
+    }
+    // docs rejected against the base stay rejected (the delta only adds)
+    verdicts.filterNot(_.getBoolean(5)).foreach { r =>
+      assert(!replay(r.getLong(0)).getBoolean(5),
+        s"doc ${r.getLong(0)} rejected by base but admitted after append")
+    }
+    // compaction: one bucketed rewrite, probe row-identical to the fan-in
+    DedupOps.compactMinhashIndex(spark, Seq("mhgen_base", "mhgen_delta"),
+      "mhgen_compact", buckets = 8)
+    val compacted = DedupOps.shardDedupFromIndex(spark, sfTiny, "mhgen_compact")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val fanin = replay.values.toSeq.map(_.toSeq)
+      .sortBy(_.head.asInstanceOf[Long])
+    assert(compacted.toSeq == fanin,
+      "compacted probe differs from the multi-generation probe")
+  }
+
   test("lsh_recall: empirical S-curve — monotone in similarity, top band fully recalled") {
     val rows = DedupOps.lshRecall(spark, sfTiny)
       .orderBy("band")
