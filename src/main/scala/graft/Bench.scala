@@ -10,7 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      .config("spark.sql.warehouse.dir", Warehouse.dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup pass over the full suite (standard JMH-style

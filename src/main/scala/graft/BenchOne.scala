@@ -16,7 +16,7 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      .config("spark.sql.warehouse.dir", Warehouse.dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = names.map(n => n -> SparkEntry.queries(n))

@@ -26,7 +26,7 @@ object Serve {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      .config("spark.sql.warehouse.dir", Warehouse.dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

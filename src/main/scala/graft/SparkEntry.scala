@@ -109,12 +109,8 @@ object SparkEntry {
     // the same gate probing the STORED corpus index (built once per dir —
     // the 100 TB form: probe-time plans never scan corpus text); same
     // oracle as shard_dedup because the output contract is identical
-    "shard_dedup_indexed" -> ((s, d) => {
-      val t = s"minhash_idx_${Integer.toHexString(d.hashCode & 0x7fffffff)}"
-      if (!s.catalog.tableExists(s"${t}_bands"))
-        DedupOps.writeMinhashIndex(s, d, t)
-      DedupOps.shardDedupFromIndex(s, d, t)
-    }),
+    "shard_dedup_indexed" -> ((s, d) =>
+      DedupOps.shardDedupFromIndex(s, d, DedupOps.memoizedMinhashIndex(s, d))),
     "dedup_clusters"  -> ((s, d) => DedupOps.dedupClusters(s, d)),
     // the un-memoized fixpoint: same result, but BENCH times the iterative
     // algorithm here while dedup_clusters times the materialized-view read

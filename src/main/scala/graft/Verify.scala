@@ -16,7 +16,7 @@ object Verify {
       // an INT64-nanos ts (earlier testdata vintage) read as BIGINT instead
       // of erroring — Tables.tsMicros adapts to whichever type arrives
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      .config("spark.sql.warehouse.dir", Warehouse.dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

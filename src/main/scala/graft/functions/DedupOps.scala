@@ -406,6 +406,70 @@ object DedupOps {
     writeMinhashGeneration(spark, dir, col("doc_id") % 10 =!= 7, table,
       buckets)
 
+  /** Session-memoized stored-index handle for [[shardDedupFromIndex]]:
+    * returns the index table prefix, building it only when missing or
+    * stale. Two hazards the naive `dir.hashCode` + `tableExists` memo had
+    * (ADVICE r8), both closed here:
+    *
+    *  - ALIASING: the table name is derived from an MD5 of the CANONICAL
+    *    dir path (hashCode collisions or `a/../b` spellings of the same dir
+    *    must never alias two corpora onto one index), and the build is
+    *    skipped only when ALL FOUR tables (bands/shingles/counts/meta)
+    *    exist — a build interrupted mid-way fails the completeness check
+    *    instead of failing at probe time;
+    *  - STALENESS: a one-row `_meta` table records the corpus fingerprint
+    *    (row count + max doc_id, read FRESH from the files, bypassing the
+    *    [[graft.sources.Tables]] plan memo) at build time; a mismatch at
+    *    probe time means the documents were regenerated in place, so every
+    *    derived cache for the dir is invalidated and the index rebuilt.
+    */
+  def memoizedMinhashIndex(spark: SparkSession, dir: String): String = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val table = s"minhash_idx_$key"
+    val fp = corpusFingerprint(spark, dir)
+    val complete = Seq("_bands", "_shingles", "_counts", "_meta")
+      .forall(sfx => spark.catalog.tableExists(s"$table$sfx"))
+    val fresh = complete && {
+      val m = spark.table(s"${table}_meta").head()
+      (m.getLong(0), m.getLong(1)) == fp
+    }
+    if (!fresh) {
+      invalidateDerived(dir) // plan/count memos + cluster views are stale too
+      writeMinhashIndex(spark, dir, table)
+      import spark.implicits._
+      Seq(fp).toDF("n_rows", "max_doc_id")
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+    }
+    table
+  }
+
+  /** (row count, max doc_id) of the dir's documents table, read fresh from
+    * the parquet files — deliberately NOT via [[graft.sources.Tables]],
+    * whose memoized file listing is exactly what goes stale when data is
+    * regenerated in place. Footer metadata + one long-column scan.
+    */
+  private def corpusFingerprint(spark: SparkSession, dir: String): (Long, Long) = {
+    val r = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(count(lit(1)).as("n"),
+        coalesce(max(col("doc_id")), lit(-1L)).as("mx")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Invalidate every session cache derived from the dir's data files:
+    * the [[graft.sources.Tables]] plan/count memos plus BOTH memoized
+    * cluster views ([[invalidateClusterCache]] here and its semantic twin
+    * in [[graft.functions.SimilarityOps]] — previously only the dedup one
+    * had an invalidation hook, ADVICE r8). Call after regenerating data
+    * under a live session.
+    */
+  def invalidateDerived(dir: String): Unit = {
+    Tables.invalidate(dir)
+    invalidateClusterCache()
+    SimilarityOps.invalidateSemClusterCache()
+  }
+
   /** Index ONE document subset (the `docFilter` predicate) into its own
     * generation of the three-table layout — the ingest-lifecycle move:
     * after a shard passes the admission gate, its ADMITTED docs are indexed
@@ -421,7 +485,8 @@ object DedupOps {
     * behind without a catalog row, which CTAS then refuses to overwrite).
     */
   private def clearIndexLayout(spark: SparkSession, table: String): Unit =
-    Seq(s"${table}_bands", s"${table}_shingles", s"${table}_counts")
+    Seq(s"${table}_bands", s"${table}_shingles", s"${table}_counts",
+        s"${table}_meta")
       .foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
         val p = new org.apache.hadoop.fs.Path(
@@ -505,16 +570,28 @@ object DedupOps {
       .distinct()
       .cache()
     val corpusIds = cand.select(col("corpus_id").as("doc_id")).distinct()
+    // guarded SOLELY by its own count: the stored index is decoupled from
+    // the probe dir's documents table, so `shardSmall` says nothing about
+    // how many corpus ids a hot band key pulls in — a small shard probing a
+    // large corpus index must still degrade to the shuffle join past the
+    // bound. The count is an agg over the cached `cand`, so it's cheap.
     val prunedCorpusIds =
-      if (shardSmall || corpusIds.count() <= 8000000L) broadcast(corpusIds)
+      if (corpusIds.count() <= 8000000L) broadcast(corpusIds)
       else corpusIds
     val exCorpus = gen("_shingles")
       .join(prunedCorpusIds, Seq("doc_id"), "left_semi")
     val exShard = ex.select(col("doc_id"), col("s")).distinct()
+    // aggregated, NOT distinct-unioned: a replayed shard doc contributes a
+    // (doc_id, n_sh) row from both the live side and the stored side — when
+    // they agree the max collapses them exactly like distinct did, and if
+    // tokenizer drift ever makes them DISagree, one row per doc_id still
+    // survives, so the inner count joins in admissionVerdicts can never
+    // silently multiply scored rows (a drifted count shifts a score — loud
+    // in the oracle — rather than duplicating pairs).
     val counts = exShard.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       .union(gen("_counts")
         .join(prunedCorpusIds, Seq("doc_id"), "left_semi"))
-      .distinct()
+      .groupBy("doc_id").agg(max(col("n_sh")).as("n_sh"))
     val inter = cand
       .join(exShard.as("a"), col("shard_id") === col("a.doc_id"))
       .join(exCorpus.as("b"),

@@ -521,6 +521,15 @@ object SimilarityOps {
       }
     }
 
+  /** Drop every memoized semantic-cluster view — the twin of
+    * [[graft.functions.DedupOps.invalidateClusterCache]] (previously only
+    * the dedup view had a hook, so regenerated data could keep serving a
+    * stale semantic component map for the session — ADVICE r8). Both are
+    * called together by [[graft.functions.DedupOps.invalidateDerived]].
+    */
+  def invalidateSemClusterCache(): Unit =
+    semClusterCache.synchronized(semClusterCache.clear())
+
   /** The un-memoized fixpoint — same result as [[semanticClusters]], but
     * BENCH times the iterative min-label engine here while
     * `semantic_clusters` times the materialized-view read.

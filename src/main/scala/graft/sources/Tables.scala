@@ -83,6 +83,20 @@ object Tables {
   def rowCount(spark: SparkSession, dir: String, name: String): Long =
     countMemo.getOrElseUpdate((spark, dir, name), table(spark, dir, name).count())
 
+  /** Evict every memoized plan and count for `dir` — required after data
+    * under the dir is regenerated in place, because the cached analyzed
+    * plans hold the OLD file listing (and the counts the old cardinality).
+    * Derived-view caches are evicted alongside by
+    * `graft.functions.DedupOps.invalidateDerived`.
+    */
+  def invalidate(dir: String): Unit = {
+    memo.synchronized {
+      val it = memo.keySet.iterator()
+      while (it.hasNext) if (it.next()._2 == dir) it.remove()
+    }
+    countMemo.keys.filter(_._2 == dir).foreach(countMemo.remove)
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")

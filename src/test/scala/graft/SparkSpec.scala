@@ -13,7 +13,7 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
+    .config("spark.sql.warehouse.dir", s"${Warehouse.dir}-test")
     .getOrCreate()
 
   val sfTiny = "/root/testdata/sf0.001"
