@@ -159,6 +159,12 @@ object SparkEntry {
     // flatMap on the engine side vs a set-based unnest in the oracle)
     "frame_sample"    -> ((s, d) =>
       MultimodalOps.sampleFramesStub(s, MultimodalOps.mediaTable(s, d)).toDF),
+    // codec-free media near-dup: byte-window MinHash-LSH over the blob
+    // column (reuses the text banding engine on byte shingles), and
+    // frame-hash overlap with stop-frame pruning — media curation's dedup
+    // pass without ever decoding a container
+    "media_dedup"     -> ((s, d) => MultimodalOps.mediaDedup(s, d)),
+    "frame_dedup"     -> ((s, d) => MultimodalOps.frameDedup(s, d)),
     "asof_price_join" -> ((s, d) => AsofJoin.marketOrdersWithAsofPrice(s, d)),
     "label_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
     "ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
@@ -289,6 +295,8 @@ object SparkEntry {
     "lsh_topk"        -> TextSql.lshTopKSql,
     "multimodal_meta" -> TextSql.multimodalMetaSql,
     "frame_sample"    -> TextSql.frameSampleSql,
+    "media_dedup"     -> TextSql.mediaDedupSql,
+    "frame_dedup"     -> TextSql.frameDedupSql,
     "asof_price_join" -> TextSql.asofPriceJoinSql,
     "label_centroids" -> TextSql.labelCentroidsSql,
     "ivf_topk"        -> TextSql.ivfTopKSql,

@@ -148,6 +148,33 @@ object DedupOps {
     (inter, counts)
   }
 
+  /** The full MinHash-LSH near-dup pipeline over an ARBITRARY distinct
+    * (doc_id, s) shingle frame: 8-perm signatures → 4×2 banding self-join
+    * for candidates → exact shingle-Jaccard verify on candidates only —
+    * the [[ngramJaccardLsh]] discipline with the shingle definition
+    * abstracted out, so non-text modalities can reuse it wholesale
+    * ([[graft.functions.MultimodalOps.mediaDedup]] feeds BYTE-window
+    * shingles of media blobs through here). Cost: Σ bucket² candidates,
+    * never n²; shuffles move 64 B signatures and candidate-bounded
+    * shingle rows, never full payloads.
+    */
+  private[graft] def lshJaccardOver(ex: DataFrame, minJaccard: Double): DataFrame = {
+    val sig = signaturesFrom(ex.withColumn("h", mdhash(col("s")))).cache()
+    val bands = bandKeys(sig)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(ex.as("a"), col("id1") === col("a.doc_id"))
+      .join(ex.as("b"), col("id2") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_inter"))
+    jaccardFromInter(inter, counts, minJaccard)
+  }
+
   /** Asymmetric shingle CONTAINMENT on the LSH candidates (Broder 1997:
     * C(A,B) = |A∩B| / |A|) — the partial-duplication detector Jaccard
     * structurally misses: a short document quoted verbatim inside a long

@@ -97,6 +97,85 @@ object MultimodalOps {
     }
   }
 
+  /** Codec-free media-blob near-dup, part 1 of 2: MinHash-LSH over BYTE
+    * shingles of the blob column — fixed 16-byte windows at stride 8 over
+    * `bytes`, so it needs NO decoder and works on any mime type (a
+    * re-encoded JPEG won't match, but re-uploads, partial truncations, and
+    * metadata-stripped copies — the bulk of real media dup mass — share
+    * long byte runs). Reuses the text pipeline's banding + exact-verify
+    * engine ([[DedupOps.lshJaccardOver]]) wholesale: signatures are 64 B
+    * per blob, candidates come from the band join (never all-pairs), and
+    * the blobs themselves are read once for shingling and never shuffled.
+    *
+    * The window arithmetic runs on the BINARY column (`substring` slices
+    * bytes); the corpus stand-in is ASCII text-as-bytes, so the DuckDB
+    * oracle mirrors it with character windows — byte-for-byte identical
+    * on this data, while the Spark plan is the one a real binary corpus
+    * would run.
+    */
+  def mediaDedup(spark: SparkSession, dir: String,
+                 minJaccard: Double = 0.05): DataFrame =
+    DedupOps.lshJaccardOver(mediaByteShingles(spark, dir), minJaccard)
+
+  /** Distinct (doc_id, s) byte-window shingles of the media blobs.
+    * Positions explode CHEAP (an int sequence), the window slice runs
+    * per-row on materialized attributes — the same
+    * optimizer-cannot-duplicate discipline as
+    * [[DedupOps.explodedShingles]] (inline expensive generators get
+    * re-evaluated by InferFiltersFromGenerate).
+    */
+  private def mediaByteShingles(spark: SparkSession, dir: String,
+                                width: Int = 16, stride: Int = 8): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .filter(col("n_bytes") >= width)
+      .select(col("doc_id"), col("bytes"),
+        explode(sequence(lit(0),
+          ((col("n_bytes") - width) / stride).cast("int"))).as("i"))
+      .select(col("doc_id"),
+        expr(s"decode(substring(bytes, i * $stride + 1, $width), 'UTF-8')")
+          .as("s"))
+      .distinct()
+
+  /** Codec-free media near-dup, part 2 of 2: FRAME-hash overlap over the
+    * sampled-frame stream ([[sampleFramesStub]]) — the video analog of
+    * shingle containment: two blobs sharing ≥ `minShare` of their sampled
+    * frames (by content hash) are near-dups even when their containers
+    * differ in length (truncation, re-muxing). Scale shape:
+    *
+    *  - frames join on `frame_hash` — an equi-join on a 16-char digest,
+    *    hash-shuffled, never all-pairs;
+    *  - STOP-FRAME removal first: a hash present in more than `maxDf`
+    *    blobs (black frames, intro cards) would make the pair join
+    *    quadratic in its document frequency — dropped exactly like
+    *    stopwords from a postings list, BEFORE the self-join;
+    *  - per-doc frame counts are computed on the pruned universe, so the
+    *    share denominator matches what the join can actually produce.
+    */
+  def frameDedup(spark: SparkSession, dir: String,
+                 maxDf: Int = 50, minShare: Double = 0.5): DataFrame = {
+    val fr = sampleFramesStub(spark, mediaTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("frame_hash")).distinct()
+    val rare = fr.groupBy("frame_hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("frame_hash")
+    val pruned = fr.join(rare, Seq("frame_hash"), "left_semi").cache()
+    val nf = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_f"))
+    val shared = pruned.as("a").join(pruned.as("b"),
+        col("a.frame_hash") === col("b.frame_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(nf.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_f", "n1"), "id1")
+      .join(nf.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_f", "n2"), "id2")
+      .withColumn("share",
+        bround(col("n_shared").cast("double") / least(col("n1"), col("n2")), 6)
+          .cast("decimal(10,6)"))
+      .filter(col("share") >= minShare)
+      .select(col("id1"), col("id2"), col("n_shared"), col("n1"), col("n2"),
+        col("share").cast("double").as("share"))
+  }
+
   /** Metadata-only query over the media table (oracle-checkable): schema
     * plumbing + hash-derived fake dimensions, never touching a codec. The
     * parquet scan for this query prunes the bytes column entirely.

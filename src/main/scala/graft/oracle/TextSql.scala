@@ -112,14 +112,17 @@ object TextSql {
   // shingles → minhash signatures → banded buckets (no pairing yet):
   // shared by the symmetric candidate CTE below and the asymmetric
   // shard-vs-corpus probe in shardDedupSql
-  private val sigBandsCte: String = {
+  // signatures + banding generated from the shared perms over ANY `sh`
+  // CTE producing distinct (doc_id, s) — word shingles for the text
+  // pipeline, byte windows for the media one (mediaDedupSql)
+  private def sigBandsFrom(shingleCte: String): String = {
     val sigCols = DedupOps.perms.zipWithIndex.map { case ((a, b), k) =>
       s"    MIN(($a * (h % $P) + $b) % $P) AS m$k"
     }.mkString(",\n")
     val bands = (0 until 4).map { b =>
       s"  SELECT doc_id, $b AS band, CAST(m${2 * b} AS VARCHAR) || ':' || CAST(m${2 * b + 1} AS VARCHAR) AS bkey FROM sig"
     }.mkString("\n  UNION ALL\n")
-    s"""${shCte()},
+    s"""$shingleCte,
        |h AS (SELECT doc_id, ${mdh("s")} AS h FROM sh),
        |sig AS (
        |  SELECT doc_id,
@@ -128,6 +131,8 @@ object TextSql {
        |bands AS (
        |$bands)""".stripMargin
   }
+
+  private val sigBandsCte: String = sigBandsFrom(shCte())
 
   // … → candidate pairs: shared by the LSH estimate query and the
   // duplicate-cluster closure
@@ -867,6 +872,72 @@ object TextSql {
        |  substring(md5(substring(text, frame_idx * 64 + 1, 64)), 1, 16)
        |    AS frame_hash
        |FROM idx""".stripMargin
+
+  // Media byte-shingle near-dup mirror (MultimodalOps.mediaDedup): the
+  // blobs are ASCII text-as-bytes, so 16-byte windows at stride 8 over the
+  // binary column equal character windows over text; the sig/band/verify
+  // tail is generated from the SAME perms as the text pipeline.
+  private val mediaShCte: String =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, substring(text, i * 8 + 1, 16) AS s
+       |  FROM (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |        FROM documents WHERE length(text) >= 16) d,
+       |       UNNEST(range(0, CAST((n - 16) // 8 AS INTEGER) + 1)) AS u(i))""".stripMargin
+
+  val mediaDedupSql: String =
+    s"""WITH ${sigBandsFrom(mediaShCte)},
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id1, c.id2, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh a ON c.id1 = a.doc_id
+       |  JOIN sh b ON c.id2 = b.doc_id AND a.s = b.s
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, n_inter, c1.n_sh AS n1, c2.n_sh AS n2,
+       |  CAST(CAST(CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter)
+       |       AS DECIMAL(10,6)) AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN counts c1 ON id1 = c1.doc_id
+       |JOIN counts c2 ON id2 = c2.doc_id
+       |WHERE CAST(CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter)
+       |           AS DECIMAL(10,6)) >= 0.05""".stripMargin
+
+  // Frame-hash near-dup mirror (MultimodalOps.frameDedup): the frame CTE is
+  // frameSampleSql's (char slicing ≡ byte slicing on ASCII), then stop-frame
+  // pruning (df > 50 dropped) before the hash self-join, per-doc counts on
+  // the pruned universe, containment share vs the smaller side.
+  val frameDedupSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |    GREATEST(length(text) // 64, 1) AS n_frames
+       |  FROM documents),
+       |fr AS (
+       |  SELECT DISTINCT doc_id,
+       |    substring(md5(substring(text, i * 64 + 1, 64)), 1, 16) AS frame_hash
+       |  FROM (SELECT doc_id, text,
+       |          UNNEST(range(0, CAST(n_frames AS INTEGER), 4)) AS i
+       |        FROM f)),
+       |rare AS (
+       |  SELECT frame_hash FROM fr GROUP BY frame_hash HAVING COUNT(*) <= 50),
+       |pr AS (SELECT fr.doc_id, fr.frame_hash FROM fr JOIN rare USING (frame_hash)),
+       |nf AS (SELECT doc_id, COUNT(*) AS n_f FROM pr GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+       |  FROM pr a JOIN pr b
+       |    ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, n_shared, n1.n_f AS n1, n2.n_f AS n2,
+       |  CAST(CAST(CAST(n_shared AS DOUBLE) / LEAST(n1.n_f, n2.n_f)
+       |       AS DECIMAL(10,6)) AS DOUBLE) AS share
+       |FROM shared
+       |JOIN nf n1 ON id1 = n1.doc_id
+       |JOIN nf n2 ON id2 = n2.doc_id
+       |WHERE CAST(CAST(n_shared AS DOUBLE) / LEAST(n1.n_f, n2.n_f)
+       |           AS DECIMAL(10,6)) >= 0.5""".stripMargin
 
   // BPE encode mirror (TextAnalysis.bpeEncode): the replace chain is
   // GENERATED from the same frozen vocabulary + pass count the engine
