@@ -124,18 +124,46 @@ object OrderBookStream {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[St], batchId: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
-        val withBucket = batch
-          .withColumn("bucket", pmod(hash(col("pool")), lit(nBuckets)))
-          .persist()
-        // driver sees only the touched BUCKET IDS (≤ nBuckets ints), never data
-        val touched = withBucket.select("bucket").distinct().as[Int].collect()
-        val manifest = readManifest(snapshotPath)
-        touched.foreach { bucket =>
-          val slice = withBucket.filter(col("bucket") === bucket)
-            .drop("bucket").as[St]
-          val merged = manifest.get(bucket) match {
+        mergeSnapshotBatch(batch, batchId, snapshotPath, nBuckets)
+      }
+      .start()
+
+  /** The per-batch MERGE body of [[snapshotSink]], extracted so the crash
+    * protocol is directly testable: `failpoint` (test-only; no-op in
+    * production) runs at the WIDEST crash window — after every new version
+    * dir is fully written, before the manifest commit. The protocol's
+    * claim, pinned by `SnapshotCrashSpec`: a crash anywhere before the
+    * ATOMIC_MOVE leaves readers on the previous manifest (complete old
+    * versions — the new dirs are orphans, not corruption), and replaying
+    * the batch rewrites the same `v<batchId>` dirs and commits an
+    * identical manifest (idempotent, ST6).
+    */
+  private[graft] def mergeSnapshotBatch(batch: Dataset[St], batchId: Long,
+      snapshotPath: String, nBuckets: Int,
+      failpoint: () => Unit = () => ()): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val withBucket = batch
+      .withColumn("bucket", pmod(hash(col("pool")), lit(nBuckets)))
+      .persist()
+    // driver sees only the touched BUCKET IDS (≤ nBuckets ints), never data
+    val touched = withBucket.select("bucket").distinct().as[Int].collect()
+    val manifest = readManifest(snapshotPath)
+    touched.foreach { bucket =>
+      val slice = withBucket.filter(col("bucket") === bucket)
+        .drop("bucket").as[St]
+      manifest.get(bucket) match {
+        // REPLAY of an already-committed bucket (foreachBatch is
+        // at-least-once: a crash after the manifest commit but before the
+        // CHECKPOINT commit re-delivers the batch with the manifest
+        // already at v<batchId>): the committed dir already holds this
+        // batch's post-merge result, and merging "on top of itself" would
+        // read b<bucket>/v<batchId> while overwriting the same path —
+        // Spark deletes the target mid-scan (FAILED_READ_FILE, data
+        // loss). Skip: genuine idempotence, found by SnapshotCrashSpec.
+        case Some(v) if v == batchId => ()
+        case prior =>
+          val merged = prior match {
             case Some(v) =>
               val existing = spark.read.parquet(s"$snapshotPath/b$bucket/v$v").as[St]
               existing.join(slice.select(col("pool"), col("trader")),
@@ -144,19 +172,20 @@ object OrderBookStream {
             case None => slice
           }
           merged.write.mode("overwrite").parquet(s"$snapshotPath/b$bucket/v$batchId")
-        }
-        withBucket.unpersist()
-        // commit point: all new version dirs are complete
-        writeManifest(snapshotPath, manifest ++ touched.map(_ -> batchId))
-        // GC superseded versions of the buckets this batch rewrote
-        touched.foreach { bucket =>
-          val dir = new java.io.File(s"$snapshotPath/b$bucket")
-          Option(dir.listFiles()).getOrElse(Array.empty)
-            .filter(f => f.getName.startsWith("v") && f.getName != s"v$batchId")
-            .foreach(deleteRecursively)
-        }
       }
-      .start()
+    }
+    withBucket.unpersist()
+    failpoint()
+    // commit point: all new version dirs are complete
+    writeManifest(snapshotPath, manifest ++ touched.map(_ -> batchId))
+    // GC superseded versions of the buckets this batch rewrote
+    touched.foreach { bucket =>
+      val dir = new java.io.File(s"$snapshotPath/b$bucket")
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("v") && f.getName != s"v$batchId")
+        .foreach(deleteRecursively)
+    }
+  }
 
   /** Manifest-aware snapshot reader: the union of every bucket's current
     * version. The manifest is the single commit point, so this never
