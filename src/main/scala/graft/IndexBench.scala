@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.{DedupOps, SimilarityOps, TextAnalysis}
+
+/** At-scale index lifecycle bench (round-9 verdict item 1): time each
+  * stored-index BUILD and its probe-vs-live crossover at the given dir —
+  * the numbers that justify the stored layouts' existence. One JSON line
+  * on stdout:
+  *
+  * {{{ {"metric":"index_bench","builds":{...},"probes":{...},"sf":dir} }}}
+  *
+  * Builds are one-time (amortized over every subsequent probe); probes are
+  * per-query. The crossover claim: probe_from_index < live recompute, and
+  * the gap widens with corpus size because the probe never scans corpus
+  * text. Usage: runMain graft.IndexBench [sfDir] [reps]
+  */
+object IndexBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", Warehouse.dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    // best-of-reps for PROBES (steady state is the honest per-query number
+    // on this steal-prone VM); builds are one-shot by nature but still get
+    // reps so a steal burst can't masquerade as build cost
+    def best(body: => Unit): Double = (1 to reps).map(_ => t(body)).min
+
+    val pqPath = s"/tmp/graft-ib-pq-${ProcessHandle.current().pid()}"
+    val cellPath = s"/tmp/graft-ib-cell-${ProcessHandle.current().pid()}"
+
+    // warmup: classloading + codegen settle on the live forms first
+    DedupOps.shardDedup(spark, sfDir).collect()
+    TextAnalysis.bm25TopK(spark, sfDir).collect()
+
+    val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val probes = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    builds("minhash_index") = best(DedupOps.writeMinhashIndex(spark, sfDir, "ib_minhash"))
+    probes("shard_dedup_live") = best(DedupOps.shardDedup(spark, sfDir).collect())
+    probes("shard_dedup_indexed") =
+      best(DedupOps.shardDedupFromIndex(spark, sfDir, "ib_minhash").collect())
+
+    builds("bm25_postings") = best(TextAnalysis.writePostingsIndex(spark, sfDir, "ib_postings"))
+    probes("bm25_live") = best(TextAnalysis.bm25TopK(spark, sfDir).collect())
+    probes("bm25_indexed") =
+      best(TextAnalysis.bm25TopKFromIndex(spark, "ib_postings").collect())
+
+    builds("pq_index") = best(SimilarityOps.writePqIndex(spark, sfDir, pqPath))
+    builds("cell_index") = best(SimilarityOps.writeCellIndex(spark, sfDir, cellPath))
+    // the cell probe: one cell directory-pruned from the stored layout
+    probes("cell_read_1cell") =
+      best(SimilarityOps.readCell(spark, cellPath, 3).collect())
+
+    def fmt(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"index_bench","builds":${fmt(builds)},"probes":${fmt(probes)},"reps":$reps,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -597,13 +597,20 @@ object DedupOps {
       .distinct()
       .cache()
     val corpusIds = cand.select(col("corpus_id").as("doc_id")).distinct()
-    // guarded SOLELY by its own count: the stored index is decoupled from
-    // the probe dir's documents table, so `shardSmall` says nothing about
-    // how many corpus ids a hot band key pulls in — a small shard probing a
-    // large corpus index must still degrade to the shuffle join past the
-    // bound. The count is an agg over the cached `cand`, so it's cheap.
+    // guarded by the INDEX, not the probe dir: the stored index is
+    // decoupled from the dir's documents table, so shard size says nothing
+    // about how many corpus ids a hot band key pulls in. The sound cheap
+    // bound is |corpusIds| ≤ |indexed docs| = Σ row counts of the stored
+    // _counts tables — a parquet-footer-metadata count, NO extra plan
+    // work (the first guard draft ran corpusIds.count() unconditionally,
+    // which forced the whole band-probe join as an extra job per probe
+    // and made the indexed probe 2× SLOWER than the live gate). Only a
+    // genuinely big index pays the exact candidate count before giving up
+    // the broadcast.
+    val indexedDocs = tables.map(t => spark.table(s"${t}_counts").count()).sum
     val prunedCorpusIds =
-      if (corpusIds.count() <= 8000000L) broadcast(corpusIds)
+      if (indexedDocs <= 8000000L || corpusIds.count() <= 8000000L)
+        broadcast(corpusIds)
       else corpusIds
     val exCorpus = gen("_shingles")
       .join(prunedCorpusIds, Seq("doc_id"), "left_semi")

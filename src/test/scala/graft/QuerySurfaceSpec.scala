@@ -25,6 +25,21 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without query: $orphans")
   }
 
+  test("COVERAGE.md header count matches the registered query surface (doc drift guard)") {
+    // round-8 verdict: the doc said "92" while the surface was 112. Pin the
+    // header's "<N> gated queries" to SparkEntry.queries.size so the doc
+    // cannot drift silently again.
+    val header = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("COVERAGE.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.take(10).mkString(" ")
+    val stated = "(\\d+) gated queries".r.findFirstMatchIn(header)
+      .map(_.group(1).toInt)
+    assert(stated.contains(SparkEntry.queries.size),
+      s"COVERAGE.md header says $stated gated queries; " +
+        s"SparkEntry.queries has ${SparkEntry.queries.size}")
+  }
+
   test("approx_distinct: claim holds and HLL estimate is within 5% of exact") {
     import org.apache.spark.sql.functions._
     // the gated claim (15% + 3 slack) must be all-true…
