@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.sources.WireFixture
+import graft.streaming.{IngestDedup, SemIngest, StreamOps, WireStream}
+
+/** Streaming at-scale rehearsal (round-9 verdict item 5): replay the three
+  * stateful ingest pipelines over a full data dir on the ROCKSDB state
+  * store — the 100 TB deployment shape — and record throughput, state
+  * size, and batch-boundary convergence against each pipeline's batch
+  * twin. One JSON line on stdout:
+  *
+  * {{{ {"metric":"stream_bench","streams":{"wire_fold":{"rows":N,
+  *      "seconds":S,"rows_per_sec":R,"batches":B,"state_rows":K,
+  *      "converged":true},...},"sf":dir} }}}
+  *
+  * Sources are FILE streams (chunked parquet + maxFilesPerTrigger), so the
+  * replay exercises real multi-batch state maintenance, not one giant
+  * batch. Convergence is asserted the strong way: the drained stream
+  * output is materialized and except-compared to the batch computation —
+  * the same equivalence the specs pin at sf0.001, here at rehearsal scale.
+  * Usage: runMain graft.StreamBench [sfDir] [filesPerTrigger]
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val perTrigger = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", Warehouse.dir)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val work = s"/tmp/graft-streambench-${ProcessHandle.current().pid()}"
+    val metrics = new StreamOps.MetricsSink()
+    spark.streams.addListener(metrics)
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    def record(name: String, rows: Long, secs: Double, converged: Boolean): Unit = {
+      val ms = metrics.metrics.filter(_.queryName == name)
+      val state = if (ms.isEmpty) 0L else ms.map(_.stateRows).max
+      out(name) = f"""{"rows":$rows,"seconds":$secs%.1f,""" +
+        f""""rows_per_sec":${rows / secs}%.0f,"batches":${ms.size},""" +
+        s""""state_rows":$state,"converged":$converged}"""
+      System.err.println(s"[streambench] $name: ${out(name)}")
+    }
+
+    /** Chunk a batch frame into `n` range-partitioned parquet files so the
+      * file source replays it as ⌈n/perTrigger⌉ micro-batches. */
+    def chunk(df: DataFrame, path: String, byCol: String, n: Int = 32): Long = {
+      df.repartitionByRange(n, col(byCol)).write.mode("overwrite").parquet(path)
+      spark.read.parquet(path).count()
+    }
+    def fileStream(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", perTrigger)
+        .parquet(path)
+    def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Double = {
+      val t0 = System.nanoTime()
+      try q.processAllAvailable() finally q.stop()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // ── 1. wire order fold: streaming aggregation over the full frame log ──
+    {
+      val frames = WireFixture.frames(spark, sfDir)
+      val nRows = chunk(frames, s"$work/frames", "block_number")
+      val pools = WireFixture.pools(spark, sfDir)
+      val tokens = WireFixture.tokens(spark, sfDir)
+      // Update-mode sink: last emitted state per (pool, order_id) — the
+      // driver map is bounded by live orders, not events
+      val state = scala.collection.mutable.Map.empty[(String, Long), org.apache.spark.sql.Row]
+      val q = WireStream.wireOrdersStream(
+          fileStream(s"$work/frames", frames.schema), pools, tokens)
+        .writeStream.outputMode(OutputMode.Update)
+        .option("checkpointLocation", s"$work/ckpt-wire")
+        .queryName("wire_fold")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach { r =>
+            state((r.getAs[String]("pool"), r.getAs[Long]("order_id"))) = r
+          }
+        }.start()
+      val secs = drain(q)
+      val batch = graft.operators.WireOrderFold.wireOrdersCurrent(spark, sfDir)
+      val streamDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(state.values.toSeq), batch.schema)
+      val converged = streamDf.except(batch).isEmpty && batch.except(streamDf).isEmpty &&
+        state.size.toLong == batch.count()
+      record("wire_fold", nRows, secs, converged)
+    }
+
+    // ── 2. LSH admission dedup: per-bucket stateful candidate stream ──
+    {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      val nRows = chunk(docs, s"$work/docs", "doc_id")
+      val q = IngestDedup.candidateStream(
+          fileStream(s"$work/docs", docs.schema))
+        .toDF("id1", "id2", "est_jaccard")
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$work/ckpt-dedup")
+        .queryName("ingest_dedup")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$work/cand-out")
+        }.start()
+      val secs = drain(q)
+      val streamed = spark.read.parquet(s"$work/cand-out").distinct()
+      val batch = graft.functions.DedupOps.minhashLsh(spark, sfDir)
+      val converged = streamed.except(batch).isEmpty && batch.except(streamed).isEmpty
+      record("ingest_dedup", nRows, secs, converged)
+    }
+
+    // ── 3. semantic ingest: per-cell τ-near pair stream ──
+    {
+      val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      val nRows = chunk(vecs, s"$work/vecs", "vec_id")
+      val centroids = graft.functions.SimilarityOps.centroidVectors(spark, sfDir)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+      val q = SemIngest.pairStream(
+          fileStream(s"$work/vecs", vecs.schema), centroids)
+        .toDF("id1", "id2", "cos")
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$work/ckpt-sem")
+        .queryName("sem_ingest")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$work/sem-out")
+        }.start()
+      val secs = drain(q)
+      val streamed = spark.read.parquet(s"$work/sem-out").distinct()
+      val batch = graft.functions.SimilarityOps.semDedupPairs(spark, sfDir)
+        .toDF("id1", "id2", "cos")
+      val converged = streamed.except(batch).isEmpty && batch.except(streamed).isEmpty
+      record("sem_ingest", nRows, secs, converged)
+    }
+
+    val streams = out.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"stream_bench","streams":$streams,"files_per_trigger":$perTrigger,"state_store":"rocksdb","sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
