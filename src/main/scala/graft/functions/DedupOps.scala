@@ -445,43 +445,80 @@ object DedupOps {
     *    exist — a build interrupted mid-way fails the completeness check
     *    instead of failing at probe time;
     *  - STALENESS: a one-row `_meta` table records the corpus fingerprint
-    *    (row count + max doc_id, read FRESH from the files, bypassing the
-    *    [[graft.sources.Tables]] plan memo) at build time; a mismatch at
-    *    probe time means the documents were regenerated in place, so every
-    *    derived cache for the dir is invalidated and the index rebuilt.
+    *    (row count + max doc_id + per-file length/mtime signature, read
+    *    FRESH from the files, bypassing the [[graft.sources.Tables]] plan
+    *    memo) at build time; a mismatch at probe time means the documents
+    *    were regenerated in place — including a regeneration that keeps
+    *    count and max id but rewrites content (ADVICE r9) — so every
+    *    derived cache for the dir is invalidated and the index rebuilt;
+    *  - CONCURRENCY: the check-and-build is serialized per index key
+    *    ([[indexLocks]]) so two in-process callers can't interleave
+    *    DROP/CTAS on the same tables.
     */
+  /** One lock per index key: two concurrent callers for the same dir (e.g.
+    * two Serve requests) must not interleave clearIndexLayout/DROP/CTAS on
+    * the same tables — the in-process twin of the cross-process race the
+    * per-PID warehouse closes (ADVICE r9). `computeIfAbsent` hands both
+    * callers the SAME monitor, so exactly one builder runs per key and the
+    * loser re-checks freshness against the finished build.
+    */
+  private val indexLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def memoizedMinhashIndex(spark: SparkSession, dir: String): String = {
     val canon = new java.io.File(dir).getCanonicalPath
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val table = s"minhash_idx_$key"
-    val fp = corpusFingerprint(spark, dir)
-    val complete = Seq("_bands", "_shingles", "_counts", "_meta")
-      .forall(sfx => spark.catalog.tableExists(s"$table$sfx"))
-    val fresh = complete && {
-      val m = spark.table(s"${table}_meta").head()
-      (m.getLong(0), m.getLong(1)) == fp
-    }
-    if (!fresh) {
-      invalidateDerived(dir) // plan/count memos + cluster views are stale too
-      writeMinhashIndex(spark, dir, table)
-      import spark.implicits._
-      Seq(fp).toDF("n_rows", "max_doc_id")
-        .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+    indexLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      val fp = corpusFingerprint(spark, dir)
+      val complete = Seq("_bands", "_shingles", "_counts", "_meta")
+        .forall(sfx => spark.catalog.tableExists(s"$table$sfx"))
+      val fresh = complete && {
+        val m = spark.table(s"${table}_meta").head()
+        m.length == 3 && (m.getLong(0), m.getLong(1), m.getLong(2)) == fp
+      }
+      if (!fresh) {
+        invalidateDerived(dir) // plan/count memos + cluster views are stale too
+        writeMinhashIndex(spark, dir, table)
+        import spark.implicits._
+        Seq(fp).toDF("n_rows", "max_doc_id", "file_sig")
+          .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+      }
     }
     table
   }
 
-  /** (row count, max doc_id) of the dir's documents table, read fresh from
-    * the parquet files — deliberately NOT via [[graft.sources.Tables]],
-    * whose memoized file listing is exactly what goes stale when data is
-    * regenerated in place. Footer metadata + one long-column scan.
+  /** (row count, max doc_id, file signature) of the dir's documents table,
+    * read fresh from the parquet files — deliberately NOT via
+    * [[graft.sources.Tables]], whose memoized file listing is exactly what
+    * goes stale when data is regenerated in place. The first two come from
+    * footer metadata + one long-column scan; the third folds every data
+    * file's (path, length, mtime) so an IN-PLACE regeneration that happens
+    * to preserve both row count and max doc_id (same scale factor with a
+    * new seed, edited text bodies — ADVICE r9) still flips the
+    * fingerprint: rewriting a parquet file changes its mtime and almost
+    * always its compressed length. Pure file-listing cost — no data read.
+    * (Residual blind spot: a rewrite producing byte-identical length
+    * within the same millisecond — indistinguishable without hashing the
+    * bytes, which would make every probe corpus-sized.)
     */
-  private def corpusFingerprint(spark: SparkSession, dir: String): (Long, Long) = {
+  private def corpusFingerprint(spark: SparkSession, dir: String): (Long, Long, Long) = {
     val r = spark.read.parquet(s"$dir/documents.parquet")
       .agg(count(lit(1)).as("n"),
         coalesce(max(col("doc_id")), lit(-1L)).as("mx")).head()
-    (r.getLong(0), r.getLong(1))
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var sig = 0L // summed per-file terms: independent of listing order
+    while (it.hasNext) {
+      val st = it.next()
+      if (!st.getPath.getName.startsWith("_"))
+        sig += st.getPath.getName.hashCode * 1000003L +
+          st.getLen * 31L + st.getModificationTime
+    }
+    (r.getLong(0), r.getLong(1), sig)
   }
 
   /** Invalidate every session cache derived from the dir's data files:
@@ -569,11 +606,14 @@ object DedupOps {
     * BELOW the probe joins, so every generation scan keeps its own
     * bucketing/pruning and the probe cost stays candidates-bounded
     * regardless of generation count; [[compactMinhashIndex]] folds deltas
-    * back into one base when fan-in grows. Counts are distinct-unioned: a
-    * REPLAYED shard doc (present in a generation) contributes the same
+    * back into one base when fan-in grows. Counts are max-collapsed per
+    * doc_id: a REPLAYED shard doc (present in a generation) contributes a
     * (doc_id, n_sh) row from both the live shard side and the stored side —
-    * and dedupes to one, so the self-pair scores Jaccard 1.0 and the doc
-    * self-rejects (the idempotent-replay semantics the spec pins).
+    * when they agree the max collapses them to one, so the self-pair scores
+    * Jaccard 1.0 and the doc self-rejects (the idempotent-replay semantics
+    * the spec pins); if tokenizer drift ever makes the two counts DISagree,
+    * one row per doc_id still survives, shifting a score (loud in the
+    * oracle) instead of duplicating scored pairs.
     */
   def shardDedupFromGenerations(spark: SparkSession, dir: String,
                                 tables: Seq[String],

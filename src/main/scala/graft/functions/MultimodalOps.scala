@@ -107,11 +107,15 @@ object MultimodalOps {
     * per blob, candidates come from the band join (never all-pairs), and
     * the blobs themselves are read once for shingling and never shuffled.
     *
-    * The window arithmetic runs on the BINARY column (`substring` slices
-    * bytes); the corpus stand-in is ASCII text-as-bytes, so the DuckDB
-    * oracle mirrors it with character windows — byte-for-byte identical
-    * on this data, while the Spark plan is the one a real binary corpus
-    * would run.
+    * The whole pipeline runs on BINARY end to end — window slice, md5,
+    * exact-verify equi-join — with no charset decode anywhere (a UTF-8
+    * decode would collapse every invalid byte sequence to U+FFFD and
+    * alias distinct windows of a real binary blob into equal shingles,
+    * inflating the intersection counts; pinned by `MediaDedupSpec`'s
+    * invalid-UTF-8 case). The corpus stand-in is ASCII text-as-bytes, so
+    * the DuckDB oracle mirrors it with character windows — md5 over the
+    * same bytes either way on this data, while the Spark plan is the one
+    * a real binary corpus would run.
     */
   def mediaDedup(spark: SparkSession, dir: String,
                  minJaccard: Double = 0.05): DataFrame =
@@ -132,8 +136,7 @@ object MultimodalOps {
         explode(sequence(lit(0),
           ((col("n_bytes") - width) / stride).cast("int"))).as("i"))
       .select(col("doc_id"),
-        expr(s"decode(substring(bytes, i * $stride + 1, $width), 'UTF-8')")
-          .as("s"))
+        expr(s"substring(bytes, i * $stride + 1, $width)").as("s"))
       .distinct()
 
   /** Codec-free media near-dup, part 2 of 2: FRAME-hash overlap over the
@@ -158,7 +161,12 @@ object MultimodalOps {
     val rare = fr.groupBy("frame_hash").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("frame_hash")
-    val pruned = fr.join(rare, Seq("frame_hash"), "left_semi").cache()
+    // reused three ways (denominator counts + both self-join sides); rows
+    // are ~24 B (doc_id, 16-char hash) pairs, but at 100 TB frame counts
+    // the set can still outgrow executor memory — MEMORY_AND_DISK spills
+    // instead of silently recomputing the prune per consumer
+    val pruned = fr.join(rare, Seq("frame_hash"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nf = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_f"))
     val shared = pruned.as("a").join(pruned.as("b"),
         col("a.frame_hash") === col("b.frame_hash") &&

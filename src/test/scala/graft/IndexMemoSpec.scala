@@ -64,6 +64,26 @@ class IndexMemoSpec extends SparkSpec {
     assert(spark.table(s"${t1}_meta").head().getLong(0) == metaAfter)
   }
 
+  test("memoized index: content regeneration preserving row count AND max doc_id still rebuilds (file signature)") {
+    val dir = "/tmp/graft-memo-content"
+    writeDocs(dir, lit(true))
+    DedupOps.invalidateDerived(dir)
+    val t = DedupOps.memoizedMinhashIndex(spark, dir)
+    val sigBefore = spark.table(s"${t}_meta").head().getLong(2)
+    // regenerate IN PLACE with the SAME doc_ids (count and max unchanged)
+    // but different text bodies — the ADVICE-r9 blind spot of the
+    // (count, max id) fingerprint; no manual invalidation
+    spark.read.parquet(s"$sfTiny/documents.parquet")
+      .withColumn("text", concat(col("text"), lit(" regenerated corpus body")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t2 = DedupOps.memoizedMinhashIndex(spark, dir)
+    assert(t2 == t)
+    val sigAfter = spark.table(s"${t}_meta").head().getLong(2)
+    assert(sigAfter != sigBefore,
+      "file signature unchanged after content-only regeneration — stale index reused")
+    assert(probe(dir) == live(dir), "post-content-mutation indexed probe != live gate")
+  }
+
   test("memoized index: a partial build (missing table) fails the completeness check and rebuilds") {
     val dir = "/tmp/graft-memo-partial"
     writeDocs(dir, lit(true))

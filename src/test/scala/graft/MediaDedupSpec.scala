@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.MultimodalOps
+import graft.functions.{DedupOps, MultimodalOps}
 
 /** Codec-free media near-dup (round-9 addition): byte-window MinHash-LSH
   * over the blob column and frame-hash overlap over the sampled frames.
@@ -74,5 +74,33 @@ class MediaDedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"frame_dedup became an all-pairs join:\n$plan")
+    // the pruned frame set is persisted and REUSED (denominators + both
+    // join sides read the cache, not three recomputes of the semi-join)
+    assert(plan.contains("InMemoryTableScan"),
+      s"pruned frame set not served from cache:\n$plan")
+  }
+
+  test("byte shingles stay BINARY: distinct invalid-UTF-8 windows never alias (ADVICE r9)") {
+    // Two blobs sharing six valid byte windows plus ONE invalid-UTF-8
+    // window EACH — 0xFFFE… vs 0xFEFF…, distinct as bytes but both
+    // collapsing to U+FFFD runs under a UTF-8 decode. The old
+    // decode(…, 'UTF-8') shingle pipeline would count them as an
+    // intersection (n_inter 7, jaccard 1.0); the binary pipeline must
+    // score exactly the true overlap: n_inter 6 of 7, jaccard 6/8.
+    import spark.implicits._
+    val common = (1 to 6).map(k => f"commonwindow-$k%03d".getBytes("UTF-8"))
+    common.foreach(w => assert(w.length == 16))
+    val inv1 = Array.fill(8)(Seq(0xFF.toByte, 0xFE.toByte)).flatten.toArray
+    val inv2 = Array.fill(8)(Seq(0xFE.toByte, 0xFF.toByte)).flatten.toArray
+    val ex = ((common :+ inv1).map(s => (1L, s)) ++
+              (common :+ inv2).map(s => (2L, s))).toDF("doc_id", "s")
+    val rows = DedupOps.lshJaccardOver(ex, minJaccard = 0.05).collect()
+    assert(rows.length == 1, s"expected the one candidate pair, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getLong(2) == 6L,
+      s"n_inter ${r.getLong(2)} != 6 — invalid byte windows aliased into the intersection")
+    assert(r.getLong(3) == 7L && r.getLong(4) == 7L,
+      s"per-doc distinct window counts collapsed: $r")
+    assert(math.abs(r.getDouble(5) - 0.75) < 1e-9, s"jaccard ${r.getDouble(5)} != 0.75")
   }
 }
