@@ -60,6 +60,12 @@ object IndexBench {
 
     builds("pq_index") = best(SimilarityOps.writePqIndex(spark, sfDir, pqPath))
     builds("cell_index") = best(SimilarityOps.writeCellIndex(spark, sfDir, cellPath))
+    // the super-linear term the r9 sf1 rehearsal surfaced in pq_topk: the
+    // inline form re-runs the corpus-sized encode per call, the stored
+    // probe reads codes/cells/codebook only (bit-exact twin — PqIndexSpec)
+    probes("pq_live") = best(SimilarityOps.pqTopK(spark, sfDir).collect())
+    probes("pq_indexed") =
+      best(SimilarityOps.pqTopKFromIndex(spark, pqPath, cellPath).collect())
     // the cell probe: one cell directory-pruned from the stored layout
     probes("cell_read_1cell") =
       best(SimilarityOps.readCell(spark, cellPath, 3).collect())

@@ -349,16 +349,58 @@ object SimilarityOps {
       .select(col("vec_id"), col("label").as("cell"))
     packed.join(assigned, Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // codebook sidecar: ~|cells| rows of array<double> — the metadata-sized
+    // artifact a from-index probe needs so it never re-derives centroids
+    // from the corpus (sibling path: an in-dir `_centroids` would be
+    // hidden from parquet listings)
+    centroidVectors(spark, dir)
+      .write.mode("overwrite").parquet(s"${path}_centroids")
   }
 
   def pqTopK(spark: SparkSession, dir: String,
              nQueries: Long = 20, k: Int = 3, shortlistC: Int = 16): DataFrame = {
-    val (m, sub) = (pqM, pqSub)
     val cents = centroidVectors(spark, dir) // (label, c: array<double>)
     val codes = pqCodes(spark, dir)
     // ── IVF candidates: the query's cell-mates (the ivfTopK front-end) ──
     val assigned = rankedAssignment(spark, dir, 1).filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("label").as("cell"))
+    pqProbe(spark, cents, codes, assigned, nQueries, k, shortlistC)
+  }
+
+  /** [[pqTopK]] served ENTIRELY from the stored layouts — codes + cells
+    * from [[writePqIndex]], vectors from [[writeCellIndex]], codebook from
+    * the `_centroids` sidecar — so the probe's cost is candidates × m code
+    * rows plus a shortlist-sized vector fetch, independent of how the
+    * corpus was encoded. This is the at-scale form: the inline [[pqTopK]]
+    * (the oracle-gated twin, bit-identical output — `PqIndexSpec`) re-runs
+    * the corpus-sized encode stage ([[pqCodes]] + [[rankedAssignment]])
+    * on every call, which is exactly the super-linear term the round-9 sf1
+    * rehearsal surfaced in `pq_topk`; `IndexBench` measures the two forms
+    * side by side.
+    */
+  def pqTopKFromIndex(spark: SparkSession, pqPath: String, cellPath: String,
+                      nQueries: Long = 20, k: Int = 3,
+                      shortlistC: Int = 16): DataFrame = {
+    val cents = spark.read.parquet(s"${pqPath}_centroids")
+    val stored = spark.read.parquet(pqPath)
+    // codes were packed sorted by s, so posexplode's position IS s
+    val codes = stored.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("s", "code")))
+    val assigned = spark.read.parquet(cellPath)
+      .select(col("vec_id"), col("v"), col("cell"))
+    pqProbe(spark, cents, codes, assigned, nQueries, k, shortlistC)
+  }
+
+  /** The PQ probe pipeline shared by [[pqTopK]] (inline-derived inputs)
+    * and [[pqTopKFromIndex]] (stored layouts): per-query ADC lookup table →
+    * ADC shortlist over the code table → exact re-rank of the C fetched
+    * vectors. Inputs: `cents` (label, c: array<double>) — the sub-quantizer
+    * codebook; `codes` (vec_id, s, code); `assigned` (vec_id, v, cell).
+    */
+  private def pqProbe(spark: SparkSession, cents: DataFrame, codes: DataFrame,
+                      assigned: DataFrame, nQueries: Long, k: Int,
+                      shortlistC: Int): DataFrame = {
+    val (m, sub) = (pqM, pqSub)
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         transform(col("v"), x => x.cast("double")).as("qv"), col("cell"))

@@ -1,0 +1,34 @@
+package graft
+
+import graft.functions.SimilarityOps
+
+/** The stored-layout PQ probe ([[SimilarityOps.pqTopKFromIndex]]) must be
+  * a bit-exact twin of the oracle-gated inline form ([[SimilarityOps
+  * .pqTopK]]) — same ADC shortlist, same exact re-rank — while reading
+  * NOTHING from the corpus: codes + cells from the PQ index, vectors from
+  * the cell index, codebook from the `_centroids` sidecar. The second
+  * assertion pins that property the strong way PlanSpec pins the MinHash
+  * probe: no scan of `embeddings.parquet` anywhere in the physical plan.
+  */
+class PqIndexSpec extends SparkSpec {
+
+  test("pqTopKFromIndex over stored layouts is bit-exact vs inline pqTopK; corpus absent from plan") {
+    val pqPath = "/tmp/graft-pqidx-spec"
+    val cellPath = "/tmp/graft-cellidx-spec"
+    SimilarityOps.writePqIndex(spark, sfTiny, pqPath)
+    SimilarityOps.writeCellIndex(spark, sfTiny, cellPath)
+
+    def canon(rows: Array[org.apache.spark.sql.Row]): Seq[Seq[Any]] =
+      rows.map(_.toSeq).toSeq.sortBy(r =>
+        (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+
+    val probe = SimilarityOps.pqTopKFromIndex(spark, pqPath, cellPath)
+    val live = canon(SimilarityOps.pqTopK(spark, sfTiny).collect())
+    val idx = canon(probe.collect())
+    assert(idx == live, "stored-index PQ probe diverged from the gated inline form")
+
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      s"stored-index PQ probe still scans the corpus:\n$plan")
+  }
+}
