@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** At-scale evidence drift guard (round-9 verdict item 5): round 9 BUILT
+  * the IndexBench/StreamBench harnesses but never ran-and-recorded them,
+  * and nothing failed. This spec makes that gap a test failure: the
+  * recorded evidence JSONs must exist, must cover every stored layout and
+  * every stateful pipeline the code ships, and the newest full-surface
+  * bench evidence must cover the CURRENT query surface — growing
+  * `SparkEntry.queries` without re-running the full-surface evidence run
+  * goes red here, the same discipline `QuerySurfaceSpec` applies to
+  * COVERAGE.md's header count.
+  */
+class EvidenceSpec extends SparkSpec {
+
+  private def read(p: String): String = {
+    val path = Paths.get(p)
+    assert(Files.exists(path), s"missing at-scale evidence file: $p — " +
+      "run the harness and check in its JSON output")
+    new String(Files.readAllBytes(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  test("index bench evidence exists at sf0.1 AND sf1 and covers every stored layout") {
+    for (p <- Seq("tools/index_bench_sf01.json", "tools/index_bench_sf1.json")) {
+      val j = read(p)
+      // every stored layout the code ships must have a recorded build...
+      for (b <- Seq("minhash_index", "bm25_postings", "pq_index", "cell_index"))
+        assert(j.contains("\"" + b + "\""), s"$p: no build timing for $b")
+      // ...and every probe-vs-live crossover claim a recorded pair
+      for (pr <- Seq("shard_dedup_live", "shard_dedup_indexed", "bm25_live",
+        "bm25_indexed", "pq_live", "pq_indexed", "cell_read_1cell"))
+        assert(j.contains("\"" + pr + "\""), s"$p: no probe timing for $pr")
+    }
+  }
+
+  test("streaming rehearsal evidence exists at sf1 on RocksDB and every pipeline converged") {
+    val j = read("tools/stream_bench_sf1.json")
+    assert(j.contains("\"state_store\":\"rocksdb\""),
+      "stream bench evidence was not recorded on the RocksDB provider")
+    for (s <- Seq("wire_fold", "ingest_dedup", "sem_ingest")) {
+      val at = j.indexOf("\"" + s + "\"")
+      assert(at >= 0, s"no stream bench record for pipeline $s")
+      val rec = j.substring(at, math.min(j.length, at + 300))
+      assert(rec.contains("\"converged\":true"),
+        s"pipeline $s recorded without converged:true")
+    }
+  }
+
+  test("newest full-surface bench evidence covers the current query surface") {
+    val dir = new java.io.File("tools")
+    val fullN = "full(\\d+)".r
+    val ns = dir.listFiles().toSeq
+      .filter(f => f.getName.startsWith("bench_evidence") && f.getName.endsWith(".json"))
+      .flatMap(f => fullN.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+    assert(ns.nonEmpty, "no full-surface bench evidence file in tools/")
+    assert(ns.max == SparkEntry.queries.size,
+      s"newest full-surface evidence covers ${ns.max} queries but the " +
+        s"surface is ${SparkEntry.queries.size} — re-run the full evidence " +
+        "bench (tools/bench_evidence_*_full<N>.json)")
+  }
+}
