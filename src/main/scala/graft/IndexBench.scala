@@ -30,6 +30,18 @@ object IndexBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-probe input-bytes accounting: wall-clock on this steal-prone VM
+    // is noisy and the live/indexed CPU gap at toy corpus sizes is small,
+    // but BYTES READ is deterministic and is the quantity that
+    // extrapolates — a probe that reads 64 B/doc signatures instead of
+    // the text column wins at 100 TB regardless of local timings
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    })
+
     def t(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
@@ -37,6 +49,17 @@ object IndexBench {
     // on this steal-prone VM); builds are one-shot by nature but still get
     // reps so a steal burst can't masquerade as build cost
     def best(body: => Unit): Double = (1 to reps).map(_ => t(body)).min
+    val bytes = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // bytes of ONE rep (listener totals are cumulative; divide drift from
+    // Spark's async listener bus away by measuring a single isolated rep)
+    def measured(name: String)(body: => Unit): Double = {
+      val secs = best(body)
+      Thread.sleep(1000) // listener bus is async; settle before/after
+      val b0 = bytesRead.get(); body
+      Thread.sleep(1000)
+      bytes(name) = bytesRead.get() - b0
+      secs
+    }
 
     val pqPath = s"/tmp/graft-ib-pq-${ProcessHandle.current().pid()}"
     val cellPath = s"/tmp/graft-ib-cell-${ProcessHandle.current().pid()}"
@@ -49,32 +72,42 @@ object IndexBench {
     val probes = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     builds("minhash_index") = best(DedupOps.writeMinhashIndex(spark, sfDir, "ib_minhash"))
-    probes("shard_dedup_live") = best(DedupOps.shardDedup(spark, sfDir).collect())
-    probes("shard_dedup_indexed") =
-      best(DedupOps.shardDedupFromIndex(spark, sfDir, "ib_minhash").collect())
+    probes("shard_dedup_live") =
+      measured("shard_dedup_live")(DedupOps.shardDedup(spark, sfDir).collect())
+    probes("shard_dedup_indexed") = measured("shard_dedup_indexed")(
+      DedupOps.shardDedupFromIndex(spark, sfDir, "ib_minhash").collect())
 
     builds("bm25_postings") = best(TextAnalysis.writePostingsIndex(spark, sfDir, "ib_postings"))
-    probes("bm25_live") = best(TextAnalysis.bm25TopK(spark, sfDir).collect())
-    probes("bm25_indexed") =
-      best(TextAnalysis.bm25TopKFromIndex(spark, "ib_postings").collect())
+    probes("bm25_live") =
+      measured("bm25_live")(TextAnalysis.bm25TopK(spark, sfDir).collect())
+    probes("bm25_indexed") = measured("bm25_indexed")(
+      TextAnalysis.bm25TopKFromIndex(spark, "ib_postings").collect())
 
     builds("pq_index") = best(SimilarityOps.writePqIndex(spark, sfDir, pqPath))
     builds("cell_index") = best(SimilarityOps.writeCellIndex(spark, sfDir, cellPath))
     // the super-linear term the r9 sf1 rehearsal surfaced in pq_topk: the
     // inline form re-runs the corpus-sized encode per call, the stored
     // probe reads codes/cells/codebook only (bit-exact twin — PqIndexSpec)
-    probes("pq_live") = best(SimilarityOps.pqTopK(spark, sfDir).collect())
-    probes("pq_indexed") =
-      best(SimilarityOps.pqTopKFromIndex(spark, pqPath, cellPath).collect())
+    probes("pq_live") =
+      measured("pq_live")(SimilarityOps.pqTopK(spark, sfDir).collect())
+    probes("pq_indexed") = measured("pq_indexed")(
+      SimilarityOps.pqTopKFromIndex(spark, pqPath, cellPath).collect())
+    // one query = one probed cell: dynamic partition pruning on the cell
+    // directory column should cut the scan to ~1/|cells| of the stored
+    // layout (PqIndexSpec pins the DPP plan shape; this records the bytes)
+    probes("pq_indexed_1q") = measured("pq_indexed_1q")(
+      SimilarityOps.pqTopKFromIndex(spark, pqPath, cellPath, nQueries = 1).collect())
     // the cell probe: one cell directory-pruned from the stored layout
-    probes("cell_read_1cell") =
-      best(SimilarityOps.readCell(spark, cellPath, 3).collect())
+    probes("cell_read_1cell") = measured("cell_read_1cell")(
+      SimilarityOps.readCell(spark, cellPath, 3).collect())
 
     def fmt(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) =>
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"index_bench","builds":${fmt(builds)},"probes":${fmt(probes)},"reps":$reps,"sf":"$sfDir"}""")
+    val fmtB = bytes.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"index_bench","builds":${fmt(builds)},"probes":${fmt(probes)},"probe_input_bytes":$fmtB,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -383,8 +383,10 @@ object SimilarityOps {
                       shortlistC: Int = 16): DataFrame = {
     val cents = spark.read.parquet(s"${pqPath}_centroids")
     val stored = spark.read.parquet(pqPath)
-    // codes were packed sorted by s, so posexplode's position IS s
-    val codes = stored.select(col("vec_id"),
+    // codes were packed sorted by s, so posexplode's position IS s; the
+    // cell partition column rides along so the probe core can prune the
+    // code scan to the probed cells (directory-level at scale)
+    val codes = stored.select(col("vec_id"), col("cell"),
       posexplode(col("codes")).as(Seq("s", "code")))
     val assigned = spark.read.parquet(cellPath)
       .select(col("vec_id"), col("v"), col("cell"))
@@ -404,8 +406,20 @@ object SimilarityOps {
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         transform(col("v"), x => x.cast("double")).as("qv"), col("cell"))
+    // every scan below touches only the PROBED cells, enforced by a
+    // semi-join on the partition column: against the stored layouts
+    // (cell-partitioned parquet) this is dynamic partition pruning, so
+    // probe cost is Σ|probed cells| — independent of how many cells the
+    // corpus has. The inline codes table carries no cell column (it is
+    // corpus-derived anyway); prune only when the column exists.
+    val probedCells = q.select(col("cell")).distinct()
+    val fetch = assigned.join(probedCells, Seq("cell"), "left_semi")
+    val codesP = if (codes.columns.contains("cell"))
+      codes.join(probedCells, Seq("cell"), "left_semi")
+        .select(col("vec_id"), col("s"), col("code"))
+    else codes
     val cand = q.select(col("query_id"), col("cell"))
-      .join(assigned.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .join(fetch.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
     // per-query norm (IEEE sqrt of the sequential fold — engine-identical)
@@ -433,7 +447,7 @@ object SimilarityOps {
         bround(col("w"), 8).cast("decimal(18,8)").as("w"))
     // ── stage 1: ADC shortlist — candidates × their m codes through
     // LUT + norm table, exact decimal sums normalized to approx cosine ──
-    val shortlist = cand.join(codes, col("neighbor_id") === codes("vec_id"))
+    val shortlist = cand.join(codesP, col("neighbor_id") === codesP("vec_id"))
       .join(broadcast(lut), Seq("query_id", "s", "code"))
       .join(broadcast(codeNorms), Seq("s", "code"))
       .groupBy("query_id", "neighbor_id")
@@ -446,9 +460,11 @@ object SimilarityOps {
       .withColumn("srk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))))
       .filter(col("srk") <= shortlistC)
-    // ── stage 2: exact re-rank of the C fetched vectors only ──
+    // ── stage 2: exact re-rank of the C fetched vectors only (vector
+    // fetch pool pre-pruned to the probed cells — candidates can only
+    // come from there) ──
     shortlist
-      .join(assigned.select(col("vec_id").as("neighbor_id"),
+      .join(fetch.select(col("vec_id").as("neighbor_id"),
         transform(col("v"), x => x.cast("double")).as("nv")), Seq("neighbor_id"))
       .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("adc"),

@@ -31,4 +31,17 @@ class PqIndexSpec extends SparkSpec {
     assert(!plan.contains("embeddings.parquet"),
       s"stored-index PQ probe still scans the corpus:\n$plan")
   }
+
+  test("stored-probe scans are pruned to the probed cells (dynamic partition pruning)") {
+    val pqPath = "/tmp/graft-pqidx-spec"
+    val cellPath = "/tmp/graft-cellidx-spec"
+    // one query vector lives in one cell: the code scan and the vector
+    // fetch pool must carry a dynamic partition-pruning subquery on the
+    // cell directory column, not read all cells and filter later
+    val probe = SimilarityOps.pqTopKFromIndex(spark, pqPath, cellPath, nQueries = 1)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the cell column:\n$plan")
+  }
 }
