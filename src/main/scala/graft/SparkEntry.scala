@@ -174,6 +174,13 @@ object SparkEntry {
     "ivf_recall"      -> ((s, d) => SimilarityOps.ivfRecall(s, d)),
     // IVF-PQ: cell-bounded candidates scored through quantized codes
     "pq_topk"         -> ((s, d) => SimilarityOps.pqTopK(s, d)),
+    // the same probe served from the STORED layouts (memoized build per
+    // dir) — bit-exact twin, same oracle; the form whose cost is
+    // independent of the encode stage (tools/index_bench_*.json)
+    "pq_topk_indexed" -> ((s, d) => {
+      val (pq, cell) = SimilarityOps.memoizedPqIndex(s, d)
+      SimilarityOps.pqTopKFromIndex(s, pq, cell)
+    }),
     "embedding_dedup" -> ((s, d) => SimilarityOps.embeddingDedup(s, d)),
     // retrieval consumers: majority-vote label prediction over the exact
     // neighbor list, and RRF fusion of the lexical + dense rankings
@@ -199,6 +206,10 @@ object SparkEntry {
     "tfidf_topk"      -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     // lexical ranked retrieval — the keyword twin of the ANN path
     "bm25_topk"       -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
+    // probing the stored bucket-pruned postings (memoized build per dir);
+    // row-identical to the one-pass form, same oracle
+    "bm25_topk_indexed" -> ((s, d) =>
+      TextAnalysis.bm25TopKFromIndex(s, TextAnalysis.memoizedPostingsIndex(s, d))),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "rep_signals"     -> ((s, d) => TextAnalysis.repSignals(s, d)),
     // tokenizer-training: first BPE merge iteration (pair counts over vocab)
@@ -303,6 +314,7 @@ object SparkEntry {
     "knn_graph"       -> TextSql.knnGraphSql,
     "ivf_recall"      -> TextSql.ivfRecallSql,
     "pq_topk"         -> TextSql.pqTopKSql,
+    "pq_topk_indexed" -> TextSql.pqTopKSql,
     "embedding_dedup" -> TextSql.embeddingDedupSql,
     "knn_classify"    -> TextSql.knnClassifySql,
     "hybrid_topk"     -> TextSql.hybridTopKSql,
@@ -317,6 +329,7 @@ object SparkEntry {
     "chunk_docs"      -> TextSql.chunkDocsSql,
     "tfidf_topk"      -> TextSql.tfidfTopKSql,
     "bm25_topk"       -> TextSql.bm25TopKSql,
+    "bm25_topk_indexed" -> TextSql.bm25TopKSql,
     "stratified_sample" -> TextSql.stratifiedSampleSql,
     "rep_signals"     -> TextSql.repSignalsSql,
     "bpe_merges"      -> TextSql.bpeMergesSql,

@@ -462,7 +462,7 @@ object DedupOps {
     * callers the SAME monitor, so exactly one builder runs per key and the
     * loser re-checks freshness against the finished build.
     */
-  private val indexLocks =
+  private[graft] val indexLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   def memoizedMinhashIndex(spark: SparkSession, dir: String): String = {
@@ -503,11 +503,20 @@ object DedupOps {
     * within the same millisecond — indistinguishable without hashing the
     * bytes, which would make every probe corpus-sized.)
     */
-  private def corpusFingerprint(spark: SparkSession, dir: String): (Long, Long, Long) = {
-    val r = spark.read.parquet(s"$dir/documents.parquet")
+  private def corpusFingerprint(spark: SparkSession, dir: String): (Long, Long, Long) =
+    fileFingerprint(spark, s"$dir/documents.parquet", "doc_id")
+
+  /** The generic form of [[corpusFingerprint]], shared with the postings
+    * ([[TextAnalysis.memoizedPostingsIndex]]) and PQ/cell
+    * ([[SimilarityOps.memoizedPqIndex]]) memos, which fingerprint their own
+    * source tables with their own id columns.
+    */
+  private[graft] def fileFingerprint(spark: SparkSession, path: String,
+                                     idCol: String): (Long, Long, Long) = {
+    val r = spark.read.parquet(path)
       .agg(count(lit(1)).as("n"),
-        coalesce(max(col("doc_id")), lit(-1L)).as("mx")).head()
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+        coalesce(max(col(idCol)), lit(-1L)).as("mx")).head()
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)
@@ -532,6 +541,11 @@ object DedupOps {
     Tables.invalidate(dir)
     invalidateClusterCache()
     SimilarityOps.invalidateSemClusterCache()
+    // the PERSISTED rankedAssignment DataFrames would otherwise keep
+    // serving pre-regeneration embedding data (cached blocks don't re-read
+    // files) — the same stale-view hazard the sem-cluster clear closed in
+    // r8, one layer down
+    SimilarityOps.invalidateIvfCache()
   }
 
   /** Index ONE document subset (the `docFilter` predicate) into its own

@@ -367,6 +367,48 @@ object SimilarityOps {
     pqProbe(spark, cents, codes, assigned, nQueries, k, shortlistC)
   }
 
+  /** Session-memoized stored PQ + cell index handle for
+    * [[pqTopKFromIndex]] — the [[graft.functions.DedupOps
+    * .memoizedMinhashIndex]] discipline applied to the path-based vector
+    * layouts: canonical-path MD5 key (no dir aliasing), completeness =
+    * `_SUCCESS` markers in all three parquet dirs (PQ codes, codebook
+    * sidecar, cell index) plus a `_meta` fingerprint sidecar, staleness =
+    * the EMBEDDINGS table's (row count, max vec_id, per-file
+    * length/mtime) fingerprint, and the check-and-build serialized per
+    * index key on the shared lock map. A stale hit also invalidates every
+    * derived cache for the dir (the persisted IVF assignment views would
+    * otherwise serve pre-regeneration blocks).
+    */
+  def memoizedPqIndex(spark: SparkSession, dir: String): (String, String) = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val pqPath = s"${graft.Warehouse.dir}/pqidx_$key"
+    val cellPath = s"${graft.Warehouse.dir}/cellidx_$key"
+    DedupOps.indexLocks.computeIfAbsent(pqPath, _ => new Object).synchronized {
+      val fp = DedupOps.fileFingerprint(spark, s"$dir/embeddings.parquet", "vec_id")
+      val fs = new org.apache.hadoop.fs.Path(pqPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val complete = Seq(pqPath, s"${pqPath}_centroids", cellPath)
+        .forall(p => fs.exists(new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")))
+      val metaPath = s"${pqPath}_meta"
+      val fresh = complete &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$metaPath/_SUCCESS")) && {
+          val m = spark.read.parquet(metaPath).head()
+          (m.getLong(0), m.getLong(1), m.getLong(2)) == fp
+        }
+      if (!fresh) {
+        DedupOps.invalidateDerived(dir)
+        writePqIndex(spark, dir, pqPath)
+        writeCellIndex(spark, dir, cellPath)
+        import spark.implicits._
+        Seq(fp).toDF("n_rows", "max_vec_id", "file_sig")
+          .write.mode("overwrite").parquet(metaPath)
+      }
+    }
+    (pqPath, cellPath)
+  }
+
   /** [[pqTopK]] served ENTIRELY from the stored layouts — codes + cells
     * from [[writePqIndex]], vectors from [[writeCellIndex]], codebook from
     * the `_centroids` sidecar — so the probe's cost is candidates × m code
@@ -587,6 +629,16 @@ object SimilarityOps {
     */
   def invalidateSemClusterCache(): Unit =
     semClusterCache.synchronized(semClusterCache.clear())
+
+  /** Unpersist and drop every memoized [[rankedAssignment]] view — called
+    * by [[graft.functions.DedupOps.invalidateDerived]] on data
+    * regeneration: a persisted assignment would otherwise keep serving
+    * cached pre-regeneration blocks.
+    */
+  def invalidateIvfCache(): Unit = ivfIndexCache.synchronized {
+    ivfIndexCache.forEach((_, df) => df.unpersist())
+    ivfIndexCache.clear()
+  }
 
   /** The un-memoized fixpoint — same result as [[semanticClusters]], but
     * BENCH times the iterative min-label engine here while

@@ -757,6 +757,38 @@ object TextAnalysis {
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
   }
 
+  /** Session-memoized stored postings handle for [[bm25TopKFromIndex]] —
+    * the [[graft.functions.DedupOps.memoizedMinhashIndex]] discipline
+    * applied to the BM25 layout: canonical-path MD5 key, completeness =
+    * postings + stats + meta tables all exist, staleness = the documents
+    * table's (row count, max doc_id, per-file length/mtime) fingerprint
+    * recorded in `_meta` at build time, check-and-build serialized per
+    * index key on the shared lock map.
+    */
+  def memoizedPostingsIndex(spark: SparkSession, dir: String): String = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val table = s"bm25_idx_$key"
+    DedupOps.indexLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      val fp = DedupOps.fileFingerprint(spark, s"$dir/documents.parquet", "doc_id")
+      val complete = Seq("", "_stats", "_meta")
+        .forall(sfx => spark.catalog.tableExists(s"$table$sfx"))
+      val fresh = complete && {
+        val m = spark.table(s"${table}_meta").head()
+        (m.getLong(0), m.getLong(1), m.getLong(2)) == fp
+      }
+      if (!fresh) {
+        DedupOps.invalidateDerived(dir)
+        writePostingsIndex(spark, dir, table)
+        import spark.implicits._
+        Seq(fp).toDF("n_rows", "max_doc_id", "file_sig")
+          .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+      }
+    }
+    table
+  }
+
   /** BM25 probe over the stored index ([[writePostingsIndex]]): filter the
     * postings to the query terms (bucket-pruned scan), pivot, and rank with
     * the same shared scoring tail — spec-asserted row-identical to the

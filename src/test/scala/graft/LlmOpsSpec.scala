@@ -730,6 +730,32 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("memoizedPostingsIndex: content-only regeneration rebuilds; probe tracks live") {
+    val dir = "/tmp/graft-bm25-memo"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    spark.read.parquet(s"$sfTiny/documents.parquet")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    DedupOps.invalidateDerived(dir)
+    def probe(): Seq[Seq[Any]] =
+      TextAnalysis.bm25TopKFromIndex(spark,
+          TextAnalysis.memoizedPostingsIndex(spark, dir))
+        .collect().map(_.toSeq).toSeq
+    def live(): Seq[Seq[Any]] =
+      TextAnalysis.bm25TopK(spark, dir).collect().map(_.toSeq).toSeq
+    val before = probe()
+    assert(before == live())
+    // in-place regeneration that preserves row count AND max doc_id but
+    // changes text (longer docs shift the BM25 length normalization): the
+    // file-signature fingerprint term must force a rebuild unaided
+    spark.read.parquet(s"$sfTiny/documents.parquet")
+      .withColumn("text", concat(col("text"), lit(" regenerated shard body text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val after = probe()
+    assert(after == live(),
+      "post-regeneration postings probe diverged from the one-pass query — stale index served")
+    assert(after != before, "regeneration changed no scores — mutation too weak to detect staleness")
+  }
+
   test("bm25 incremental index: base∪delta probe == one-pass query; compaction preserves it") {
     import org.apache.spark.sql.functions.col
     // base = already-indexed corpus, delta = newly ingested shard

@@ -44,4 +44,39 @@ class PqIndexSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"no dynamic partition pruning on the cell column:\n$plan")
   }
+
+  test("memoizedPqIndex: content-only regeneration of embeddings rebuilds; probe tracks live") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft-pq-memo"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    spark.read.parquet(s"$sfTiny/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    graft.functions.DedupOps.invalidateDerived(dir)
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq.sortBy(r =>
+        (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    def probe(): Seq[Seq[Any]] = {
+      val (pq, cell) = SimilarityOps.memoizedPqIndex(spark, dir)
+      canon(SimilarityOps.pqTopKFromIndex(spark, pq, cell))
+    }
+
+    val before = probe()
+    assert(before == canon(SimilarityOps.pqTopK(spark, dir)))
+    // regenerate IN PLACE preserving row count and max vec_id — only the
+    // vector CONTENT changes; reverse only the EVEN ids (a uniform
+    // reverse is an isometry — cosine-invariant — and detected nothing),
+    // so the relative geometry really moves. The file-signature term of
+    // the fingerprint must force a rebuild with no manual invalidation,
+    // and the probe must track the regenerated data
+    spark.read.parquet(s"$sfTiny/embeddings.parquet")
+      .withColumn("embedding",
+        when(col("vec_id") % 2 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val after = probe()
+    assert(after == canon(SimilarityOps.pqTopK(spark, dir)),
+      "post-regeneration stored probe diverged from the live form — stale index served")
+    assert(after != before, "regeneration changed no scores — mutation too weak to detect staleness")
+  }
 }

@@ -16,9 +16,15 @@ class SkewSpec extends SparkSpec {
 
   test("skewed layout: hot pool + hot near-dup family — fold is partition-count-independent, family resolves to one component") {
     val dir = "/tmp/graft-skew-tiny"
-    // copy the uniform sf0.001 dir, then inject the two skew shapes
+    // wipe any previous run (Spark leaves *.parquet DIRECTORIES where the
+    // copy below writes plain files), then copy the uniform sf0.001 dir
+    // and inject the two skew shapes
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
     val src = java.nio.file.Paths.get(sfTiny)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.createDirectories(root)
     java.nio.file.Files.list(src).forEach { p =>
       java.nio.file.Files.copy(p,
         java.nio.file.Paths.get(dir, p.getFileName.toString),
