@@ -448,15 +448,19 @@ object SimilarityOps {
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         transform(col("v"), x => x.cast("double")).as("qv"), col("cell"))
-    // every scan below touches only the PROBED cells, enforced by a
-    // semi-join on the partition column: against the stored layouts
-    // (cell-partitioned parquet) this is dynamic partition pruning, so
-    // probe cost is Σ|probed cells| — independent of how many cells the
-    // corpus has. The inline codes table carries no cell column (it is
-    // corpus-derived anyway); prune only when the column exists.
+    // STORED-layout path (codes carries the cell partition column): every
+    // scan below touches only the PROBED cells, enforced by a semi-join on
+    // the partition column — dynamic partition pruning against the
+    // cell-partitioned parquet, so probe cost is Σ|probed cells|,
+    // independent of how many cells the corpus has. The INLINE path skips
+    // the pruning scaffolding entirely: its inputs are session-cached
+    // corpus-wide relations, so the extra joins cost ~0.6 s and buy
+    // nothing (measured, BenchOne sf0.1).
+    val stored = codes.columns.contains("cell")
     val probedCells = q.select(col("cell")).distinct()
-    val fetch = assigned.join(probedCells, Seq("cell"), "left_semi")
-    val codesP = if (codes.columns.contains("cell"))
+    val fetch = if (stored)
+      assigned.join(probedCells, Seq("cell"), "left_semi") else assigned
+    val codesP = if (stored)
       codes.join(probedCells, Seq("cell"), "left_semi")
         .select(col("vec_id"), col("s"), col("code"))
     else codes
