@@ -303,20 +303,31 @@ object SimilarityOps {
     * and [[writePqIndex]] (the stored layout at scale).
     */
   private[graft] def pqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val (m, sub) = (pqM, pqSub)
     // fail fast if the corpus dimension ever drifts from m·sub: slice()
     // past the array end silently yields empty blocks (dist 0 for every
     // codeword), which would degrade every code with no error — the same
     // metadata-sized plan-time guard discipline as shardDedup's rowCount
     val dim = Tables.embeddings(spark, dir)
       .select(size(col("embedding"))).limit(1).head().getInt(0)
-    require(dim == m * sub,
-      s"PQ assumes $m sub-quantizers × $sub dims = ${m * sub}, " +
+    require(dim == pqM * pqSub,
+      s"PQ assumes $pqM sub-quantizers × $pqSub dims = ${pqM * pqSub}, " +
         s"but embeddings have dim $dim — re-derive m/sub")
     val embD = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    val cents = centroidVectors(spark, dir) // (label, c: array<double>)
+    pqEncodeWith(embD, centroidVectors(spark, dir))
+  }
+
+  /** The encode KERNEL, parameterized by the codebook: per (vector,
+    * subspace) nearest codeword by rounded-DECIMAL L2² with label
+    * tie-break. Split out of [[pqCodes]] so the generation lifecycle
+    * ([[writePqGeneration]]) can encode a DELTA under a FROZEN codebook —
+    * at 100 TB the codebook is trained once and new vectors are encoded
+    * against it, never retrained per ingest. `embD` is (vec_id,
+    * v: array<double>), `cents` is (label, c: array<double>).
+    */
+  private def pqEncodeWith(embD: DataFrame, cents: DataFrame): DataFrame = {
+    val (m, sub) = (pqM, pqSub)
     val subDists = embD.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"),
         posexplode(transform(sequence(lit(0), lit(m - 1)), s =>
@@ -355,6 +366,149 @@ object SimilarityOps {
     // hidden from parquet listings)
     centroidVectors(spark, dir)
       .write.mode("overwrite").parquet(s"${path}_centroids")
+  }
+
+  /** [[centroidVectors]] over an explicit (label, embedding) training set
+    * instead of the whole dir — the codebook trainer for [[writePqBase]],
+    * which must train on exactly the vectors the base layout indexes (the
+    * corpus as of base-build time), not whatever the dir holds later.
+    * Same arithmetic discipline as [[labelCentroids]] (bround-half-even
+    * before the DECIMAL cast) so codebooks are engine-portable.
+    */
+  private def centroidVectorsOf(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("label", "d")
+      .agg((sum(bround(col("x").cast("double"), 9).cast("decimal(18,9)"))
+        .cast("double") / count(lit(1))).as("mean"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("d"), col("mean")))).as("dm"))
+      .select(col("label"), expr("transform(dm, p -> p.mean)").as("c"))
+
+  /** Nearest-centroid assignment under a FROZEN codebook: (vec_id, v,
+    * cell) — one broadcast of the ~|cells| centroid rows, the vectors
+    * never shuffle; same bround/tie-break discipline as
+    * [[rankedAssignment]] rk = 1 so a frozen-codebook assignment of the
+    * SAME vectors is bit-identical to the inline one. Deliberately not
+    * memoized (generation builds are one-shot writers).
+    */
+  private def cellAssignWith(spark: SparkSession, embD: DataFrame,
+                             cents: DataFrame): DataFrame =
+    embD.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("label"),
+        bround(nativeCosine(spark, "c", "v"), 8)
+          .cast("decimal(12,8)").as("cscore"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("label").as("cell"))
+
+  /** (vec_id, label, v: array<double>) for the dir's embeddings under a
+    * row filter — the shared reader for the generation lifecycle. */
+  private def embVectors(spark: SparkSession, dir: String,
+                         docFilter: Column): DataFrame =
+    Tables.embeddings(spark, dir).filter(docFilter)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** One self-contained PQ layout under `path`: packed codes partitioned
+    * by cell at `path`, full vectors partitioned by cell at
+    * `${path}_cells`, codebook sidecar at `${path}_centroids`. The packed
+    * shape matches [[writePqIndex]]; bundling the vector store with the
+    * code store makes a LAYOUT the unit the generation fan-in unions.
+    */
+  private def writePqLayout(spark: SparkSession, embD: DataFrame,
+                            cents: DataFrame, path: String): Unit = {
+    val packed = pqEncodeWith(embD.select(col("vec_id"), col("v")), cents)
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("code")))).as("sc"))
+      .select(col("vec_id"), expr("transform(sc, x -> x.code)").as("codes"))
+    val assigned = cellAssignWith(spark,
+      embD.select(col("vec_id"), col("v")), cents)
+    packed.join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    assigned
+      .write.mode("overwrite").partitionBy("cell").parquet(s"${path}_cells")
+  }
+
+  /** BASE build of the generation lifecycle: train the codebook on the
+    * `docFilter` subset (the corpus as of base-build time) and write the
+    * layout + codebook sidecar. Later ingests append deltas with
+    * [[writePqGeneration]] — the codebook is FROZEN from here on, which is
+    * the standard IVF-PQ operating mode (Jégou et al. 2011 train once on a
+    * sample; re-training would silently re-key every stored code).
+    */
+  def writePqBase(spark: SparkSession, dir: String, docFilter: Column,
+                  path: String): Unit = {
+    val embD = embVectors(spark, dir, docFilter)
+    val cents = centroidVectorsOf(
+      Tables.embeddings(spark, dir).filter(docFilter)
+        .select(col("label"), col("embedding")))
+    cents.write.mode("overwrite").parquet(s"${path}_centroids")
+    writePqLayout(spark, embD, cents, path)
+  }
+
+  /** DELTA generation: encode ONLY the `docFilter` vectors under the BASE
+    * layout's frozen codebook and write them as their own layout at
+    * `genPath` — cost linear in the delta (the filter runs before the
+    * encode cross-join, so the expensive stages see delta rows only; the
+    * corpus is never re-encoded). Generations are append-only: each
+    * vec_id lives in exactly one generation, the same discipline as
+    * [[graft.functions.DedupOps.writeMinhashGeneration]] and the BM25
+    * generations. Probe base ∪ deltas with [[pqTopKFromGenerations]];
+    * fold deltas back into one layout with [[compactPqIndex]].
+    */
+  def writePqGeneration(spark: SparkSession, dir: String, docFilter: Column,
+                        basePath: String, genPath: String): Unit =
+    writePqLayout(spark, embVectors(spark, dir, docFilter),
+      spark.read.parquet(s"${basePath}_centroids"), genPath)
+
+  /** [[pqTopKFromIndex]] over base ∪ delta generations: each generation's
+    * code and vector scans union BELOW the probe joins, so every branch
+    * keeps its own cell-partitioned directory layout (a probe still reads
+    * only probed-cell directories per generation); the ADC table comes
+    * from the base codebook all generations were encoded under. Output is
+    * bit-identical to a single layout holding the same rows
+    * (`PqGenSpec`) — encode is deterministic given the codebook, so
+    * base(C₀) ∪ delta(D₁) ≡ rebuild(C₀ ∪ D₁ | frozen codebook) exactly.
+    */
+  def pqTopKFromGenerations(spark: SparkSession, basePath: String,
+                            genPaths: Seq[String], nQueries: Long = 20,
+                            k: Int = 3, shortlistC: Int = 16): DataFrame = {
+    val cents = spark.read.parquet(s"${basePath}_centroids")
+    val paths = basePath +: genPaths
+    val stored = paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+    val codes = stored.select(col("vec_id"), col("cell"),
+      posexplode(col("codes")).as(Seq("s", "code")))
+    val assigned = paths.map(p => spark.read.parquet(s"${p}_cells"))
+      .reduce(_ unionByName _)
+      .select(col("vec_id"), col("v"), col("cell"))
+    pqProbe(spark, cents, codes, assigned, nQueries, k, shortlistC)
+  }
+
+  /** Fold delta generations back into ONE layout at `outPath` when fan-in
+    * grows — the compaction move of the lifecycle ([[graft.functions
+    * .DedupOps.compactMinhashIndex]]'s vector twin). Pure file reshuffle:
+    * codes and vectors are unioned and rewritten cell-partitioned (no
+    * re-encode — the codebook is copied through unchanged), so compaction
+    * cost is linear in index SIZE (~16 B codes + vectors), independent of
+    * corpus text. Idempotent: recompacting the output is a no-op row-wise.
+    */
+  def compactPqIndex(spark: SparkSession, basePath: String,
+                     genPaths: Seq[String], outPath: String): Unit = {
+    val paths = basePath +: genPaths
+    // overwrite-what-you-read is the data-loss shape SnapshotCrashSpec
+    // caught in the sink (parquet overwrite deletes before the lazy read
+    // runs) — compact to a FRESH path, then swap
+    require(!paths.map(new java.io.File(_).getCanonicalPath)
+      .contains(new java.io.File(outPath).getCanonicalPath),
+      s"compactPqIndex: outPath $outPath would overwrite an input layout")
+    paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+      .write.mode("overwrite").partitionBy("cell").parquet(outPath)
+    paths.map(p => spark.read.parquet(s"${p}_cells")).reduce(_ unionByName _)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"${outPath}_cells")
+    spark.read.parquet(s"${basePath}_centroids")
+      .write.mode("overwrite").parquet(s"${outPath}_centroids")
   }
 
   def pqTopK(spark: SparkSession, dir: String,
