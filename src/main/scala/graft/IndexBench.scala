@@ -101,6 +101,24 @@ object IndexBench {
     probes("cell_read_1cell") = measured("cell_read_1cell")(
       SimilarityOps.readCell(spark, cellPath, 3).collect())
 
+    // ── PQ generation lifecycle (round-10): the ingest claim is that a
+    // delta generation costs ~|delta|/|corpus| of a rebuild because the
+    // codebook is frozen and only delta rows reach the encode cross-join.
+    // Recorded as base build (90% of vectors, trains the codebook) vs
+    // delta append (10%, frozen codebook) vs the full rebuild already
+    // timed above (builds("pq_index")); the fan-in probe shows base ∪
+    // delta probes at single-layout cost (PqGenSpec pins bit-exactness).
+    import org.apache.spark.sql.functions.col
+    val genBase = s"/tmp/graft-ib-pqgen-base-${ProcessHandle.current().pid()}"
+    val genDelta = s"/tmp/graft-ib-pqgen-g1-${ProcessHandle.current().pid()}"
+    builds("pq_base_90pct") = best(
+      SimilarityOps.writePqBase(spark, sfDir, col("vec_id") % 10 =!= 7, genBase))
+    builds("pq_gen_delta_10pct") = best(
+      SimilarityOps.writePqGeneration(spark, sfDir, col("vec_id") % 10 === 7,
+        genBase, genDelta))
+    probes("pq_gen_fanin") = measured("pq_gen_fanin")(
+      SimilarityOps.pqTopKFromGenerations(spark, genBase, Seq(genDelta)).collect())
+
     def fmt(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) =>
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

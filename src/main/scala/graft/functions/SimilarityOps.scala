@@ -460,7 +460,17 @@ object SimilarityOps {
     */
   def writePqGeneration(spark: SparkSession, dir: String, docFilter: Column,
                         basePath: String, genPath: String): Unit =
-    writePqLayout(spark, embVectors(spark, dir, docFilter),
+    writePqGenerationOf(spark,
+      Tables.embeddings(spark, dir).filter(docFilter), basePath, genPath)
+
+  /** [[writePqGeneration]] over an explicit (vec_id, embedding) frame
+    * instead of a dir + filter — the entry point the STREAMING ingest sink
+    * ([[graft.streaming.PqIngest]]) feeds one micro-batch at a time. */
+  def writePqGenerationOf(spark: SparkSession, emb: DataFrame,
+                          basePath: String, genPath: String): Unit =
+    writePqLayout(spark,
+      emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")),
       spark.read.parquet(s"${basePath}_centroids"), genPath)
 
   /** [[pqTopKFromIndex]] over base ∪ delta generations: each generation's
