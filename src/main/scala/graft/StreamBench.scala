@@ -141,6 +141,58 @@ object StreamBench {
       record("sem_ingest", nRows, secs, converged)
     }
 
+    // ── 4. PQ index maintenance: one generation per arriving vector batch ──
+    // The ingest-maintenance operating mode: the base layout covers 90% of
+    // the corpus (codebook frozen at base-build time), the remaining 10%
+    // arrives as a multi-batch stream, and the fan-in probe afterwards must
+    // equal a one-shot frozen-codebook encode of the same delta.
+    {
+      val isBase = col("vec_id") % 10 =!= 7
+      val isDelta = col("vec_id") % 10 === 7
+      val base = s"$work/pq-base"
+      graft.functions.SimilarityOps.writePqBase(spark, sfDir, isBase, base)
+      val delta = graft.sources.Tables.embeddings(spark, sfDir)
+        .filter(isDelta).select("vec_id", "embedding")
+      val nRows = chunk(delta, s"$work/pq-delta", "vec_id")
+      val secs = drain(graft.streaming.PqIngest.start(
+        fileStream(s"$work/pq-delta", delta.schema),
+        base, s"$work/pq-gens", s"$work/ckpt-pq"))
+      val gens = graft.streaming.PqIngest.listGenerations(spark, s"$work/pq-gens")
+      graft.functions.SimilarityOps.writePqGeneration(
+        spark, sfDir, isDelta, base, s"$work/pq-oneshot")
+      val streamed = graft.functions.SimilarityOps
+        .pqTopKFromGenerations(spark, base, gens)
+      val oneShot = graft.functions.SimilarityOps
+        .pqTopKFromGenerations(spark, base, Seq(s"$work/pq-oneshot"))
+      val converged = gens.nonEmpty &&
+        streamed.except(oneShot).isEmpty && oneShot.except(streamed).isEmpty
+      record("pq_ingest", nRows, secs, converged)
+    }
+
+    // ── 5. BM25 postings maintenance: one generation per document batch ──
+    // Same shape for the lexical index; convergence is the STRONG form —
+    // base ∪ streamed generations must reproduce the one-pass full-corpus
+    // gate query exactly, summed stats included.
+    {
+      val isBase = col("doc_id") % 10 =!= 7
+      val isDelta = col("doc_id") % 10 === 7
+      graft.functions.TextAnalysis.writePostingsGeneration(
+        spark, sfDir, isBase, "streambench_bm_base")
+      val delta = graft.sources.Tables.documents(spark, sfDir)
+        .filter(isDelta).select("doc_id", "text")
+      val nRows = chunk(delta, s"$work/bm-delta", "doc_id")
+      val secs = drain(graft.streaming.BmIngest.start(
+        fileStream(s"$work/bm-delta", delta.schema),
+        "streambench_bm", s"$work/ckpt-bm"))
+      val gens = graft.streaming.BmIngest.listGenerations(spark, "streambench_bm")
+      val streamed = graft.functions.TextAnalysis
+        .bm25TopKIncremental(spark, "streambench_bm_base" +: gens)
+      val onePass = graft.functions.TextAnalysis.bm25TopK(spark, sfDir)
+      val converged = gens.nonEmpty &&
+        streamed.except(onePass).isEmpty && onePass.except(streamed).isEmpty
+      record("bm_ingest", nRows, secs, converged)
+    }
+
     val streams = out.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"stream_bench","streams":$streams,"files_per_trigger":$perTrigger,"state_store":"rocksdb","sf":"$sfDir"}""")
     spark.stop()

@@ -825,8 +825,21 @@ object TextAnalysis {
   def writePostingsGeneration(spark: SparkSession, dir: String,
                               shard: Column,
                               table: String,
-                              buckets: Int = 16): Unit = {
-    val docs = Tables.documents(spark, dir).filter(shard)
+                              buckets: Int = 16): Unit =
+    writePostingsGenerationOf(Tables.documents(spark, dir).filter(shard),
+      table, buckets)
+
+  /** [[writePostingsGeneration]] over an explicit (doc_id, text) frame
+    * instead of a dir + shard predicate — the entry point the STREAMING
+    * maintenance sink ([[graft.streaming.BmIngest]]) feeds one micro-batch
+    * at a time. Write ORDER is the completeness contract: the postings
+    * table lands before its `_stats` twin, so a generation whose write was
+    * torn between the two is invisible to
+    * [[graft.streaming.BmIngest.listGenerations]] and simply rewritten on
+    * replay.
+    */
+  def writePostingsGenerationOf(docs: DataFrame, table: String,
+                                buckets: Int = 16): Unit = {
     docs
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
         explode(tokens(col("text"))).as("term"))

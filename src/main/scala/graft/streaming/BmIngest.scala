@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.TextAnalysis
+
+/** Ingest-time BM25 POSTINGS MAINTENANCE — the streaming lift of the
+  * postings generation lifecycle ([[graft.functions.TextAnalysis
+  * .writePostingsGeneration]]), completing the index-sink quartet:
+  * [[IngestDedup]] keeps the MinHash admission index current as documents
+  * arrive, [[SemIngest]] the semantic cell index, [[PqIngest]] the ANN
+  * serving index, and this sink the lexical one. Each micro-batch of
+  * arriving documents is tokenized and written as its OWN postings
+  * generation (a term-bucketed table pair, cost linear in the batch — the
+  * corpus postings are never rebuilt); a query probes base ∪ generations
+  * via [[graft.functions.TextAnalysis.bm25TopKIncremental]] — every
+  * generation's scan independently bucket-pruned to the query terms, corpus
+  * stats summed across the one-row stats twins — and
+  * [[graft.functions.TextAnalysis.compactPostings]] folds the accumulated
+  * generations back off the hot path.
+  *
+  * Exactly-once discipline, same shape as [[PqIngest]]: `foreachBatch` is
+  * at-least-once, so the generation TABLE NAME is keyed by batchId and
+  * written with overwrite — a replayed batch rewrites the same generation
+  * with the same rows (tokenization is deterministic), so no doc is ever
+  * double-counted in either the postings or the summed (n, d) stats. A
+  * generation write never reads what it overwrites, so replay needs no
+  * commit log; torn writes (postings table landed, `_stats` twin did not)
+  * are invisible to [[listGenerations]] until the replay completes them.
+  */
+object BmIngest {
+
+  /** Attach the postings-generation sink to a stream of (doc_id, text)
+    * rows. Each micro-batch becomes the table pair
+    * `<genPrefix>_g<batchId>` / `..._stats`.
+    */
+  def start(docs: DataFrame, genPrefix: String, checkpoint: String,
+            name: String = "bm_ingest"): StreamingQuery =
+    docs.writeStream
+      .queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeGeneration(batch, genTable(genPrefix, batchId))
+      }
+      .start()
+
+  /** One micro-batch → one postings generation (also the unit a replay
+    * rewrites idempotently; exposed for the spec to re-deliver a batch).
+    */
+  def writeGeneration(batch: DataFrame, table: String): Unit =
+    TextAnalysis.writePostingsGenerationOf(batch, table)
+
+  /** saveAsTable lower-cases identifiers — key the name in lower case so
+    * [[listGenerations]]'s catalog match sees exactly what was written. */
+  def genTable(genPrefix: String, batchId: Long): String =
+    s"${genPrefix.toLowerCase(java.util.Locale.ROOT)}_g$batchId"
+
+  /** The committed generations under `genPrefix`, oldest first — a
+    * generation counts only when BOTH tables of the pair exist (the
+    * `_stats` twin is written last, so its presence marks a complete
+    * write; a crashed mid-write generation is invisible to probes and
+    * simply rewritten on replay). Feed `base +: listGenerations(...)` to
+    * [[graft.functions.TextAnalysis.bm25TopKIncremental]] /
+    * [[graft.functions.TextAnalysis.compactPostings]].
+    */
+  def listGenerations(spark: SparkSession, genPrefix: String): Seq[String] = {
+    val re = (java.util.regex.Pattern.quote(
+      genPrefix.toLowerCase(java.util.Locale.ROOT)) + "_g(\\d+)").r
+    spark.catalog.listTables().collect().toSeq
+      .flatMap(t => re.unapplySeq(t.name).flatMap(_.headOption)
+        .map(n => (n.toLong, t.name)))
+      .sortBy(_._1)
+      .collect { case (_, t) if spark.catalog.tableExists(s"${t}_stats") => t }
+  }
+}

@@ -35,8 +35,9 @@ object PqIngest {
     * Each micro-batch becomes `genRoot/g=<batchId>` (+ `_cells` sibling).
     */
   def start(vectors: DataFrame, basePath: String, genRoot: String,
-            checkpoint: String): StreamingQuery =
+            checkpoint: String, name: String = "pq_ingest"): StreamingQuery =
     vectors.writeStream
+      .queryName(name)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
