@@ -76,6 +76,22 @@ class PqGenSpec extends SparkSpec {
     }
   }
 
+  test("fan-in probe scans are cell-pruned per generation BRANCH (pruning survives the union)") {
+    // the scaladoc's claim: each generation keeps its own cell-partitioned
+    // directory layout, so a probe reads only probed-cell directories PER
+    // GENERATION — the union must not widen any branch's scan back to all
+    // cells
+    val probe = SimilarityOps.pqTopKFromGenerations(spark, base, Seq(gen1),
+      nQueries = 1)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    val pruned = "dynamicpruning".r
+      .findAllMatchIn(plan.toLowerCase).size
+    assert(pruned >= 4,
+      s"fan-in branches are not partition-pruned to the probed cells " +
+        s"(found $pruned dynamicpruning filters):\n$plan")
+  }
+
   test("delta encode is delta-bounded: the expensive stages see only filtered rows") {
     // the filter must sit between the scan and the encode cross-join so a
     // shard-sized ingest never pays a corpus-sized encode; assert the
