@@ -119,6 +119,29 @@ object IndexBench {
     probes("pq_gen_fanin") = measured("pq_gen_fanin")(
       SimilarityOps.pqTopKFromGenerations(spark, genBase, Seq(genDelta)).collect())
 
+    // ── MinHash + BM25 generation lifecycles: same claim, same shape —
+    // the delta build must cost ~its data share of a full build (one
+    // shingle/token pass over the delta only), and the fan-in probe must
+    // run at single-layout cost. Base/delta split disjoint by doc_id so
+    // every doc lives in exactly one generation (the append-only
+    // invariant the specs pin).
+    builds("minhash_base_80pct") = best(DedupOps.writeMinhashGeneration(
+      spark, sfDir, col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 6,
+      "ib_mh_base"))
+    builds("minhash_gen_delta_10pct") = best(DedupOps.writeMinhashGeneration(
+      spark, sfDir, col("doc_id") % 10 === 6, "ib_mh_g1"))
+    probes("minhash_gen_fanin") = measured("minhash_gen_fanin")(
+      DedupOps.shardDedupFromGenerations(spark, sfDir,
+        Seq("ib_mh_base", "ib_mh_g1")).collect())
+
+    builds("bm_base_90pct") = best(TextAnalysis.writePostingsGeneration(
+      spark, sfDir, col("doc_id") % 10 =!= 7, "ib_bm_base"))
+    builds("bm_gen_delta_10pct") = best(TextAnalysis.writePostingsGeneration(
+      spark, sfDir, col("doc_id") % 10 === 7, "ib_bm_g1"))
+    probes("bm_gen_fanin") = measured("bm_gen_fanin")(
+      TextAnalysis.bm25TopKIncremental(spark,
+        Seq("ib_bm_base", "ib_bm_g1")).collect())
+
     def fmt(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) =>
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

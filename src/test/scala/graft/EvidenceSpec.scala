@@ -27,12 +27,14 @@ class EvidenceSpec extends SparkSpec {
       val j = read(p)
       // every stored layout the code ships must have a recorded build...
       for (b <- Seq("minhash_index", "bm25_postings", "pq_index", "cell_index",
-        "pq_base_90pct", "pq_gen_delta_10pct"))
+        "pq_base_90pct", "pq_gen_delta_10pct",
+        "minhash_base_80pct", "minhash_gen_delta_10pct",
+        "bm_base_90pct", "bm_gen_delta_10pct"))
         assert(j.contains("\"" + b + "\""), s"$p: no build timing for $b")
       // ...and every probe-vs-live crossover claim a recorded pair
       for (pr <- Seq("shard_dedup_live", "shard_dedup_indexed", "bm25_live",
         "bm25_indexed", "pq_live", "pq_indexed", "cell_read_1cell",
-        "pq_gen_fanin"))
+        "pq_gen_fanin", "minhash_gen_fanin", "bm_gen_fanin"))
         assert(j.contains("\"" + pr + "\""), s"$p: no probe timing for $pr")
     }
   }
