@@ -181,6 +181,10 @@ object SparkEntry {
       val (pq, cell) = SimilarityOps.memoizedPqIndex(s, d)
       SimilarityOps.pqTopKFromIndex(s, pq, cell)
     }),
+    // deletion without a rebuild (takedown / right-to-be-forgotten):
+    // tombstoned vectors anti-joined out of both probe roles, frozen
+    // codebook — oracle is a from-scratch ranking of the survivors
+    "pq_topk_deleted" -> ((s, d) => SimilarityOps.pqTopKDeleted(s, d)),
     "embedding_dedup" -> ((s, d) => SimilarityOps.embeddingDedup(s, d)),
     // retrieval consumers: majority-vote label prediction over the exact
     // neighbor list, and RRF fusion of the lexical + dense rankings
@@ -210,6 +214,10 @@ object SparkEntry {
     // row-identical to the one-pass form, same oracle
     "bm25_topk_indexed" -> ((s, d) =>
       TextAnalysis.bm25TopKFromIndex(s, TextAnalysis.memoizedPostingsIndex(s, d))),
+    // deletion without a rebuild: broadcast anti-join on the postings +
+    // EXACT stats correction from the doclens sidecar — scores equal a
+    // from-scratch index of the surviving docs (the oracle computes one)
+    "bm25_topk_deleted" -> ((s, d) => TextAnalysis.bm25TopKDeleted(s, d)),
     "stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "rep_signals"     -> ((s, d) => TextAnalysis.repSignals(s, d)),
     // tokenizer-training: first BPE merge iteration (pair counts over vocab)
@@ -315,6 +323,7 @@ object SparkEntry {
     "ivf_recall"      -> TextSql.ivfRecallSql,
     "pq_topk"         -> TextSql.pqTopKSql,
     "pq_topk_indexed" -> TextSql.pqTopKSql,
+    "pq_topk_deleted" -> TextSql.pqTopKDeletedSql,
     "embedding_dedup" -> TextSql.embeddingDedupSql,
     "knn_classify"    -> TextSql.knnClassifySql,
     "hybrid_topk"     -> TextSql.hybridTopKSql,
@@ -330,6 +339,7 @@ object SparkEntry {
     "tfidf_topk"      -> TextSql.tfidfTopKSql,
     "bm25_topk"       -> TextSql.bm25TopKSql,
     "bm25_topk_indexed" -> TextSql.bm25TopKSql,
+    "bm25_topk_deleted" -> TextSql.bm25TopKDeletedSql,
     "stratified_sample" -> TextSql.stratifiedSampleSql,
     "rep_signals"     -> TextSql.repSignalsSql,
     "bpe_merges"      -> TextSql.bpeMergesSql,

@@ -505,7 +505,8 @@ object SimilarityOps {
     * corpus text. Idempotent: recompacting the output is a no-op row-wise.
     */
   def compactPqIndex(spark: SparkSession, basePath: String,
-                     genPaths: Seq[String], outPath: String): Unit = {
+                     genPaths: Seq[String], outPath: String,
+                     tombs: Option[DataFrame] = None): Unit = {
     val paths = basePath +: genPaths
     // overwrite-what-you-read is the data-loss shape SnapshotCrashSpec
     // caught in the sink (parquet overwrite deletes before the lazy read
@@ -513,9 +514,15 @@ object SimilarityOps {
     require(!paths.map(new java.io.File(_).getCanonicalPath)
       .contains(new java.io.File(outPath).getCanonicalPath),
       s"compactPqIndex: outPath $outPath would overwrite an input layout")
-    paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+    // tombstones are APPLIED at compaction: deleted rows are dropped from
+    // the rewritten layout, so the plain probe serves the deleted state
+    // and the broadcast anti-join leaves the hot path
+    def drop(df: DataFrame): DataFrame = tombs.fold(df)(t =>
+      df.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
+    drop(paths.map(p => spark.read.parquet(p)).reduce(_ unionByName _))
       .write.mode("overwrite").partitionBy("cell").parquet(outPath)
-    paths.map(p => spark.read.parquet(s"${p}_cells")).reduce(_ unionByName _)
+    drop(paths.map(p => spark.read.parquet(s"${p}_cells"))
+      .reduce(_ unionByName _))
       .write.mode("overwrite").partitionBy("cell").parquet(s"${outPath}_cells")
     spark.read.parquet(s"${basePath}_centroids")
       .write.mode("overwrite").parquet(s"${outPath}_centroids")
@@ -595,6 +602,49 @@ object SimilarityOps {
     val codes = stored.select(col("vec_id"), col("cell"),
       posexplode(col("codes")).as(Seq("s", "code")))
     val assigned = spark.read.parquet(cellPath)
+      .select(col("vec_id"), col("v"), col("cell"))
+    pqProbe(spark, cents, codes, assigned, nQueries, k, shortlistC)
+  }
+
+  /** [[pqTopKFromIndex]] under TOMBSTONES — the deletion move of the
+    * index lifecycle (takedown / right-to-be-forgotten, the operation a
+    * 100 TB training-corpus index cannot answer with a rebuild): deleted
+    * vec_ids are removed from BOTH probe roles (queries and candidates)
+    * by a broadcast anti-join on each stored layout, while the codebook
+    * stays FROZEN — deletion never retrains, because retraining would
+    * silently re-key every stored code (same invariant as
+    * [[writePqGeneration]]). The tombstone set is request-sized and
+    * broadcast, the anti-join sits above the cell-pruned scans, so the
+    * probe keeps its Σ|probed cells| cost. Folding tombstones INTO the
+    * layout happens off the hot path via [[compactPqIndex]]'s `tombs`
+    * parameter, after which the plain probe serves the deleted state.
+    */
+  /** Gated-query form of [[pqTopKFromIndexDeleted]]: the deletion-request
+    * fixture is vec_id % 37 = 3, derived from the stored cell layout — the
+    * corpus is never scanned, matching how a real takedown arrives (a list
+    * of ids, not a predicate over the data). Oracle:
+    * [[graft.oracle.TextSql.pqTopKDeletedSql]], a from-scratch ranking of
+    * the surviving vectors under the same frozen codebook.
+    */
+  def pqTopKDeleted(spark: SparkSession, dir: String): DataFrame = {
+    val (pq, cell) = memoizedPqIndex(spark, dir)
+    val tombs = spark.read.parquet(cell)
+      .select(col("vec_id")).filter(col("vec_id") % 37 === 3)
+    pqTopKFromIndexDeleted(spark, pq, cell, tombs)
+  }
+
+  def pqTopKFromIndexDeleted(spark: SparkSession, pqPath: String,
+                             cellPath: String, tombs: DataFrame,
+                             nQueries: Long = 20, k: Int = 3,
+                             shortlistC: Int = 16): DataFrame = {
+    val cents = spark.read.parquet(s"${pqPath}_centroids")
+    val t = broadcast(tombs.select(col("vec_id")))
+    val codes = spark.read.parquet(pqPath)
+      .join(t, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+    val assigned = spark.read.parquet(cellPath)
+      .join(t, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("v"), col("cell"))
     pqProbe(spark, cents, codes, assigned, nQueries, k, shortlistC)
   }

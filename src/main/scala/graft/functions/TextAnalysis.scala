@@ -743,19 +743,8 @@ object TextAnalysis {
     */
   def writePostingsIndex(spark: SparkSession, dir: String,
                          table: String = "bm25_postings",
-                         buckets: Int = 16): Unit = {
-    val docs = Tables.documents(spark, dir)
-    docs
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
-        explode(tokens(col("text"))).as("term"))
-      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(table)
-    docs.select(size(tokens(col("text"))).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("d"))
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
-  }
+                         buckets: Int = 16): Unit =
+    writePostingsGenerationOf(Tables.documents(spark, dir), table, buckets)
 
   /** Session-memoized stored postings handle for [[bm25TopKFromIndex]] —
     * the [[graft.functions.DedupOps.memoizedMinhashIndex]] discipline
@@ -772,7 +761,7 @@ object TextAnalysis {
     val table = s"bm25_idx_$key"
     DedupOps.indexLocks.computeIfAbsent(table, _ => new Object).synchronized {
       val fp = DedupOps.fileFingerprint(spark, s"$dir/documents.parquet", "doc_id")
-      val complete = Seq("", "_stats", "_meta")
+      val complete = Seq("", "_stats", "_doclens", "_meta")
         .forall(sfx => spark.catalog.tableExists(s"$table$sfx"))
       val fresh = complete && {
         val m = spark.table(s"${table}_meta").head()
@@ -840,6 +829,7 @@ object TextAnalysis {
     */
   def writePostingsGenerationOf(docs: DataFrame, table: String,
                                 buckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
     docs
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
         explode(tokens(col("text"))).as("term"))
@@ -847,9 +837,61 @@ object TextAnalysis {
       .write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(table)
-    docs.select(size(tokens(col("text"))).cast("long").as("dl"))
+    // per-doc lengths, bucketed by doc_id: the sidecar that makes DELETES
+    // exact — a tombstoned doc's (1, dl) contribution to the corpus stats
+    // is a bucket-pruned point lookup here, never a corpus or index scan.
+    // (Not derivable from the postings: an empty doc has no posting rows
+    // but still counts toward n.) Text is still scanned exactly twice per
+    // build: once for postings, once here — stats then aggregate this
+    // table, not the text.
+    docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${table}_doclens")
+    spark.table(s"${table}_doclens")
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("d"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+  }
+
+  /** [[bm25TopKFromIndex]] under TOMBSTONES — deletion without a rebuild
+    * (takedown / right-to-be-forgotten): tombstoned docs are removed from
+    * the postings probe by a broadcast anti-join, and the corpus stats are
+    * corrected EXACTLY by subtracting the deleted docs' (count, Σ dl) —
+    * looked up bucket-pruned from the `_doclens` sidecar — so every
+    * surviving score is bit-identical to a from-scratch index built
+    * without the deleted docs. Cost: request-sized broadcast + a doc_id
+    * bucket probe; the term-bucket pruning of the main scan is untouched.
+    * Folding tombstones into the layout happens off the hot path via
+    * [[compactPostings]]'s `tombs` parameter.
+    */
+  /** Gated-query form of [[bm25TopKFromIndexDeleted]]: the
+    * deletion-request fixture is doc_id % 37 = 3, derived from the stored
+    * doclens sidecar — the corpus is never scanned. Oracle:
+    * [[graft.oracle.TextSql.bm25TopKDeletedSql]], a from-scratch one-pass
+    * ranking of the surviving documents.
+    */
+  def bm25TopKDeleted(spark: SparkSession, dir: String): DataFrame = {
+    val table = memoizedPostingsIndex(spark, dir)
+    val tombs = spark.table(s"${table}_doclens")
+      .select(col("doc_id")).filter(col("doc_id") % 37 === 3)
+    bm25TopKFromIndexDeleted(spark, table, tombs)
+  }
+
+  def bm25TopKFromIndexDeleted(spark: SparkSession, table: String,
+                               tombs: DataFrame, k: Int = 10): DataFrame = {
+    val qt = bm25Terms
+    val t = broadcast(tombs.select(col("doc_id")))
+    val p = spark.table(table).filter(col("term").isin(qt: _*))
+      .join(t, Seq("doc_id"), "left_anti")
+    val tfAggs = max(col("dl")).as("dl") +:
+      qt.map(tm => sum(when(col("term") === tm, col("tf")).otherwise(0L)).as(s"tf_$tm"))
+    val tf = p.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    val del = spark.table(s"${table}_doclens")
+      .join(t, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("dn"), coalesce(sum(col("dl")), lit(0L)).as("dd"))
+    val stats = spark.table(s"${table}_stats").crossJoin(del)
+      .select((col("n") - col("dn")).as("n"), (col("d") - col("dd")).as("d"))
+    bm25Rank(tf, stats, k)
   }
 
   /** BM25 probe over base ∪ delta generations: each generation's scan is
@@ -881,13 +923,23 @@ object TextAnalysis {
     * the compacted table is row-identical to the multi-generation probe.
     */
   def compactPostings(spark: SparkSession, tables: Seq[String],
-                      outTable: String, buckets: Int = 16): Unit = {
-    tables.map(spark.table).reduce(_ unionByName _)
+                      outTable: String, buckets: Int = 16,
+                      tombs: Option[DataFrame] = None): Unit = {
+    // tombstones are APPLIED at compaction (rows dropped, stats re-derived
+    // from the surviving doclens), so the plain probe serves the deleted
+    // state afterwards and the anti-join leaves the hot path
+    def drop(df: DataFrame): DataFrame = tombs.fold(df)(t =>
+      df.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
+    drop(tables.map(spark.table).reduce(_ unionByName _))
       .write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(outTable)
-    tables.map(t => spark.table(s"${t}_stats")).reduce(_ unionByName _)
-      .agg(sum(col("n")).as("n"), sum(col("d")).as("d"))
+    drop(tables.map(t => spark.table(s"${t}_doclens")).reduce(_ unionByName _))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${outTable}_doclens")
+    spark.table(s"${outTable}_doclens")
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("d"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${outTable}_stats")
   }
 }

@@ -534,7 +534,7 @@ object TextSql {
   // by rounded-DECIMAL argmin (label tie-break), per-query ADC lookup
   // table, DECIMAL-exact m-addend sums, ADC shortlist top-16, exact cosine
   // re-rank — every stage mirrors the Spark expression tree
-  val pqTopKSql: String = {
+  def pqTopKSqlExcluding(qExtra: String, candExtra: String): String = {
     def subSlice(v: String, c: String, op: String): String =
       s"CAST(list_sum(list_transform(list_zip(" +
         s"list_slice($v, s * 2 + 1, s * 2 + 2), " +
@@ -552,10 +552,11 @@ object TextSql {
        |    FROM subdist) t
        |  WHERE rk = 1),
        |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM assigned
-       |      WHERE vec_id < 20),
+       |      WHERE vec_id < 20$qExtra),
        |cand AS (
        |  SELECT q.query_id, a.vec_id AS neighbor_id
-       |  FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.query_id),
+       |  FROM q JOIN assigned a ON q.cell = a.cell
+       |    AND a.vec_id <> q.query_id$candExtra),
        |lut AS (
        |  SELECT q.query_id, u.s, c.label AS code,
        |    ${subSlice("q.qv", "c.c", "p[1] * p[2]")} AS w
@@ -604,6 +605,16 @@ object TextSql {
        |  FROM rerank) t
        |WHERE rank <= 3""".stripMargin
   }
+
+  val pqTopKSql: String = pqTopKSqlExcluding("", "")
+
+  /** Mirror of [[graft.functions.SimilarityOps.pqTopKFromIndexDeleted]]
+    * with tombstones = vec_id % 37 = 3: deleted vectors excluded from both
+    * probe roles, codebook/codes (trained before the delete) UNCHANGED —
+    * the centroid CTEs stay over the full corpus, which is exactly the
+    * frozen-codebook deletion semantics the Spark probe implements. */
+  val pqTopKDeletedSql: String = pqTopKSqlExcluding(
+    " AND vec_id % 37 <> 3", " AND a.vec_id % 37 <> 3")
 
   // IVF recall evaluator (SimilarityOps.ivfRecall): exact brute-force
   // top-5 truth vs the multi-probe IVF ranking per nprobe ∈ {1,2,4} —
@@ -1534,7 +1545,13 @@ object TextSql {
   // log-free idf as one exact-integer ratio cast to DOUBLE, per-term
   // contributions in the SAME parenthesization as the Spark expression tree
   // (correctly-rounded IEEE ops → bit-identical), summed left-associated.
-  val bm25TopKSql: String = {
+  /** One-pass BM25 over `documents` restricted by `where` (empty = full
+    * corpus). The tombstone-probe mirror: the Spark side never rescans the
+    * corpus (broadcast anti-join + doclens stats correction over the
+    * stored index), but a from-scratch ranking of the surviving docs is
+    * exactly what it must equal — which is what this oracle computes.
+    */
+  def bm25TopKSqlWhere(where: String): String = {
     val qt = graft.functions.TextAnalysis.bm25Terms
     val tfCases = qt.map(t =>
       s"    CAST(SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$t")
@@ -1551,7 +1568,7 @@ object TextSql {
     val tfCols = qt.map(t => s"tf_$t").mkString(", ")
     s"""WITH tok AS (
        |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t
-       |  FROM documents),
+       |  FROM documents$where),
        |hits AS (
        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
        |    unnest(list_filter(t, x -> $inList)) AS term
@@ -1563,7 +1580,7 @@ object TextSql {
        |corpus AS (
        |  SELECT COUNT(*) AS n,
        |    CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS d
-       |  FROM documents),
+       |  FROM documents$where),
        |dfs AS (
        |  SELECT
        |$dfCases
@@ -1575,6 +1592,14 @@ object TextSql {
        |SELECT doc_id, dl, $tfCols, score
        |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
+
+  val bm25TopKSql: String = bm25TopKSqlWhere("")
+
+  /** Mirror of [[graft.functions.TextAnalysis.bm25TopKFromIndexDeleted]]
+    * with tombstones = doc_id % 37 = 3: a from-scratch ranking of the
+    * surviving corpus. */
+  val bm25TopKDeletedSql: String =
+    bm25TopKSqlWhere(" WHERE doc_id % 37 <> 3")
 
   /** Mirror of [[graft.functions.SimilarityOps.knnClassify]]: majority
     * label over the exact cosine top-5 (ties toward the smaller label).
