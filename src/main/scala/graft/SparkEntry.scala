@@ -111,6 +111,10 @@ object SparkEntry {
     // oracle as shard_dedup because the output contract is identical
     "shard_dedup_indexed" -> ((s, d) =>
       DedupOps.shardDedupFromIndex(s, d, DedupOps.memoizedMinhashIndex(s, d))),
+    // deletion without a rebuild: tombstoned corpus docs stop producing
+    // admission candidates (broadcast anti-join on the candidate set) —
+    // oracle recomputes admission over a corpus never containing them
+    "shard_dedup_deleted" -> ((s, d) => DedupOps.shardDedupDeleted(s, d)),
     "dedup_clusters"  -> ((s, d) => DedupOps.dedupClusters(s, d)),
     // the un-memoized fixpoint: same result, but BENCH times the iterative
     // algorithm here while dedup_clusters times the materialized-view read
@@ -290,6 +294,7 @@ object SparkEntry {
     "minhash_lsh"     -> TextSql.minhashLshSql,
     "shard_dedup"     -> TextSql.shardDedupSql,
     "shard_dedup_indexed" -> TextSql.shardDedupSql,
+    "shard_dedup_deleted" -> TextSql.shardDedupDeletedSql,
     "dedup_clusters"  -> TextSql.dedupClustersSql,
     "dedup_clusters_fresh" -> TextSql.dedupClustersSql,
     "dedup_select"    -> TextSql.dedupSelectSql,

@@ -615,6 +615,20 @@ object DedupOps {
                           minJaccard: Double = 0.5): DataFrame =
     shardDedupFromGenerations(spark, dir, Seq(table), minJaccard)
 
+  /** Gated-query form of the admission probe under TOMBSTONES: corpus
+    * docs doc_id % 37 = 3 are taken down (derived from the stored counts
+    * table — the corpus is not scanned), so they can no longer block a
+    * shard doc's admission. Oracle:
+    * [[graft.oracle.TextSql.shardDedupDeletedSql]] — the same admission
+    * arithmetic over a corpus that never contained the deleted docs.
+    */
+  def shardDedupDeleted(spark: SparkSession, dir: String): DataFrame = {
+    val table = memoizedMinhashIndex(spark, dir)
+    val tombs = spark.table(s"${table}_counts")
+      .select(col("doc_id")).filter(col("doc_id") % 37 === 3)
+    shardDedupFromGenerations(spark, dir, Seq(table), tombs = Some(tombs))
+  }
+
   /** The admission probe over base ∪ delta generations
     * ([[writeMinhashGeneration]]): each generation's three tables union
     * BELOW the probe joins, so every generation scan keeps its own
@@ -631,7 +645,8 @@ object DedupOps {
     */
   def shardDedupFromGenerations(spark: SparkSession, dir: String,
                                 tables: Seq[String],
-                                minJaccard: Double = 0.5): DataFrame = {
+                                minJaccard: Double = 0.5,
+                                tombs: Option[DataFrame] = None): DataFrame = {
     require(tables.nonEmpty, "at least one index generation required")
     def gen(suffix: String): DataFrame =
       tables.map(t => spark.table(s"$t$suffix")).reduce(_ unionByName _)
@@ -644,11 +659,22 @@ object DedupOps {
     // bound the hint is dropped and the bucketed layout carries the join
     val shardSmall = Tables.rowCount(spark, dir, "documents") <= 8000000L
     val probe = if (shardSmall) broadcast(shardBands) else shardBands
-    val cand = probe.as("x")
+    val candAll = probe.as("x")
       .join(gen("_bands").as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("shard_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
+    // DELETION without a rebuild (takedown): tombstoned corpus docs stop
+    // producing admission candidates via one broadcast anti-join here —
+    // everything downstream (shingle verify, counts, verdicts) is
+    // candidate-bounded, so the deleted docs vanish from the whole probe
+    // and the result equals an index never containing them. The shard
+    // side is the INCOMING batch and is never tombstoned. Folding the
+    // tombstones into the layout happens off the hot path via
+    // [[compactMinhashIndex]]'s `tombs` parameter.
+    val cand = tombs.fold(candAll)(t => candAll.join(
+        broadcast(t.select(col("doc_id").as("corpus_id"))),
+        Seq("corpus_id"), "left_anti"))
       .cache()
     val corpusIds = cand.select(col("corpus_id").as("doc_id")).distinct()
     // guarded by the INDEX, not the probe dir: the stored index is
@@ -698,10 +724,16 @@ object DedupOps {
     * compacted base is row-identical to the multi-generation probe.
     */
   def compactMinhashIndex(spark: SparkSession, tables: Seq[String],
-                          outTable: String, buckets: Int = 16): Unit = {
+                          outTable: String, buckets: Int = 16,
+                          tombs: Option[DataFrame] = None): Unit = {
     clearIndexLayout(spark, outTable)
-    def merge(suffix: String) =
-      tables.map(t => spark.table(s"$t$suffix")).reduce(_ unionByName _)
+    // tombstones are APPLIED at compaction (rows dropped from all three
+    // tables), so the plain probe serves the deleted state afterwards
+    def merge(suffix: String) = {
+      val u = tables.map(t => spark.table(s"$t$suffix")).reduce(_ unionByName _)
+      tombs.fold(u)(t => u.join(broadcast(t.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti"))
+    }
     merge("_bands").write.mode("overwrite")
       .bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
       .format("parquet").saveAsTable(s"${outTable}_bands")

@@ -224,13 +224,13 @@ object TextSql {
     * corpus (the rest), candidates LEFT-joined to the intersection so a
     * zero-overlap banding false positive still counts at Jaccard 0.
     */
-  val shardDedupSql: String =
+  def shardDedupSqlExcluding(corpusExtra: String): String =
     s"""WITH $sigBandsCte,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS shard_id, y.doc_id AS corpus_id
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bkey = y.bkey
-       |  WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7),
+       |  WHERE x.doc_id % 10 = 7 AND y.doc_id % 10 <> 7$corpusExtra),
        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT c.shard_id, c.corpus_id, COUNT(*) AS n_inter
@@ -266,6 +266,16 @@ object TextSql {
        |LEFT JOIN roll r ON d.doc_id = r.shard_id
        |LEFT JOIN best b ON d.doc_id = b.shard_id
        |WHERE d.doc_id % 10 = 7""".stripMargin
+
+  val shardDedupSql: String = shardDedupSqlExcluding("")
+
+  /** Mirror of [[graft.functions.DedupOps.shardDedupDeleted]] with
+    * tombstones = corpus doc_id % 37 = 3: deleted corpus docs produce no
+    * admission candidates — the same verdict arithmetic over a corpus
+    * that never contained them. (The shard side is the incoming batch
+    * and is never tombstoned.) */
+  val shardDedupDeletedSql: String =
+    shardDedupSqlExcluding(" AND y.doc_id % 37 <> 3")
 
   // LSH recall curve (mirror of DedupOps.lshRecall): exact-Jaccard truth
   // on the bounded sample vs the production candidate set, bucketed by

@@ -65,6 +65,39 @@ class TombstoneSpec extends SparkSpec {
       s"tombstone probe rescans the corpus:\n$plan")
   }
 
+  test("minhash: tombstone probe == probe over an index never containing the deleted docs; compaction applies tombstones") {
+    import graft.functions.DedupOps
+    Seq("tomb_mh", "tomb_mh_clean", "tomb_mh_compacted").foreach(t =>
+      Seq("_bands", "_shingles", "_counts").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $t$s")))
+    DedupOps.writeMinhashIndex(spark, sfTiny, "tomb_mh")
+    // takedown ids derived from the stored counts table, not the corpus
+    val tombs = spark.table("tomb_mh_counts")
+      .filter(col("doc_id") % 37 === 3).select("doc_id")
+    assert(tombs.count() > 0, "fixture produced no tombstones")
+
+    val got = canon(DedupOps.shardDedupFromGenerations(
+      spark, sfTiny, Seq("tomb_mh"), tombs = Some(tombs)))
+
+    // survivor-index equivalence: the verdicts must equal a probe over an
+    // index BUILT without the deleted corpus docs
+    DedupOps.writeMinhashGeneration(spark, sfTiny,
+      col("doc_id") % 10 =!= 7 && col("doc_id") % 37 =!= 3, "tomb_mh_clean")
+    assert(canon(DedupOps.shardDedupFromIndex(spark, sfTiny, "tomb_mh_clean"))
+      == got, "tombstone probe diverged from a survivor-built index")
+
+    // compaction applies tombstones: plain probe serves the deleted state
+    DedupOps.compactMinhashIndex(spark, Seq("tomb_mh"), "tomb_mh_compacted",
+      tombs = Some(tombs))
+    assert(canon(DedupOps.shardDedupFromIndex(
+      spark, sfTiny, "tomb_mh_compacted")) == got,
+      "plain probe over the tombstone-compacted index diverged")
+    for (s <- Seq("_bands", "_shingles", "_counts"))
+      assert(spark.table(s"tomb_mh_compacted$s")
+        .join(tombs, Seq("doc_id"), "left_semi").isEmpty,
+        s"compaction left tombstoned rows in $s")
+  }
+
   test("pq: tombstone probe == plain probe over a tombstone-compacted layout; codebook frozen") {
     val base = "/tmp/graft-tomb-pq"
     val compacted = "/tmp/graft-tomb-pq-compact"
