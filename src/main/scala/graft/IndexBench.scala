@@ -142,6 +142,51 @@ object IndexBench {
       TextAnalysis.bm25TopKIncremental(spark,
         Seq("ib_bm_base", "ib_bm_g1")).collect())
 
+    // ── Deletion → compaction lifecycle (round-10): three numbers per
+    // layout close the "tombstones leave the hot path at compaction"
+    // claim. (1) tomb-probe: the broadcast anti-join overhead a takedown
+    // costs BEFORE compaction; (2) compact_*_tombs: the one-time fold of
+    // the tombstones into a rewritten layout (linear in index size, not
+    // corpus text); (3) *_compacted: the plain probe over the folded
+    // layout — must read like a single-generation probe, because nothing
+    // of the deletion survives in the plan. Fixture: the gated queries'
+    // doc_id/vec_id % 37 = 3 takedown set, derived from stored sidecars
+    // (the corpus is never scanned to find the tombstones).
+    val mhTombs = spark.table("ib_mh_base_counts")
+      .unionByName(spark.table("ib_mh_g1_counts"))
+      .select(col("doc_id")).filter(col("doc_id") % 37 === 3)
+    probes("minhash_tomb_probe") = measured("minhash_tomb_probe")(
+      DedupOps.shardDedupFromGenerations(spark, sfDir,
+        Seq("ib_mh_base", "ib_mh_g1"), tombs = Some(mhTombs)).collect())
+    builds("compact_minhash_tombs") = best(DedupOps.compactMinhashIndex(
+      spark, Seq("ib_mh_base", "ib_mh_g1"), "ib_mh_compact",
+      tombs = Some(mhTombs)))
+    probes("minhash_compacted") = measured("minhash_compacted")(
+      DedupOps.shardDedupFromGenerations(spark, sfDir,
+        Seq("ib_mh_compact")).collect())
+
+    val bmTombs = spark.table("ib_postings_doclens")
+      .select(col("doc_id")).filter(col("doc_id") % 37 === 3)
+    probes("bm_tomb_probe") = measured("bm_tomb_probe")(
+      TextAnalysis.bm25TopKFromIndexDeleted(spark, "ib_postings", bmTombs)
+        .collect())
+    builds("compact_bm_tombs") = best(TextAnalysis.compactPostings(
+      spark, Seq("ib_bm_base", "ib_bm_g1"), "ib_bm_compact",
+      tombs = Some(bmTombs)))
+    probes("bm_compacted") = measured("bm_compacted")(
+      TextAnalysis.bm25TopKIncremental(spark, Seq("ib_bm_compact")).collect())
+
+    val pqTombs = spark.read.parquet(cellPath)
+      .select(col("vec_id")).filter(col("vec_id") % 37 === 3)
+    probes("pq_tomb_probe") = measured("pq_tomb_probe")(
+      SimilarityOps.pqTopKFromIndexDeleted(spark, pqPath, cellPath, pqTombs)
+        .collect())
+    val pqCompact = s"/tmp/graft-ib-pqcompact-${ProcessHandle.current().pid()}"
+    builds("compact_pq_tombs") = best(SimilarityOps.compactPqIndex(
+      spark, genBase, Seq(genDelta), pqCompact, tombs = Some(pqTombs)))
+    probes("pq_compacted") = measured("pq_compacted")(
+      SimilarityOps.pqTopKFromGenerations(spark, pqCompact, Seq()).collect())
+
     def fmt(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) =>
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
