@@ -119,6 +119,10 @@ object SparkEntry {
     // the un-memoized fixpoint: same result, but BENCH times the iterative
     // algorithm here while dedup_clusters times the materialized-view read
     "dedup_clusters_fresh" -> ((s, d) => DedupOps.dedupClustersFresh(s, d)),
+    // incremental maintenance: the shard's edges merged into the converged
+    // corpus assignment via the delta-sized label-graph fixpoint — same
+    // converged output, corpus never re-folded (componentsDelta)
+    "dedup_clusters_delta" -> ((s, d) => DedupOps.dedupClustersDelta(s, d)),
     "dedup_select"    -> ((s, d) => CurationOps.dedupSelect(s, d)),
     // topic balancing: at most `cap` docs per semantic (embedding τ-near)
     // cluster, ranked by the deterministic dedup_select election rule
@@ -202,6 +206,10 @@ object SparkEntry {
     // the un-memoized fixpoint (semantic_clusters times the view read)
     "semantic_clusters_fresh" -> ((s, d) =>
       SimilarityOps.semanticClustersFresh(s, d)),
+    // incremental maintenance: new vectors' τ-near edges merged into the
+    // converged assignment via the delta-sized label-graph fixpoint
+    "semantic_clusters_delta" -> ((s, d) =>
+      SimilarityOps.semanticClustersDelta(s, d)),
     "token_counts"    -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "quality_filter"  -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     // CCNet-style reference-frequency scoring (exact-arithmetic LM proxy)
@@ -297,6 +305,7 @@ object SparkEntry {
     "shard_dedup_deleted" -> TextSql.shardDedupDeletedSql,
     "dedup_clusters"  -> TextSql.dedupClustersSql,
     "dedup_clusters_fresh" -> TextSql.dedupClustersSql,
+    "dedup_clusters_delta" -> TextSql.dedupClustersSql,
     "dedup_select"    -> TextSql.dedupSelectSql,
     "cluster_cap_sample" -> TextSql.clusterCapSampleSql,
     "leakage_split"   -> TextSql.leakageSplitSql,
@@ -335,6 +344,7 @@ object SparkEntry {
     "semdedup"        -> TextSql.semDedupSql,
     "semantic_clusters" -> TextSql.semanticClustersSql,
     "semantic_clusters_fresh" -> TextSql.semanticClustersSql,
+    "semantic_clusters_delta" -> TextSql.semanticClustersSql,
     "token_counts"    -> TextSql.tokenCountsSql,
     "quality_filter"  -> TextSql.qualityFilterSql,
     "freq_score"      -> TextSql.freqScoreSql,

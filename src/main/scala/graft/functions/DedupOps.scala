@@ -541,6 +541,7 @@ object DedupOps {
     Tables.invalidate(dir)
     invalidateClusterCache()
     SimilarityOps.invalidateSemClusterCache()
+    SimilarityOps.invalidateSemDeltaCache()
     // the PERSISTED rankedAssignment DataFrames would otherwise keep
     // serving pre-regeneration embedding data (cached blocks don't re-read
     // files) — the same stale-view hazard the sem-cluster clear closed in
@@ -784,8 +785,10 @@ object DedupOps {
   /** Drop every memoized cluster view (e.g. after the underlying corpus
     * changes); checkpoint blocks are reclaimed once unreferenced.
     */
-  def invalidateClusterCache(): Unit =
+  def invalidateClusterCache(): Unit = {
     clusterCache.synchronized(clusterCache.clear())
+    deltaBaseCache.synchronized(deltaBaseCache.clear())
+  }
 
   /** The un-memoized iterative fixpoint — what a first materialization of
     * the cluster view actually costs. Benched as `dedup_clusters_fresh` so
@@ -849,6 +852,144 @@ object DedupOps {
       .select(col("v").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
+  /** Incremental connected-components maintenance: merge a DELTA edge set
+    * into an existing converged assignment WITHOUT re-running the fixpoint
+    * over the corpus graph. The observation: a converged min-label
+    * assignment is a graph contraction — every base component collapses to
+    * its label (= min member id), and new edges relabeled through the
+    * assignment form a LABEL GRAPH whose components are exactly the
+    * post-merge components. So the iterative work runs over a graph whose
+    * node count is (affected components + unseen endpoints), not the
+    * corpus, and the merge-back is two broadcast hash joins against the
+    * base assignment — no corpus shuffle, no corpus fixpoint.
+    *
+    * Steps, each bounded by the delta (E = delta edges, A = affected rows):
+    *  1. endpoint lookup: base assignment filtered to delta endpoints via a
+    *     broadcast semi-join (scan-and-filter; at 100 TB the assignment is
+    *     a doc_id-bucketed table and this is a bucket-pruned point lookup);
+    *  2. relabel: map each delta edge to (label(id1), label(id2)); edges
+    *     whose endpoints land in the same component are discarded — they
+    *     cannot change anything;
+    *  3. the label-graph fixpoint: [[componentsOver]] on the relabeled
+    *     edges — O(E)-sized input, converges in O(log diameter of the
+    *     MERGE graph) rounds;
+    *  4. merge-back: members of affected components take their component's
+    *     new label via one broadcast inner join; unaffected rows pass
+    *     through via the mirroring broadcast anti-join with their stored
+    *     size/keep untouched; endpoints unseen by the base (new docs, or
+    *     previously edge-less docs) emit directly from the label graph.
+    *     Sizes/keep are re-windowed over the affected subset only.
+    *
+    * Result is bit-identical to `componentsOver(baseEdges ∪ deltaEdges)`
+    * (`ComponentsDeltaSpec` proves it differentially on random graphs and
+    * adversarial fixtures; the gated query `dedup_clusters_delta` shares
+    * `dedup_clusters`' full-closure DuckDB oracle). `baseAssign` must be a
+    * converged assignment with (doc_id, cluster_id, cluster_size, keep) —
+    * i.e. [[componentsOver]] output; `deltaEdges` is any (id1, id2) pair
+    * frame (base-to-base pairs are legal and simply collapse in step 2).
+    */
+  private[graft] def componentsDelta(baseAssign: DataFrame,
+                                     deltaEdges0: DataFrame): DataFrame = {
+    val deltaEdges = deltaEdges0.toDF("id1", "id2")
+    val asg = baseAssign.select(col("doc_id").as("av"), col("cluster_id").as("al"))
+    val eps = deltaEdges
+      .select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
+    // assignment rows for delta endpoints only: broadcast the (tiny)
+    // endpoint set as the build side — the base is scanned, never shuffled
+    val asgHit = asg.join(broadcast(eps), col("av") === col("id"), "left_semi")
+    val look = eps.join(broadcast(asgHit), col("id") === col("av"), "left")
+      .select(col("id"), coalesce(col("al"), col("id")).as("lab"),
+        col("al").isNotNull.as("known"))
+      .cache()
+    val l1 = look.select(col("id").as("id1"), col("lab").as("l1"))
+    val l2 = look.select(col("id").as("id2"), col("lab").as("l2"))
+    val labelEdges = deltaEdges
+      .join(broadcast(l1), "id1").join(broadcast(l2), "id2")
+      .filter(col("l1") =!= col("l2"))
+      .select(col("l1").as("id1"), col("l2").as("id2"))
+    // the delta-sized fixpoint: label-graph nodes are component labels and
+    // unseen endpoint ids; its assignment IS the old-label → new-label map
+    val mapping = componentsOver(labelEdges)
+      .select(col("doc_id").as("old_label"), col("cluster_id").as("new_label"))
+    val affected = baseAssign
+      .join(broadcast(mapping), col("cluster_id") === col("old_label"))
+      .select(col("doc_id"), col("new_label").as("cluster_id"))
+    val untouched = baseAssign
+      .join(broadcast(mapping), col("cluster_id") === col("old_label"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("keep"))
+    val direct = look.filter(!col("known"))
+      .join(broadcast(mapping), col("lab") === col("old_label"))
+      .select(col("id").as("doc_id"), col("new_label").as("cluster_id"))
+    val w = Window.partitionBy("cluster_id")
+    val recomputed = affected.union(direct)
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+    untouched.union(recomputed)
+  }
+
+  // Memoized base state for the delta-maintained cluster view: the corpus
+  // (doc_id % 10 != 7) band index stand-in + its converged assignment, per
+  // (session, dir) — same bounded-LRU discipline as `clusterCache`. The
+  // assignment is localCheckpoint-materialized so steady-state delta reads
+  // pay only shard-side work (shard shingling + the delta merge).
+  private val deltaBaseCache =
+    new java.util.LinkedHashMap[(SparkSession, String), (DataFrame, DataFrame)]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), (DataFrame, DataFrame)]): Boolean =
+        size > 4
+    }
+
+  /** The incremental form of [[dedupClustersFresh]]: cluster assignment
+    * maintained by [[componentsDelta]] as the shard (`doc_id % 10 = 7` —
+    * the [[shardDedup]] convention) arrives against an already-converged
+    * corpus view. Gated as `dedup_clusters_delta` against the SAME
+    * transitive-closure oracle as `dedup_clusters` — the delta-maintained
+    * assignment must be bit-identical to the full recompute.
+    *
+    * Delta candidate generation mirrors the admission gate: shard bands
+    * probe the corpus band index (equi-join on (band, bkey) — the stored
+    * [[writeMinhashIndex]] layout at scale, a memoized frame here) plus the
+    * shard's own band self-join; the corpus is never re-shingled or
+    * re-banded on a steady-state read. BENCH reads this next to
+    * `dedup_clusters_fresh`: the full fixpoint vs the delta merge, same
+    * converged output.
+    */
+  def dedupClustersDelta(spark: SparkSession, dir: String): DataFrame = {
+    val isShard = col("doc_id") % 10 === 7
+    val (bandsBase, baseAssign) = deltaBaseCache.synchronized {
+      val k = (spark, dir)
+      val hit = deltaBaseCache.get(k)
+      if (hit != null) hit
+      else {
+        val sigBase = signaturesFrom(
+          explodedShingles(spark, dir, !isShard, distinctShingles = false)
+            .withColumn("h", mdhash(col("s")))).cache()
+        val bb = bandKeys(sigBase).cache()
+        val baseCand = bb.as("x").join(bb.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+          .distinct()
+        val v = (bb, componentsOver(baseCand).localCheckpoint())
+        deltaBaseCache.put(k, v)
+        v
+      }
+    }
+    val sigShard = signaturesFrom(
+      explodedShingles(spark, dir, isShard, distinctShingles = false)
+        .withColumn("h", mdhash(col("s"))))
+    val bandsShard = bandKeys(sigShard)
+    val cross = bandsShard.as("x").join(bandsBase.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id2"))
+    val within = bandsShard.as("x").join(bandsShard.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+    componentsDelta(baseAssign, cross.union(within).distinct())
   }
 
   /** SimHash: 32-bit locality-sensitive fingerprint per document — for each

@@ -868,6 +868,72 @@ object SimilarityOps {
       semDedupPairs(spark, dir, minCosine).select(col("id1"), col("id2")))
       .withColumnRenamed("doc_id", "vec_id")
 
+  // Memoized converged assignment over the BASE vectors (vec_id % 10 != 7)
+  // for the delta-maintained view — cell frames come from the already-
+  // persisted rankedAssignment, so only the component map is stored here.
+  private val semDeltaBaseCache =
+    new java.util.LinkedHashMap[(SparkSession, String, Double), DataFrame]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, Double), DataFrame]): Boolean =
+        size > 4
+    }
+
+  /** The incremental form of [[semanticClustersFresh]] — the embedding
+    * twin of [[graft.functions.DedupOps.dedupClustersDelta]], sharing its
+    * [[graft.functions.DedupOps.componentsDelta]] merge engine: newly
+    * ingested vectors (`vec_id % 10 = 7`, the shard convention) are
+    * cell-assigned (row-local, the [[graft.streaming.SemIngest]]
+    * observation), their τ-near edges generated against base vectors OF
+    * THE SAME CELL plus among themselves (Σ|cell ∩ delta|·|cell| work,
+    * never corpus-wide), and merged into the converged base assignment via
+    * the delta-sized label-graph fixpoint. Gated as
+    * `semantic_clusters_delta` against the SAME transitive-closure oracle
+    * as `semantic_clusters`: delta maintenance must be bit-identical to
+    * the full recompute.
+    */
+  def semanticClustersDelta(spark: SparkSession, dir: String,
+                            minCosine: Double = 0.3): DataFrame = {
+    val isDelta = col("vec_id") % 10 === 7
+    val assigned = rankedAssignment(spark, dir, 1)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("label").as("cell"))
+    val base = assigned.filter(!isDelta)
+    val baseAssign = semDeltaBaseCache.synchronized {
+      val k = (spark, dir, minCosine)
+      val hit = semDeltaBaseCache.get(k)
+      if (hit != null) hit
+      else {
+        val basePairs = base.as("x").join(base.as("y"),
+            col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+          .filter(bround(nativeCosine(spark, "x.v", "y.v"), 8)
+            .cast("decimal(12,8)") >= minCosine)
+          .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+        val v = DedupOps.componentsOver(basePairs).localCheckpoint()
+        semDeltaBaseCache.put(k, v)
+        v
+      }
+    }
+    val dv = assigned.filter(isDelta)
+    val cross = dv.as("x").join(base.as("y"), col("x.cell") === col("y.cell"))
+      .filter(bround(nativeCosine(spark, "x.v", "y.v"), 8)
+        .cast("decimal(12,8)") >= minCosine)
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("id1"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("id2"))
+    val within = dv.as("x").join(dv.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(bround(nativeCosine(spark, "x.v", "y.v"), 8)
+        .cast("decimal(12,8)") >= minCosine)
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+    DedupOps.componentsDelta(baseAssign, cross.union(within))
+      .withColumnRenamed("doc_id", "vec_id")
+  }
+
+  /** Drop the memoized delta-maintenance base assignments (data
+    * regeneration hook — cleared alongside [[invalidateSemClusterCache]]).
+    */
+  def invalidateSemDeltaCache(): Unit =
+    semDeltaBaseCache.synchronized(semDeltaBaseCache.clear())
+
   /** Materialize the rk = 1 cell assignment as a parquet table PARTITIONED
     * BY cell — the stored IVF index layout that [[ivfTopK]] and
     * [[semDedup]] docs assume at 100 TB. An `nprobe`-cell probe then reads
