@@ -193,6 +193,29 @@ object StreamBench {
       record("bm_ingest", nRows, secs, converged)
     }
 
+    // ── 6. cluster maintenance: per-batch delta merge of the assignment ──
+    // Candidate pairs stream in; each micro-batch is folded into the
+    // versioned assignment table via the delta-sized label-graph merge.
+    // Convergence is the strong form: the maintained view must be
+    // bit-identical to the one-shot batch fixpoint over ALL pairs — the
+    // same assignment the DuckDB transitive-closure oracle gates.
+    {
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("streambench_cl")).foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      val pairs = graft.functions.DedupOps.minhashLsh(spark, sfDir)
+        .select(col("id1"), col("id2"))
+      val nRows = chunk(pairs, s"$work/cl-pairs", "id1")
+      val secs = drain(graft.streaming.ClusterIngest.start(
+        fileStream(s"$work/cl-pairs", pairs.schema),
+        "streambench_cl", s"$work/ckpt-cl"))
+      val maintained = graft.streaming.ClusterIngest.current(spark, "streambench_cl")
+      val batch = graft.functions.DedupOps.componentsOver(pairs)
+      val converged = maintained.isDefined &&
+        maintained.get.except(batch).isEmpty && batch.except(maintained.get).isEmpty
+      record("cluster_ingest", nRows, secs, converged)
+    }
+
     val streams = out.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"stream_bench","streams":$streams,"files_per_trigger":$perTrigger,"state_store":"rocksdb","sf":"$sfDir"}""")
     spark.stop()

@@ -892,7 +892,11 @@ object DedupOps {
     */
   private[graft] def componentsDelta(baseAssign: DataFrame,
                                      deltaEdges0: DataFrame): DataFrame = {
-    val deltaEdges = deltaEdges0.toDF("id1", "id2")
+    // delta-sized by contract, and consumed three times (endpoint set,
+    // relabel join, and the fixpoint's symmetrized union) — pin it so the
+    // upstream candidate pipeline (shard shingling + band joins) runs
+    // once, not per consumer
+    val deltaEdges = deltaEdges0.toDF("id1", "id2").cache()
     val asg = baseAssign.select(col("doc_id").as("av"), col("cluster_id").as("al"))
     val eps = deltaEdges
       .select(explode(array(col("id1"), col("id2"))).as("id")).distinct()

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.DedupOps
+import graft.streaming.ClusterIngest
+
+/** The streaming cluster-maintenance sink
+  * ([[graft.streaming.ClusterIngest]]): candidate pairs arriving in
+  * micro-batches are folded into a versioned assignment table via the
+  * delta-sized label-graph merge, and the maintained view must be
+  * bit-identical to the one-shot batch fixpoint over ALL edges — no
+  * matter how the stream was chunked, across restarts, under replay of a
+  * committed batch, and after a crash that tears a version mid-write.
+  */
+class ClusterIngestSpec extends SparkSpec {
+
+  private val prefix = "clingest"
+  private val ckpt = "/tmp/graft-clingest-ckpt"
+  private val inbox = "/tmp/graft-clingest-inbox"
+
+  private def rmrf(p: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec)
+      f.delete(); ()
+    }
+    val f = new java.io.File(p)
+    if (f.exists()) rec(f)
+  }
+
+  private def dropPrefixTables(): Unit =
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith(prefix)).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+
+  private def edgesDf(pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("id1", "id2")
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, Boolean)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq.sorted
+
+  // a seeded random graph with enough cross-batch merges to exercise the
+  // label-graph path: later batches bridge components formed by earlier ones
+  private val rnd = new scala.util.Random(7)
+  private val allEdges: Seq[(Long, Long)] =
+    Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+  private val thirds = allEdges.grouped((allEdges.size + 2) / 3).toSeq
+
+  private def ingestAvailable(): Unit = {
+    val schema = edgesDf(Seq((0L, 1L))).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(inbox)
+    ClusterIngest.start(stream, prefix, ckpt).awaitTermination()
+  }
+
+  test("drained sink == one-shot batch fixpoint, across batches, restarts, replay, and a torn version") {
+    Seq(ckpt, inbox).foreach(rmrf)
+    dropPrefixTables()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+
+    // wave 1: two files → two micro-batches in one AvailableNow run
+    edgesDf(thirds(0)).coalesce(1).write.parquet(s"$inbox/w1")
+    edgesDf(thirds(1)).coalesce(1).write.parquet(s"$inbox/w2")
+    ingestAvailable()
+    val after2 = ClusterIngest.current(spark, prefix)
+    assert(after2.isDefined, "no committed assignment after wave 1")
+    assert(rows(after2.get) ==
+      rows(DedupOps.componentsOver(edgesDf(thirds(0) ++ thirds(1)))),
+      "wave-1 assignment != batch fixpoint over the first two batches")
+
+    // wave 2 (a RESTART: same checkpoint, new file): batchIds continue
+    edgesDf(thirds(2)).coalesce(1).write.parquet(s"$inbox/w3")
+    ingestAvailable()
+    val expectAll = rows(DedupOps.componentsOver(edgesDf(allEdges)))
+    assert(rows(ClusterIngest.current(spark, prefix).get) == expectAll,
+      "drained assignment != batch fixpoint over all edges")
+
+    // GC: only the newest two committed versions survive
+    val vers = ClusterIngest.committedVersions(spark, prefix)
+    assert(vers.size == 2, s"GC should keep 2 versions, found $vers")
+    val (newestId, newestTable) = vers.last
+
+    // REPLAY of the committed newest batch (at-least-once re-delivery):
+    // must rebuild the same version from its predecessor, not corrupt it
+    ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, newestId)
+    assert(rows(spark.table(newestTable)) == expectAll,
+      "replayed batch corrupted the committed assignment")
+
+    // TORN version: crash after the data write, before the meta commit —
+    // the torn table must be invisible, and replay must complete it
+    spark.sql(s"DROP TABLE IF EXISTS ${newestTable}_meta")
+    assert(ClusterIngest.committedVersions(spark, prefix).size == 1,
+      "torn version still counted as committed")
+    ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, newestId)
+    assert(rows(ClusterIngest.current(spark, prefix).get) == expectAll,
+      "replay after torn write did not converge")
+  }
+
+  test("batch-boundary independence: a different split converges to the same assignment") {
+    Seq(ckpt, inbox).foreach(rmrf)
+    dropPrefixTables()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+    // one edge per file for the first six edges, the rest in one file —
+    // a maximally different chunking from the thirds split above
+    allEdges.take(6).zipWithIndex.foreach { case (e, i) =>
+      edgesDf(Seq(e)).coalesce(1).write.parquet(s"$inbox/e$i")
+    }
+    edgesDf(allEdges.drop(6)).coalesce(1).write.parquet(s"$inbox/rest")
+    ingestAvailable()
+    assert(rows(ClusterIngest.current(spark, prefix).get) ==
+      rows(DedupOps.componentsOver(edgesDf(allEdges))),
+      "split-independent convergence violated")
+  }
+}

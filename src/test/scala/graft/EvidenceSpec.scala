@@ -29,12 +29,16 @@ class EvidenceSpec extends SparkSpec {
       for (b <- Seq("minhash_index", "bm25_postings", "pq_index", "cell_index",
         "pq_base_90pct", "pq_gen_delta_10pct",
         "minhash_base_80pct", "minhash_gen_delta_10pct",
-        "bm_base_90pct", "bm_gen_delta_10pct"))
+        "bm_base_90pct", "bm_gen_delta_10pct",
+        "compact_minhash_tombs", "compact_bm_tombs", "compact_pq_tombs"))
         assert(j.contains("\"" + b + "\""), s"$p: no build timing for $b")
-      // ...and every probe-vs-live crossover claim a recorded pair
+      // ...and every probe-vs-live crossover claim a recorded pair,
+      // including the tombstone-probe overhead and its compacted twin
       for (pr <- Seq("shard_dedup_live", "shard_dedup_indexed", "bm25_live",
         "bm25_indexed", "pq_live", "pq_indexed", "cell_read_1cell",
-        "pq_gen_fanin", "minhash_gen_fanin", "bm_gen_fanin"))
+        "pq_gen_fanin", "minhash_gen_fanin", "bm_gen_fanin",
+        "minhash_tomb_probe", "minhash_compacted",
+        "bm_tomb_probe", "bm_compacted", "pq_tomb_probe", "pq_compacted"))
         assert(j.contains("\"" + pr + "\""), s"$p: no probe timing for $pr")
     }
   }
@@ -44,7 +48,7 @@ class EvidenceSpec extends SparkSpec {
     assert(j.contains("\"state_store\":\"rocksdb\""),
       "stream bench evidence was not recorded on the RocksDB provider")
     for (s <- Seq("wire_fold", "ingest_dedup", "sem_ingest",
-      "pq_ingest", "bm_ingest")) {
+      "pq_ingest", "bm_ingest", "cluster_ingest")) {
       val at = j.indexOf("\"" + s + "\"")
       assert(at >= 0, s"no stream bench record for pipeline $s")
       val rec = j.substring(at, math.min(j.length, at + 300))
