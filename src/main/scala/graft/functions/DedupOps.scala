@@ -520,12 +520,22 @@ object DedupOps {
     val fs = p.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)
-    var sig = 0L // summed per-file terms: independent of listing order
+    // summed per-file terms: independent of listing order. Each term is ONE
+    // mixed 64-bit hash over (full path, length, mtime) — separate linear
+    // terms summed per field let offsetting changes across files cancel,
+    // and a basename-only path term aliased identically-named part files
+    // across partition subdirectories (ADVICE r10). FNV-1a over the joined
+    // string is cancellation-resistant while staying listing-cost-only.
+    var sig = 0L
     while (it.hasNext) {
       val st = it.next()
-      if (!st.getPath.getName.startsWith("_"))
-        sig += st.getPath.getName.hashCode * 1000003L +
-          st.getLen * 31L + st.getModificationTime
+      if (!st.getPath.getName.startsWith("_")) {
+        val s = st.getPath.toString + "|" + st.getLen + "|" + st.getModificationTime
+        var h = 0xcbf29ce484222325L // FNV-1a 64-bit
+        var i = 0
+        while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+        sig += h
+      }
     }
     (r.getLong(0), r.getLong(1), sig)
   }
@@ -805,7 +815,17 @@ object DedupOps {
     * edges). Output: (doc_id, cluster_id = min member, cluster_size, keep).
     */
   private[graft] def componentsOver(edges0: DataFrame): DataFrame = {
-    val edges = edges0.toDF("id1", "id2")
+    // Truncate the INPUT lineage before the loop: a merely-persisted frame
+    // still carries its full logical plan into every round's query —
+    // analysis, cached-plan canonicalization, and constraint propagation
+    // walk the whole upstream tree (cosine joins, broadcast lookups) every
+    // round even though execution reads cached blocks. Measured on
+    // semantic_clusters_delta at sf0.1: 2.0 s/round with the delta-merge
+    // plan hanging under sym vs 0.4 s/round from a leaf. sym itself is
+    // then persisted (columnar InMemoryRelation: per-round scans + size
+    // stats) over the 3-node leaf plan. At cluster scale use checkpoint()
+    // on reliable storage.
+    val edges = edges0.toDF("id1", "id2").localCheckpoint()
     val sym = edges.union(edges.select(col("id2"), col("id1")))
       .toDF("src", "dst").persist()
     var labels = sym.select(col("src").as("v")).distinct()
@@ -826,6 +846,7 @@ object DedupOps {
     //    3 actions/round and the fixed per-action cost (planning, codegen
     //    compile, scheduling) dominated this tiny-data loop 3×.
     while (!converged && rounds < 25) {
+      val rt0 = System.nanoTime()
       val nbrMin = sym.join(labels, col("dst") === col("v"))
         .groupBy(col("src")).agg(min(col("label")).as("nl"))
       val prop = labels.as("l")
@@ -845,6 +866,8 @@ object DedupOps {
       labels = cmp.select("v", "label")
       converged = changed == 0
       rounds += 1
+      if (sys.props.contains("graft.profile"))
+        println(f"[profile]   co round $rounds%2d changed=$changed%-6d ${(System.nanoTime() - rt0) / 1e9}%.3f s")
     }
     sym.unpersist()
     val w = Window.partitionBy("cluster_id")
@@ -914,18 +937,36 @@ object DedupOps {
       .filter(col("l1") =!= col("l2"))
       .select(col("l1").as("id1"), col("l2").as("id2"))
     // the delta-sized fixpoint: label-graph nodes are component labels and
-    // unseen endpoint ids; its assignment IS the old-label → new-label map
+    // unseen endpoint ids; its assignment IS the old-label → new-label map.
+    // componentsOver is eager (actions inside), so the cached temporaries
+    // above are fully consumed by the time it returns — except `look`,
+    // which the unseen-endpoint rows below still need once. Materialize
+    // those rows eagerly (delta-sized localCheckpoint, reclaimed by the
+    // ContextCleaner when the returned frame is dropped) and unpersist
+    // both temps before returning: without this, every call — one per
+    // micro-batch under ClusterIngest — left two cached relations pinned
+    // in the CacheManager for the life of the session (ADVICE r10).
     val mapping = componentsOver(labelEdges)
       .select(col("doc_id").as("old_label"), col("cluster_id").as("new_label"))
+      .localCheckpoint()
     val affected = baseAssign
       .join(broadcast(mapping), col("cluster_id") === col("old_label"))
       .select(col("doc_id"), col("new_label").as("cluster_id"))
     val untouched = baseAssign
       .join(broadcast(mapping), col("cluster_id") === col("old_label"), "left_anti")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("keep"))
+    // LEFT join + coalesce: an unseen endpoint whose delta edges all
+    // collapsed in the l1 =!= l2 filter (e.g. a self-edge, or a pair
+    // landing in one component) never enters the label graph, so mapping
+    // has no row for it — componentsOver(base ∪ delta) would still emit it
+    // as its own singleton, and so must the merge (ADVICE r10).
     val direct = look.filter(!col("known"))
-      .join(broadcast(mapping), col("lab") === col("old_label"))
-      .select(col("id").as("doc_id"), col("new_label").as("cluster_id"))
+      .join(broadcast(mapping), col("lab") === col("old_label"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("new_label"), col("lab")).as("cluster_id"))
+      .localCheckpoint()
+    deltaEdges.unpersist()
+    look.unpersist()
     val w = Window.partitionBy("cluster_id")
     val recomputed = affected.union(direct)
       .withColumn("cluster_size", count(lit(1)).over(w))
@@ -941,8 +982,14 @@ object DedupOps {
   private val deltaBaseCache =
     new java.util.LinkedHashMap[(SparkSession, String), (DataFrame, DataFrame)]() {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), (DataFrame, DataFrame)]): Boolean =
-        size > 4
+          e: java.util.Map.Entry[(SparkSession, String), (DataFrame, DataFrame)]): Boolean = {
+        val evict = size > 4
+        // ivfIndexCache's eviction discipline (ADVICE r10): release the
+        // cached band frame; the checkpointed assignment's blocks are
+        // reclaimed by the ContextCleaner once the reference drops
+        if (evict) e.getValue._1.unpersist()
+        evict
+      }
     }
 
   /** The incremental form of [[dedupClustersFresh]]: cluster assignment
@@ -977,6 +1024,10 @@ object DedupOps {
           .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
           .distinct()
         val v = (bb, componentsOver(baseCand).localCheckpoint())
+        // componentsOver is eager, so bb's cache is populated by now and
+        // the signature frame has served its 4-band fan-out — release it
+        // rather than pinning a corpus-sized relation for the session
+        sigBase.unpersist()
         deltaBaseCache.put(k, v)
         v
       }

@@ -510,10 +510,21 @@ object SimilarityOps {
     val paths = basePath +: genPaths
     // overwrite-what-you-read is the data-loss shape SnapshotCrashSpec
     // caught in the sink (parquet overwrite deletes before the lazy read
-    // runs) — compact to a FRESH path, then swap
-    require(!paths.map(new java.io.File(_).getCanonicalPath)
-      .contains(new java.io.File(outPath).getCanonicalPath),
-      s"compactPqIndex: outPath $outPath would overwrite an input layout")
+    // runs) — compact to a FRESH path, then swap. Disjointness is checked
+    // on Hadoop-qualified URIs (java.io.File canonicalization is
+    // meaningless for hdfs:// or s3:// paths) and covers the _cells /
+    // _centroids sibling dirs of both inputs and output, not just the main
+    // layout dirs (ADVICE r10).
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qual(s: String): String = {
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(hconf).makeQualified(p).toString
+    }
+    def family(p: String): Seq[String] = Seq(p, s"${p}_cells", s"${p}_centroids")
+    val inputs = paths.flatMap(family).map(qual).toSet
+    for (o <- family(outPath).map(qual))
+      require(!inputs.contains(o),
+        s"compactPqIndex: output dir $o would overwrite an input layout")
     // tombstones are APPLIED at compaction: deleted rows are dropped from
     // the rewritten layout, so the plain probe serves the deleted state
     // and the broadcast anti-join leaves the hot path

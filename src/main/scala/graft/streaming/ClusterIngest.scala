@@ -63,6 +63,21 @@ object ClusterIngest {
     */
   def mergeBatch(batch: DataFrame, prefix: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // Checkpoint/prefix mismatch guard (ADVICE r10): reusing a prefix with
+    // a FRESH checkpoint restarts batch ids at 0 — mergeBatch(0) would
+    // silently merge against no base (latestBefore(0) = None) while gc
+    // keeps the higher-numbered stale versions, so current() would keep
+    // serving the OLD state with no error. The only legal deliveries are a
+    // replay of the newest committed batch (batchId == max, rebuilt from
+    // its predecessor) or a new batch (batchId > max) — anything below is
+    // a torn pairing of prefix and checkpoint and must fail loudly.
+    committedVersions(spark, prefix).lastOption.foreach { case (maxV, _) =>
+      require(batchId >= maxV,
+        s"ClusterIngest.mergeBatch: batch $batchId for prefix '$prefix' is " +
+          s"below the newest committed version $maxV — the checkpoint does " +
+          "not belong to this prefix (fresh checkpoint over an existing " +
+          "view?); refusing to corrupt the maintained assignment")
+    }
     val edges = batch.select(col("id1"), col("id2")).distinct()
     val merged = latestBefore(spark, prefix, batchId) match {
       case Some(base) => DedupOps.componentsDelta(base, edges)

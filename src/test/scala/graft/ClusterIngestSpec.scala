@@ -106,6 +106,26 @@ class ClusterIngestSpec extends SparkSpec {
       "replay after torn write did not converge")
   }
 
+  test("checkpoint/prefix mismatch fails loudly instead of serving stale state") {
+    Seq(ckpt, inbox).foreach(rmrf)
+    dropPrefixTables()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+    edgesDf(thirds(0)).coalesce(1).write.parquet(s"$inbox/w1")
+    edgesDf(thirds(1)).coalesce(1).write.parquet(s"$inbox/w2")
+    ingestAvailable() // commits versions 0 and 1
+    // a FRESH checkpoint over the same prefix restarts batch ids at 0 —
+    // before the guard, mergeBatch(0) merged against no base while gc kept
+    // the stale higher-numbered versions: current() silently served old
+    // state. Now it must refuse (ADVICE r10).
+    val maxV = ClusterIngest.committedVersions(spark, prefix).last._1
+    assert(maxV >= 1, "test setup: expected two committed versions")
+    val e = intercept[IllegalArgumentException] {
+      ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, 0L)
+    }
+    assert(e.getMessage.contains("below the newest committed version"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("batch-boundary independence: a different split converges to the same assignment") {
     Seq(ckpt, inbox).foreach(rmrf)
     dropPrefixTables()

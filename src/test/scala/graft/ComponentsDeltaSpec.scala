@@ -51,15 +51,27 @@ class ComponentsDeltaSpec extends SparkSpec {
     check(Seq((1L, 2L), (3L, 4L)), Seq(), "empty delta")
     // empty base: delta-only graph
     check(Seq(), Seq((1L, 2L), (2L, 3L)), "empty base")
+    // self-edge on an UNSEEN node: its only delta edge collapses at the
+    // l1 =!= l2 filter, so it never enters the label graph — the merge
+    // must still emit it as its own singleton, exactly as the full
+    // fixpoint does (ADVICE r10)
+    check(Seq((1L, 2L)), Seq((9L, 9L)), "unseen self-edge singleton")
+    // self-edge on a base member: nothing may change
+    check(Seq((1L, 2L)), Seq((2L, 2L)), "base self-edge no-op")
+    // unseen self-edge next to a real merge in the same delta
+    check(Seq((1L, 2L), (4L, 5L)), Seq((9L, 9L), (2L, 4L)),
+      "self-edge singleton + merge")
   }
 
   test("random graphs: delta merge == full fixpoint on 20 seeded splits") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 20) {
       val n = 12 + rnd.nextInt(20)
+      // self-edges (a == b) stay IN: the full fixpoint emits such a node as
+      // a singleton, and the merge must match even when the self-edge is
+      // the node's only appearance (ADVICE r10's untested input class)
       val all = Seq.fill(6 + rnd.nextInt(25))(
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-        .filter { case (a, b) => a != b }
         .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
         .distinct
       val (base, delta) = all.partition(_ => rnd.nextBoolean())
