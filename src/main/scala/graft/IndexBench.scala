@@ -19,6 +19,15 @@ object IndexBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args(1).toInt else 2
+    // optional section filter (arg 3, comma list of core|pq_gen|gen|tombs|
+    // cluster; default all): lets the big-SF ladder add ONE lifecycle's
+    // rows — e.g. the PQ generation economics at sf10 — without paying a
+    // full re-run of every layout at that scale
+    val sections: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet
+      else Set("core", "pq_gen", "gen", "tombs", "cluster")
+    def section(name: String)(body: => Unit): Unit =
+      if (sections(name)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -71,6 +80,7 @@ object IndexBench {
     val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
     val probes = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    section("core") {
     builds("minhash_index") = best(DedupOps.writeMinhashIndex(spark, sfDir, "ib_minhash"))
     probes("shard_dedup_live") =
       measured("shard_dedup_live")(DedupOps.shardDedup(spark, sfDir).collect())
@@ -100,6 +110,7 @@ object IndexBench {
     // the cell probe: one cell directory-pruned from the stored layout
     probes("cell_read_1cell") = measured("cell_read_1cell")(
       SimilarityOps.readCell(spark, cellPath, 3).collect())
+    }
 
     // ── PQ generation lifecycle (round-10): the ingest claim is that a
     // delta generation costs ~|delta|/|corpus| of a rebuild because the
@@ -111,6 +122,7 @@ object IndexBench {
     import org.apache.spark.sql.functions.col
     val genBase = s"/tmp/graft-ib-pqgen-base-${ProcessHandle.current().pid()}"
     val genDelta = s"/tmp/graft-ib-pqgen-g1-${ProcessHandle.current().pid()}"
+    section("pq_gen") {
     builds("pq_base_90pct") = best(
       SimilarityOps.writePqBase(spark, sfDir, col("vec_id") % 10 =!= 7, genBase))
     builds("pq_gen_delta_10pct") = best(
@@ -118,6 +130,7 @@ object IndexBench {
         genBase, genDelta))
     probes("pq_gen_fanin") = measured("pq_gen_fanin")(
       SimilarityOps.pqTopKFromGenerations(spark, genBase, Seq(genDelta)).collect())
+    }
 
     // ── MinHash + BM25 generation lifecycles: same claim, same shape —
     // the delta build must cost ~its data share of a full build (one
@@ -125,6 +138,7 @@ object IndexBench {
     // run at single-layout cost. Base/delta split disjoint by doc_id so
     // every doc lives in exactly one generation (the append-only
     // invariant the specs pin).
+    section("gen") {
     builds("minhash_base_80pct") = best(DedupOps.writeMinhashGeneration(
       spark, sfDir, col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 6,
       "ib_mh_base"))
@@ -141,6 +155,7 @@ object IndexBench {
     probes("bm_gen_fanin") = measured("bm_gen_fanin")(
       TextAnalysis.bm25TopKIncremental(spark,
         Seq("ib_bm_base", "ib_bm_g1")).collect())
+    }
 
     // ── Deletion → compaction lifecycle (round-10): three numbers per
     // layout close the "tombstones leave the hot path at compaction"
@@ -152,6 +167,7 @@ object IndexBench {
     // of the deletion survives in the plan. Fixture: the gated queries'
     // doc_id/vec_id % 37 = 3 takedown set, derived from stored sidecars
     // (the corpus is never scanned to find the tombstones).
+    section("tombs") { // requires core + gen + pq_gen layouts
     val mhTombs = spark.table("ib_mh_base_counts")
       .unionByName(spark.table("ib_mh_g1_counts"))
       .select(col("doc_id")).filter(col("doc_id") % 37 === 3)
@@ -186,6 +202,34 @@ object IndexBench {
       spark, genBase, Seq(genDelta), pqCompact, tombs = Some(pqTombs)))
     probes("pq_compacted") = measured("pq_compacted")(
       SimilarityOps.pqTopKFromGenerations(spark, pqCompact, Seq()).collect())
+    }
+
+    // ── Incremental cluster maintenance (round-11 verdict item 2): the
+    // steady-state evidence the r10 round shipped without. Three numbers
+    // per engine: (1) *_fresh — the full fixpoint over base ∪ delta, the
+    // cost a non-incremental view pays EVERY refresh; (2) *_base_cold —
+    // the one-time cost of the first delta call (converges the base
+    // assignment and memoizes it: amortized over every subsequent read);
+    // (3) *_delta_warm — the steady-state read: shard-side candidate work
+    // + the delta-sized label-graph merge against the memoized base. The
+    // claim under test: delta_warm < fresh, because the corpus fixpoint
+    // and (for minhash) the corpus re-shingling never re-run.
+    section("cluster") {
+    DedupOps.invalidateClusterCache()
+    SimilarityOps.invalidateSemDeltaCache()
+    probes("cluster_fresh") = best(
+      DedupOps.dedupClustersFresh(spark, sfDir).collect())
+    builds("cluster_base_cold") = t(
+      DedupOps.dedupClustersDelta(spark, sfDir).collect())
+    probes("cluster_delta_warm") = best(
+      DedupOps.dedupClustersDelta(spark, sfDir).collect())
+    probes("sem_cluster_fresh") = best(
+      SimilarityOps.semanticClustersFresh(spark, sfDir).collect())
+    builds("sem_cluster_base_cold") = t(
+      SimilarityOps.semanticClustersDelta(spark, sfDir).collect())
+    probes("sem_cluster_delta_warm") = best(
+      SimilarityOps.semanticClustersDelta(spark, sfDir).collect())
+    }
 
     def fmt(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) =>

@@ -216,6 +216,36 @@ object StreamBench {
       record("cluster_ingest", nRows, secs, converged)
     }
 
+    // ── 7. takedown maintenance: one tombstone generation per request batch ──
+    // The delete side of the sink family (the seventh pipeline — absent
+    // from the r10 rehearsal, verdict item 4): takedown notices stream in
+    // as id batches, each becoming a tombstone generation; the admission
+    // probe under the streamed tombstone set must equal the probe under
+    // the same ids delivered as ONE batch (the form TakedownStreamSpec
+    // pins hermetically at sf0.001 — here at rehearsal scale on RocksDB).
+    {
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("streambench_td")).foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      graft.functions.DedupOps.writeMinhashIndex(spark, sfDir, "streambench_td_mh")
+      val notice = spark.table("streambench_td_mh_counts")
+        .filter(col("doc_id") % 37 === 3).select("doc_id")
+      val nRows = chunk(notice, s"$work/td-ids", "doc_id")
+      val secs = drain(graft.streaming.TakedownIngest.start(
+        fileStream(s"$work/td-ids", notice.schema),
+        "streambench_td", s"$work/ckpt-td"))
+      val streamedTombs = graft.streaming.TakedownIngest
+        .tombstones(spark, "streambench_td")
+      val probeStreamed = graft.functions.DedupOps.shardDedupFromGenerations(
+        spark, sfDir, Seq("streambench_td_mh"), tombs = streamedTombs)
+      val probeOneShot = graft.functions.DedupOps.shardDedupFromGenerations(
+        spark, sfDir, Seq("streambench_td_mh"), tombs = Some(notice))
+      val converged = streamedTombs.isDefined &&
+        probeStreamed.except(probeOneShot).isEmpty &&
+        probeOneShot.except(probeStreamed).isEmpty
+      record("takedown_ingest", nRows, secs, converged)
+    }
+
     val streams = out.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"stream_bench","streams":$streams,"files_per_trigger":$perTrigger,"state_store":"rocksdb","sf":"$sfDir"}""")
     spark.stop()

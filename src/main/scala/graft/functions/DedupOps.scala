@@ -930,10 +930,15 @@ object DedupOps {
       .select(col("id"), coalesce(col("al"), col("id")).as("lab"),
         col("al").isNotNull.as("known"))
       .cache()
-    val l1 = look.select(col("id").as("id1"), col("lab").as("l1"))
-    val l2 = look.select(col("id").as("id2"), col("lab").as("l2"))
+    // ONE broadcast plan for both endpoint relabels: identical broadcast
+    // subplans are deduped by ReuseExchange within the materializing query,
+    // so the lookup ships once, not once per endpoint side
+    val lk = look.select(col("id"), col("lab"))
     val labelEdges = deltaEdges
-      .join(broadcast(l1), "id1").join(broadcast(l2), "id2")
+      .join(broadcast(lk), col("id1") === col("id"))
+      .select(col("id2"), col("lab").as("l1"))
+      .join(broadcast(lk), col("id2") === col("id"))
+      .select(col("l1"), col("lab").as("l2"))
       .filter(col("l1") =!= col("l2"))
       .select(col("l1").as("id1"), col("l2").as("id2"))
     // the delta-sized fixpoint: label-graph nodes are component labels and
@@ -1032,9 +1037,15 @@ object DedupOps {
         v
       }
     }
+    // pin the shard SIGNATURES, not just the bands: the probe (cross) and
+    // the shard self-join (within) are separate plan branches, so without
+    // the cache the shard shingle+minhash pipeline — the expensive part of
+    // a steady-state read — executed once per branch (measured 2× at
+    // sf0.1). componentsDelta consumes the candidate union eagerly, so the
+    // pin can be released as soon as it returns.
     val sigShard = signaturesFrom(
       explodedShingles(spark, dir, isShard, distinctShingles = false)
-        .withColumn("h", mdhash(col("s"))))
+        .withColumn("h", mdhash(col("s")))).cache()
     val bandsShard = bandKeys(sigShard)
     val cross = bandsShard.as("x").join(bandsBase.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
@@ -1044,7 +1055,9 @@ object DedupOps {
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-    componentsDelta(baseAssign, cross.union(within).distinct())
+    val out = componentsDelta(baseAssign, cross.union(within).distinct())
+    sigShard.unpersist()
+    out
   }
 
   /** SimHash: 32-bit locality-sensitive fingerprint per document — for each

@@ -30,15 +30,20 @@ class EvidenceSpec extends SparkSpec {
         "pq_base_90pct", "pq_gen_delta_10pct",
         "minhash_base_80pct", "minhash_gen_delta_10pct",
         "bm_base_90pct", "bm_gen_delta_10pct",
-        "compact_minhash_tombs", "compact_bm_tombs", "compact_pq_tombs"))
+        "compact_minhash_tombs", "compact_bm_tombs", "compact_pq_tombs",
+        "cluster_base_cold", "sem_cluster_base_cold"))
         assert(j.contains("\"" + b + "\""), s"$p: no build timing for $b")
       // ...and every probe-vs-live crossover claim a recorded pair,
-      // including the tombstone-probe overhead and its compacted twin
+      // including the tombstone-probe overhead and its compacted twin,
+      // and the incremental-cluster steady-state reads (r11: the warm
+      // delta-vs-fresh numbers the r10 verdict found missing)
       for (pr <- Seq("shard_dedup_live", "shard_dedup_indexed", "bm25_live",
         "bm25_indexed", "pq_live", "pq_indexed", "cell_read_1cell",
         "pq_gen_fanin", "minhash_gen_fanin", "bm_gen_fanin",
         "minhash_tomb_probe", "minhash_compacted",
-        "bm_tomb_probe", "bm_compacted", "pq_tomb_probe", "pq_compacted"))
+        "bm_tomb_probe", "bm_compacted", "pq_tomb_probe", "pq_compacted",
+        "cluster_fresh", "cluster_delta_warm",
+        "sem_cluster_fresh", "sem_cluster_delta_warm"))
         assert(j.contains("\"" + pr + "\""), s"$p: no probe timing for $pr")
     }
   }
@@ -48,7 +53,7 @@ class EvidenceSpec extends SparkSpec {
     assert(j.contains("\"state_store\":\"rocksdb\""),
       "stream bench evidence was not recorded on the RocksDB provider")
     for (s <- Seq("wire_fold", "ingest_dedup", "sem_ingest",
-      "pq_ingest", "bm_ingest", "cluster_ingest")) {
+      "pq_ingest", "bm_ingest", "cluster_ingest", "takedown_ingest")) {
       val at = j.indexOf("\"" + s + "\"")
       assert(at >= 0, s"no stream bench record for pipeline $s")
       val rec = j.substring(at, math.min(j.length, at + 300))
