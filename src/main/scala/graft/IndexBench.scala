@@ -206,29 +206,56 @@ object IndexBench {
 
     // ── Incremental cluster maintenance (round-11 verdict item 2): the
     // steady-state evidence the r10 round shipped without. Three numbers
-    // per engine: (1) *_fresh — the full fixpoint over base ∪ delta, the
-    // cost a non-incremental view pays EVERY refresh; (2) *_base_cold —
-    // the one-time cost of the first delta call (converges the base
-    // assignment and memoizes it: amortized over every subsequent read);
-    // (3) *_delta_warm — the steady-state read: shard-side candidate work
-    // + the delta-sized label-graph merge against the memoized base. The
-    // claim under test: delta_warm < fresh, because the corpus fixpoint
-    // and (for minhash) the corpus re-shingling never re-run.
+    // per engine: (1) *_fresh — the full fixpoint, timed COLD (session
+    // caches cleared per rep): a refresh in production runs against
+    // changed data, so nothing the session happened to cache survives —
+    // without the clear, the fresh side here read corpus bands cached by
+    // the earlier index-build sections and measured only its fixpoint;
+    // (2) *_base_cold — the one-time first delta call (converges and
+    // memoizes the base, amortized over every later read); (3)
+    // *_delta_warm — the steady-state read: shard-side candidate work +
+    // the delta-sized merge against the memoized base. Bytes are recorded
+    // for (1) and (3): wall-clock at toy scale is dominated by the merge's
+    // constant ~10-action orchestration floor, but bytes-read is the
+    // quantity that extrapolates — the delta read never touches corpus
+    // text, the fresh refresh always does.
     section("cluster") {
-    DedupOps.invalidateClusterCache()
-    SimilarityOps.invalidateSemDeltaCache()
-    probes("cluster_fresh") = best(
+    def coldEach(body: => Unit): Double = (1 to reps).map { _ =>
+      spark.catalog.clearCache(); DedupOps.invalidateDerived(sfDir); t(body)
+    }.min
+    def coldBytes(name: String)(body: => Unit): Unit = {
+      spark.catalog.clearCache(); DedupOps.invalidateDerived(sfDir)
+      Thread.sleep(1000); val b0 = bytesRead.get(); body
+      Thread.sleep(1000); bytes(name) = bytesRead.get() - b0
+    }
+    probes("cluster_fresh") = coldEach(
       DedupOps.dedupClustersFresh(spark, sfDir).collect())
-    builds("cluster_base_cold") = t(
+    coldBytes("cluster_fresh")(
+      DedupOps.dedupClustersFresh(spark, sfDir).collect())
+    builds("cluster_base_cold") = {
+      spark.catalog.clearCache(); DedupOps.invalidateDerived(sfDir)
+      t(DedupOps.dedupClustersDelta(spark, sfDir).collect())
+    }
+    probes("cluster_delta_warm") = measured("cluster_delta_warm")(
       DedupOps.dedupClustersDelta(spark, sfDir).collect())
-    probes("cluster_delta_warm") = best(
-      DedupOps.dedupClustersDelta(spark, sfDir).collect())
-    probes("sem_cluster_fresh") = best(
+    probes("sem_cluster_fresh") = coldEach(
       SimilarityOps.semanticClustersFresh(spark, sfDir).collect())
-    builds("sem_cluster_base_cold") = t(
+    coldBytes("sem_cluster_fresh")(
+      SimilarityOps.semanticClustersFresh(spark, sfDir).collect())
+    builds("sem_cluster_base_cold") = {
+      spark.catalog.clearCache(); DedupOps.invalidateDerived(sfDir)
+      t(SimilarityOps.semanticClustersDelta(spark, sfDir).collect())
+    }
+    probes("sem_cluster_delta_warm") = measured("sem_cluster_delta_warm")(
       SimilarityOps.semanticClustersDelta(spark, sfDir).collect())
-    probes("sem_cluster_delta_warm") = best(
-      SimilarityOps.semanticClustersDelta(spark, sfDir).collect())
+    // takedown maintenance steady state (round-11): component-local
+    // recompute over the views' PERSISTED edge sets — the read must stay
+    // delta-sized (broadcast semi-joins on the pair list + the affected
+    // fixpoint), never re-deriving corpus bands or cell joins
+    probes("cluster_deleted_warm") = measured("cluster_deleted_warm")(
+      DedupOps.dedupClustersDeleted(spark, sfDir).collect())
+    probes("sem_cluster_deleted_warm") = measured("sem_cluster_deleted_warm")(
+      SimilarityOps.semanticClustersDeleted(spark, sfDir).collect())
     }
 
     def fmt(m: scala.collection.Map[String, Double]): String =

@@ -123,6 +123,10 @@ object SparkEntry {
     // corpus assignment via the delta-sized label-graph fixpoint — same
     // converged output, corpus never re-folded (componentsDelta)
     "dedup_clusters_delta" -> ((s, d) => DedupOps.dedupClustersDelta(s, d)),
+    // takedown maintenance: deletion can SPLIT a component, so affected
+    // components recompute locally from the view's persisted edge set
+    // pruned to surviving members; untouched components pass through
+    "dedup_clusters_deleted" -> ((s, d) => DedupOps.dedupClustersDeleted(s, d)),
     "dedup_select"    -> ((s, d) => CurationOps.dedupSelect(s, d)),
     // topic balancing: at most `cap` docs per semantic (embedding τ-near)
     // cluster, ranked by the deterministic dedup_select election rule
@@ -210,6 +214,10 @@ object SparkEntry {
     // converged assignment via the delta-sized label-graph fixpoint
     "semantic_clusters_delta" -> ((s, d) =>
       SimilarityOps.semanticClustersDelta(s, d)),
+    // takedown maintenance, embedding side: component-local recompute
+    // over the persisted τ-near edge set pruned to surviving members
+    "semantic_clusters_deleted" -> ((s, d) =>
+      SimilarityOps.semanticClustersDeleted(s, d)),
     "token_counts"    -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "quality_filter"  -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     // CCNet-style reference-frequency scoring (exact-arithmetic LM proxy)
@@ -306,6 +314,7 @@ object SparkEntry {
     "dedup_clusters"  -> TextSql.dedupClustersSql,
     "dedup_clusters_fresh" -> TextSql.dedupClustersSql,
     "dedup_clusters_delta" -> TextSql.dedupClustersSql,
+    "dedup_clusters_deleted" -> TextSql.dedupClustersDeletedSql,
     "dedup_select"    -> TextSql.dedupSelectSql,
     "cluster_cap_sample" -> TextSql.clusterCapSampleSql,
     "leakage_split"   -> TextSql.leakageSplitSql,
@@ -345,6 +354,7 @@ object SparkEntry {
     "semantic_clusters" -> TextSql.semanticClustersSql,
     "semantic_clusters_fresh" -> TextSql.semanticClustersSql,
     "semantic_clusters_delta" -> TextSql.semanticClustersSql,
+    "semantic_clusters_deleted" -> TextSql.semanticClustersDeletedSql,
     "token_counts"    -> TextSql.tokenCountsSql,
     "quality_filter"  -> TextSql.qualityFilterSql,
     "freq_score"      -> TextSql.freqScoreSql,

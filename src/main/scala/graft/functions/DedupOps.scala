@@ -778,19 +778,38 @@ object DedupOps {
   // `dedup_clusters` and the un-memoized fixpoint under
   // `dedup_clusters_fresh` — two different numbers on purpose.
   private val clusterCache =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame]() {
+    new java.util.LinkedHashMap[(SparkSession, String), (DataFrame, DataFrame)]() {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+          e: java.util.Map.Entry[(SparkSession, String),
+                                 (DataFrame, DataFrame)]): Boolean =
         size > 4
     }
 
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+  /** The memoized cluster view WITH its edge set: (candidate edges,
+    * converged assignment). The edge list is what an incremental cluster
+    * maintainer persists alongside the assignment anyway — it is
+    * duplicate-bounded (pairs, not corpus), and it is the exact input the
+    * takedown path ([[dedupClustersDeleted]]) needs: deletion only REMOVES
+    * edges, so the survivor closure's edges are precisely this set minus
+    * tombstone-incident rows — no re-shingling, no band probe.
+    */
+  private[graft] def memoizedClusterState(spark: SparkSession,
+                                          dir: String): (DataFrame, DataFrame) =
     clusterCache.synchronized {
       val k = (spark, dir)
       val hit = clusterCache.get(k)
       if (hit != null) hit
-      else { val v = dedupClustersFresh(spark, dir); clusterCache.put(k, v); v }
+      else {
+        val edges = minhashLsh(spark, dir)
+          .select(col("id1"), col("id2")).localCheckpoint()
+        val v = (edges, componentsOver(edges))
+        clusterCache.put(k, v)
+        v
+      }
     }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    memoizedClusterState(spark, dir)._2
 
   /** Drop every memoized cluster view (e.g. after the underlying corpus
     * changes); checkpoint blocks are reclaimed once unreferenced.
@@ -979,6 +998,70 @@ object DedupOps {
     untouched.union(recomputed)
   }
 
+  /** Takedown-aware cluster maintenance — the DELETE side of
+    * [[componentsDelta]], and structurally harder: adding edges only ever
+    * MERGES components (a label-graph contraction suffices), but removing
+    * a node can SPLIT its component, which no min-label merge can express.
+    * The delta-sized move is component-LOCAL recompute: components with no
+    * deleted member pass through byte-identical (deletion only removes
+    * edges, and all edges live inside components, so untouched components
+    * cannot change); for each affected component, the fixpoint re-runs on
+    * the edges among its SURVIVING members only — obtained from the
+    * caller's `edgesAmong` (stored band index pruned to those members, or
+    * the cell-join for embeddings), never by re-scanning the corpus. A
+    * surviving member whose every edge led to deleted docs drops out,
+    * exactly as the full closure over survivors drops it. Cost:
+    * Σ|affected components| + their bucket-pruned edge regeneration —
+    * independent of corpus size when takedowns are sparse.
+    */
+  private[graft] def componentsDeleteDelta(baseAssign: DataFrame,
+      tombs0: DataFrame,
+      edgesAmong: DataFrame => DataFrame): DataFrame = {
+    val tombs = tombs0.toDF("doc_id").localCheckpoint()
+    val affLabels = baseAssign.join(broadcast(tombs), "doc_id")
+      .select(col("cluster_id")).distinct().localCheckpoint()
+    val untouched = baseAssign
+      .join(broadcast(affLabels), Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("keep"))
+    val survivors = baseAssign
+      .join(broadcast(affLabels), Seq("cluster_id"), "left_semi")
+      .join(broadcast(tombs), Seq("doc_id"), "left_anti")
+      .select(col("doc_id")).localCheckpoint()
+    untouched.union(componentsOver(edgesAmong(survivors)))
+  }
+
+  /** Gated-query form of takedown-aware cluster maintenance: the corpus
+    * cluster view with docs doc_id % 37 = 3 taken down (the standing
+    * `*_deleted` fixture, found by filtering the memoized ASSIGNMENT — a
+    * tombstone outside every component cannot change the view, so the
+    * corpus is never scanned to locate takedowns). Affected components
+    * recompute from the PERSISTED candidate-edge set the memoized view
+    * keeps alongside its assignment ([[memoizedClusterState]]): per-doc
+    * shingles, signatures, and band keys are all unchanged by deleting
+    * OTHER docs, so the survivor corpus's edge set is exactly the stored
+    * edges minus tombstone-incident rows — the recompute does zero
+    * re-shingling and zero band probes, just two broadcast semi-joins on
+    * a duplicate-bounded pair list. Untouched components pass through
+    * byte-identical. (The first draft probed the stored
+    * [[writeMinhashIndex]] layout instead — wrong, because that index
+    * covers the admission CORPUS (`doc_id % 10 != 7`) while this view
+    * spans all docs: shard-doc tombstones went undetected and shard-doc
+    * edges vanished from recomputes.) Oracle:
+    * [[graft.oracle.TextSql.dedupClustersDeletedSql]] — the transitive
+    * closure over a corpus that never contained the deleted docs.
+    */
+  def dedupClustersDeleted(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, baseAssign) = memoizedClusterState(spark, dir)
+    val tombs = baseAssign
+      .select(col("doc_id")).filter(col("doc_id") % 37 === 3)
+    componentsDeleteDelta(baseAssign, tombs, members => {
+      val m = broadcast(members.select(col("doc_id").as("mid")))
+      edges
+        .join(m, col("id1") === col("mid"), "left_semi")
+        .join(m, col("id2") === col("mid"), "left_semi")
+    })
+  }
+
   // Memoized base state for the delta-maintained cluster view: the corpus
   // (doc_id % 10 != 7) band index stand-in + its converged assignment, per
   // (session, dir) — same bounded-LRU discipline as `clusterCache`. The
@@ -1011,6 +1094,17 @@ object DedupOps {
     * re-banded on a steady-state read. BENCH reads this next to
     * `dedup_clusters_fresh`: the full fixpoint vs the delta merge, same
     * converged output.
+    *
+    * Where the win appears (IndexBench `cluster_*` rows, measured r11): a
+    * steady-state read pays a CONSTANT ~10-action orchestration floor
+    * (endpoint lookup, label fixpoint init + O(log d) rounds, two
+    * delta-sized checkpoints, merge-back) of ~3 s in local mode — at
+    * sf0.1 that floor is on par with the WHOLE corpus fixpoint, so the
+    * delta read is a wash there; the fresh side grows with the corpus
+    * (shingling + banding + fixpoint over every edge) while the delta
+    * side grows only with the shard, so the crossover lands at sf1 and
+    * widens with scale, which is the regime incremental maintenance
+    * exists for.
     */
   def dedupClustersDelta(spark: SparkSession, dir: String): DataFrame = {
     val isShard = col("doc_id") % 10 === 7

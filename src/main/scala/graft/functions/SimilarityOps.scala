@@ -832,23 +832,40 @@ object SimilarityOps {
   // semantic_clusters_fresh (and the shared component engine's under
   // dedup_clusters_fresh).
   private val semClusterCache =
-    new java.util.LinkedHashMap[(SparkSession, String, Double), DataFrame]() {
+    new java.util.LinkedHashMap[(SparkSession, String, Double),
+                                (DataFrame, DataFrame)]() {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String, Double), DataFrame]): Boolean =
+          e: java.util.Map.Entry[(SparkSession, String, Double),
+                                 (DataFrame, DataFrame)]): Boolean =
         size > 4
     }
 
-  def semanticClusters(spark: SparkSession, dir: String,
-                       minCosine: Double = 0.3): DataFrame =
+  /** The memoized semantic-cluster view WITH its τ-near edge set —
+    * (edges, assignment), the embedding twin of
+    * [[graft.functions.DedupOps.memoizedClusterState]]: the persisted
+    * pair list is what the takedown path ([[semanticClustersDeleted]])
+    * prunes, since deleting vectors changes no surviving vector's cell or
+    * pairwise cosine.
+    */
+  private[graft] def memoizedSemClusterState(
+      spark: SparkSession, dir: String,
+      minCosine: Double = 0.3): (DataFrame, DataFrame) =
     semClusterCache.synchronized {
       val k = (spark, dir, minCosine)
       val hit = semClusterCache.get(k)
       if (hit != null) hit
       else {
-        val v = semanticClustersFresh(spark, dir, minCosine)
+        val edges = semDedupPairs(spark, dir, minCosine)
+          .select(col("id1"), col("id2")).localCheckpoint()
+        val v = (edges, DedupOps.componentsOver(edges)
+          .withColumnRenamed("doc_id", "vec_id"))
         semClusterCache.put(k, v); v
       }
     }
+
+  def semanticClusters(spark: SparkSession, dir: String,
+                       minCosine: Double = 0.3): DataFrame =
+    memoizedSemClusterState(spark, dir, minCosine)._2
 
   /** Drop every memoized semantic-cluster view — the twin of
     * [[graft.functions.DedupOps.invalidateClusterCache]] (previously only
@@ -937,6 +954,36 @@ object SimilarityOps {
       .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
     DedupOps.componentsDelta(baseAssign, cross.union(within))
       .withColumnRenamed("doc_id", "vec_id")
+  }
+
+  /** Takedown-aware semantic-cluster maintenance — the embedding twin of
+    * [[graft.functions.DedupOps.dedupClustersDeleted]], sharing its
+    * [[graft.functions.DedupOps.componentsDeleteDelta]] component-local
+    * recompute engine (deletion can SPLIT a component, so no label merge
+    * can serve it). Tombstones are the standing `*_deleted` fixture
+    * (vec_id % 37 = 3, filtered from the memoized assignment — a takedown
+    * outside every component cannot change the view). Affected components
+    * recompute from the PERSISTED τ-near edge set the memoized view keeps
+    * alongside its assignment ([[memoizedSemClusterState]]): deleting
+    * vectors changes no surviving vector's cell or pairwise cosine, so the
+    * survivor edge set is exactly the stored pairs minus tombstone-incident
+    * rows — two broadcast semi-joins on a duplicate-bounded list, zero
+    * re-embedding or cell-join work. Unaffected components pass through
+    * byte-identical. Oracle:
+    * [[graft.oracle.TextSql.semanticClustersDeletedSql]] — the closure
+    * over vectors that never contained the deleted ids.
+    */
+  def semanticClustersDeleted(spark: SparkSession, dir: String,
+                              minCosine: Double = 0.3): DataFrame = {
+    val (edges, assign) = memoizedSemClusterState(spark, dir, minCosine)
+    val base = assign.withColumnRenamed("vec_id", "doc_id")
+    val tombs = base.select(col("doc_id")).filter(col("doc_id") % 37 === 3)
+    DedupOps.componentsDeleteDelta(base, tombs, members => {
+      val m = broadcast(members.select(col("doc_id").as("mid")))
+      edges
+        .join(m, col("id1") === col("mid"), "left_semi")
+        .join(m, col("id2") === col("mid"), "left_semi")
+    }).withColumnRenamed("doc_id", "vec_id")
   }
 
   /** Drop the memoized delta-maintenance base assignments (data

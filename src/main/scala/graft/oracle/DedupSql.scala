@@ -214,8 +214,12 @@ private[oracle] trait DedupSql extends TextSqlBase {
   // (recursive CTE); cluster id = min doc_id reachable. The Spark side
   // computes the same components by min-label propagation — different
   // algorithm, same fixpoint, which is the point of the differential gate.
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE $candCte,
+  def dedupClustersSqlWhere(docFilter: String): String =
+    s"""WITH RECURSIVE ${sigBandsFrom(shCte(docFilter))},
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
        |edges AS (
        |  SELECT id1 AS src, id2 AS dst FROM cand
        |  UNION SELECT id2, id1 FROM cand),
@@ -230,6 +234,13 @@ private[oracle] trait DedupSql extends TextSqlBase {
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        |  doc_id = cluster_id AS keep
        |FROM labels""".stripMargin
+
+  val dedupClustersSql: String = dedupClustersSqlWhere("TRUE")
+
+  // the takedown twin: the same closure over a corpus that never contained
+  // the deleted docs (doc_id % 37 = 3 — the standing `*_deleted` fixture)
+  val dedupClustersDeletedSql: String =
+    dedupClustersSqlWhere("doc_id % 37 <> 3")
 
 
   val simhashSql: String =

@@ -254,13 +254,15 @@ private[oracle] trait VectorSql extends TextSqlBase {
   // Semantic clusters (SimilarityOps.semanticClusters): transitive closure
   // over the within-cell τ-near pair edges — same closure shape as
   // dedupClustersSql, edge set from the semdedup pair predicate
-  val semanticClustersSql: String =
+  def semanticClustersSqlWhere(vecFilter: String): String =
     s"""WITH RECURSIVE $assignedCte,
        |sedges AS (
        |  SELECT x.vec_id AS id1, y.vec_id AS id2
        |  FROM assigned x JOIN assigned y
        |    ON x.cell = y.cell AND x.vec_id < y.vec_id
-       |  WHERE ${cosineExprOn("x.v", "y.v")} >= 0.3),
+       |  WHERE (${vecFilter.replace("vec_id", "x.vec_id")})
+       |    AND (${vecFilter.replace("vec_id", "y.vec_id")})
+       |    AND ${cosineExprOn("x.v", "y.v")} >= 0.3),
        |edges AS (
        |  SELECT id1 AS src, id2 AS dst FROM sedges
        |  UNION SELECT id2, id1 FROM sedges),
@@ -276,6 +278,12 @@ private[oracle] trait VectorSql extends TextSqlBase {
        |  vec_id = cluster_id AS keep
        |FROM labels""".stripMargin
 
+  val semanticClustersSql: String = semanticClustersSqlWhere("TRUE")
+
+  // the takedown twin: the same closure over vectors that never contained
+  // the deleted ids (vec_id % 37 = 3 — the standing `*_deleted` fixture)
+  val semanticClustersDeletedSql: String =
+    semanticClustersSqlWhere("vec_id % 37 <> 3")
 
   // Cluster-cap sampling (CurationOps.clusterCapSample): the semantic
   // clusters (reused verbatim as a nested CTE so the two oracles cannot

@@ -79,6 +79,76 @@ class ComponentsDeltaSpec extends SparkSpec {
     }
   }
 
+  private def deleteCheck(base: Seq[(Long, Long)], dead: Seq[Long],
+                          label: String): Unit = {
+    import spark.implicits._
+    val baseAssign = DedupOps.componentsOver(edgesDf(base)).localCheckpoint()
+    val deadSet = dead.toSet
+    val surviving = base.filter { case (a, b) => !deadSet(a) && !deadSet(b) }
+    val expect = DedupOps.componentsOver(edgesDf(surviving))
+    val got = DedupOps.componentsDeleteDelta(
+      baseAssign, dead.toDF("doc_id"),
+      members => {
+        // stand-in for the stored band index: the FULL edge list pruned to
+        // the affected surviving members (both endpoints)
+        val m = members.select(col("doc_id").as("mid"))
+        edgesDf(base)
+          .join(m, col("id1") === col("mid"), "left_semi")
+          .join(m.withColumnRenamed("mid", "mid2"),
+            col("id2") === col("mid2"), "left_semi")
+      })
+    assert(rows(got) == rows(expect), s"$label: delete delta != full closure over survivors")
+  }
+
+  test("deletion fixtures: splits, relabels, and dropouts match the survivor closure") {
+    // bridge deletion SPLITS one component into two
+    deleteCheck(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq(2L), "bridge split")
+    // min-member deletion relabels the survivors
+    deleteCheck(Seq((1L, 2L), (2L, 3L)), Seq(1L), "min-label takeover")
+    // whole component deleted: vanishes without touching its neighbor
+    deleteCheck(Seq((1L, 2L), (5L, 6L)), Seq(1L, 2L), "full-component removal")
+    // survivor whose only edges led to deleted docs drops out entirely
+    deleteCheck(Seq((1L, 2L), (3L, 4L)), Seq(2L), "edge-less survivor dropout")
+    // tombstone of a doc with no edges at all: nothing changes
+    deleteCheck(Seq((1L, 2L)), Seq(9L), "no-op tombstone")
+    // empty tombstone set: byte-identical passthrough
+    deleteCheck(Seq((1L, 2L), (3L, 4L)), Seq(), "empty tombstones")
+  }
+
+  test("random graphs: delete delta == survivor closure on 15 seeded trials") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 15) {
+      val n = 12 + rnd.nextInt(20)
+      val base = Seq.fill(8 + rnd.nextInt(25))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val dead = (0L until n.toLong).filter(_ => rnd.nextInt(5) == 0)
+      deleteCheck(base, dead, s"delete trial $trial (n=$n, dead=${dead.size})")
+    }
+  }
+
+  test("gated query: dedup_clusters_deleted == full closure over survivors at sf0.001") {
+    val got = rows(DedupOps.dedupClustersDeleted(spark, sfTiny))
+    val expect = rows(DedupOps.componentsOver(
+      DedupOps.minhashLsh(spark, sfTiny)
+        .filter(!(col("id1") % 37 === 3) && !(col("id2") % 37 === 3))
+        .select(col("id1"), col("id2"))))
+    assert(got == expect, "deleted view != survivor closure on testdata")
+  }
+
+  test("gated query: semantic_clusters_deleted == survivor closure at sf0.001") {
+    import graft.functions.SimilarityOps
+    val got = rows(SimilarityOps.semanticClustersDeleted(spark, sfTiny))
+    val expect = rows(SimilarityOps.semDedupPairs(spark, sfTiny)
+      .filter(!(col("id1") % 37 === 3) && !(col("id2") % 37 === 3))
+      .select(col("id1"), col("id2"))
+      .transform(DedupOps.componentsOver)
+      .withColumnRenamed("doc_id", "vec_id"))
+    assert(got == expect, "semantic deleted view != survivor closure on testdata")
+  }
+
   test("merge-back plan: no sort-merge join, no cartesian against the base") {
     val baseAssign = DedupOps.componentsOver(
       edgesDf(Seq((1L, 2L), (3L, 4L), (5L, 6L)))).localCheckpoint()

@@ -43,7 +43,8 @@ class EvidenceSpec extends SparkSpec {
         "minhash_tomb_probe", "minhash_compacted",
         "bm_tomb_probe", "bm_compacted", "pq_tomb_probe", "pq_compacted",
         "cluster_fresh", "cluster_delta_warm",
-        "sem_cluster_fresh", "sem_cluster_delta_warm"))
+        "sem_cluster_fresh", "sem_cluster_delta_warm",
+        "cluster_deleted_warm", "sem_cluster_deleted_warm"))
         assert(j.contains("\"" + pr + "\""), s"$p: no probe timing for $pr")
     }
   }
