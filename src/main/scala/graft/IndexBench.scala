@@ -130,6 +130,17 @@ object IndexBench {
         genBase, genDelta))
     probes("pq_gen_fanin") = measured("pq_gen_fanin")(
       SimilarityOps.pqTopKFromGenerations(spark, genBase, Seq(genDelta)).collect())
+    // compaction measured FROM THE GENERATION LAYOUT ALONE (tombstones out
+    // of the base's _cells sidecar) so the sf10 ladder can record the full
+    // lifecycle — base, delta, fan-in, compaction, compacted probe — by
+    // running just this section, without paying the core layouts at 100×
+    val pqgTombs = spark.read.parquet(s"${genBase}_cells")
+      .select(col("vec_id")).filter(col("vec_id") % 37 === 3)
+    val genCompact = s"/tmp/graft-ib-pqgencompact-${ProcessHandle.current().pid()}"
+    builds("pq_gen_compact_tombs") = best(SimilarityOps.compactPqIndex(
+      spark, genBase, Seq(genDelta), genCompact, tombs = Some(pqgTombs)))
+    probes("pq_gen_compacted") = measured("pq_gen_compacted")(
+      SimilarityOps.pqTopKFromGenerations(spark, genCompact, Seq()).collect())
     }
 
     // ── MinHash + BM25 generation lifecycles: same claim, same shape —
