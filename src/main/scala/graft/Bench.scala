@@ -43,19 +43,42 @@ object Bench {
     // environment artifact, not a plan property). Re-time the outliers and
     // keep the min of 3 reps — bounded extra work, and the reported number
     // converges on the engine, not the noise. Per-query threshold: with a
-    // comparator entry, max(1 s, 3x comparator) — the r10 driver run let
-    // 1.3 s readings on 0.34 s queries through the old global max(3 s,
-    // 5x median) gate untouched, and those read as >2x-comparator
-    // regressions that same-code evidence runs then contradicted; without
-    // one, the old global cutoff.
-    val comparator: Map[String, Double] =
+    // comparator (or prior-evidence) entry, max(1 s, 2x reference) — the
+    // r10 driver run let 1.3 s readings on 0.34 s queries through the old
+    // global max(3 s, 5x median) gate untouched, and those read as
+    // >2x-comparator regressions that same-code evidence runs then
+    // contradicted; without any reference, the old global cutoff.
+    def loadTimes(path: String): Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("tools/bench_sf01_comparator.json")),
+          java.nio.file.Paths.get(path)),
           java.nio.charset.StandardCharsets.UTF_8)
         if (!sfDir.contains("sf0.1")) Map.empty
         else "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val comparator: Map[String, Double] =
+      loadTimes("tools/bench_sf01_comparator.json")
+    // fallback reference for queries WITHOUT a comparator entry (the 31
+    // post-comparator additions): the newest checked-in full-surface
+    // evidence run. Used ONLY as a re-time trigger — extra reps keep the
+    // min, so an entrenched slow prior can never make a reading worse,
+    // while a steal burst on e.g. ivf_recall (0.9-1.4 s isolated, seen at
+    // 2.5 s in-suite under the old global 3 s cutoff) re-runs its reps.
+    val prior: Map[String, Double] =
+      try {
+        val dir = new java.io.File("tools")
+        val fullN = "full(\\d+)".r
+        val newest = dir.listFiles().toSeq
+          .filter(f => f.getName.startsWith("bench_evidence") &&
+            f.getName.endsWith(".json") &&
+            // same-scale priors only: an sf1-tagged full-surface file
+            // would otherwise set ~10× cutoffs and mute the re-timer
+            f.getName.contains("sf01") &&
+            fullN.findFirstMatchIn(f.getName).isDefined)
+          .sortBy(f => fullN.findFirstMatchIn(f.getName).get.group(1).toInt)
+          .lastOption
+        newest.map(f => loadTimes(f.getPath)).getOrElse(Map.empty)
       } catch { case _: Throwable => Map.empty }
     val okTimes = firstPass.collect { case (_, _, t) if t >= 0 => t }.sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
@@ -67,7 +90,9 @@ object Bench {
       // corpus_clean — isolated steady state 3.3-4.6 s — slipped through
       // the 3× gate and read as the round's only >2× regression)
       val cutoff = comparator.get(name)
-        .map(c => math.max(1.0, 2.0 * c)).getOrElse(globalCutoff)
+        .map(c => math.max(1.0, 2.0 * c))
+        .orElse(prior.get(name).map(p => math.max(1.0, 2.0 * p)))
+        .getOrElse(globalCutoff)
       val best =
         if (t > cutoff) {
           val reps = Seq(t, time(name, fn), time(name, fn)).filter(_ >= 0)

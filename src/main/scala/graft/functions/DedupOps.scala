@@ -816,7 +816,13 @@ object DedupOps {
     */
   def invalidateClusterCache(): Unit = {
     clusterCache.synchronized(clusterCache.clear())
-    deltaBaseCache.synchronized(deltaBaseCache.clear())
+    deltaBaseCache.synchronized {
+      // clear() bypasses removeEldestEntry, so release the persisted band
+      // frame explicitly — CacheManager entries are never GC-reclaimed,
+      // unlike the checkpointed assignment's blocks
+      deltaBaseCache.forEach((_, v) => v._1.unpersist())
+      deltaBaseCache.clear()
+    }
   }
 
   /** The un-memoized iterative fixpoint — what a first materialization of
@@ -844,7 +850,19 @@ object DedupOps {
     // then persisted (columnar InMemoryRelation: per-round scans + size
     // stats) over the 3-node leaf plan. At cluster scale use checkpoint()
     // on reliable storage.
-    val edges = edges0.toDF("id1", "id2").localCheckpoint()
+    val renamed = edges0.toDF("id1", "id2")
+    // skip re-materializing when the caller already handed us a checkpoint
+    // leaf (the memoized cluster views checkpoint their edge list for
+    // reuse) — a second localCheckpoint would store a full extra copy of
+    // the pair list for the life of the memo; a Project over a leaf is
+    // just as cheap to re-analyze per round as the leaf itself
+    val alreadyLeaf = renamed.queryExecution.analyzed.collect { case n => n }
+      .forall {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Project => true
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case _ => false
+      }
+    val edges = if (alreadyLeaf) renamed else renamed.localCheckpoint()
     val sym = edges.union(edges.select(col("id2"), col("id1")))
       .toDF("src", "dst").persist()
     var labels = sym.select(col("src").as("v")).distinct()

@@ -516,13 +516,21 @@ object SimilarityOps {
     // _centroids sibling dirs of both inputs and output, not just the main
     // layout dirs (ADVICE r10).
     val hconf = spark.sparkContext.hadoopConfiguration
-    def qual(s: String): String = {
+    def qual(s: String): Seq[String] = {
       val p = new org.apache.hadoop.fs.Path(s)
-      p.getFileSystem(hconf).makeQualified(p).toString
+      val q = p.getFileSystem(hconf).makeQualified(p)
+      // local paths ALSO canonicalize through java.io.File: makeQualified
+      // resolves neither symlinks nor ".." segments, which are exactly the
+      // aliases a local outPath can hide behind (a remote store has no
+      // symlinks, and Path already normalizes its URI form)
+      if (q.toUri.getScheme == "file")
+        Seq(q.toString,
+          "file:" + new java.io.File(q.toUri.getPath).getCanonicalPath)
+      else Seq(q.toString)
     }
     def family(p: String): Seq[String] = Seq(p, s"${p}_cells", s"${p}_centroids")
-    val inputs = paths.flatMap(family).map(qual).toSet
-    for (o <- family(outPath).map(qual))
+    val inputs = paths.flatMap(family).flatMap(qual).toSet
+    for (o <- family(outPath).flatMap(qual))
       require(!inputs.contains(o),
         s"compactPqIndex: output dir $o would overwrite an input layout")
     // tombstones are APPLIED at compaction: deleted rows are dropped from

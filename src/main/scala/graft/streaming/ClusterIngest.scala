@@ -51,7 +51,7 @@ object ClusterIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatch(batch, prefix, batchId)
+        mergeBatch(batch, prefix, batchId, ckpt = Some(checkpoint))
       }
       .start()
 
@@ -61,7 +61,8 @@ object ClusterIngest {
     * committed batch rebuilds the same version from the same base instead
     * of corrupting itself by reading its own output.
     */
-  def mergeBatch(batch: DataFrame, prefix: String, batchId: Long): Unit = {
+  def mergeBatch(batch: DataFrame, prefix: String, batchId: Long,
+                 ckpt: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     // Checkpoint/prefix mismatch guard (ADVICE r10): reusing a prefix with
     // a FRESH checkpoint restarts batch ids at 0 — mergeBatch(0) would
@@ -77,6 +78,30 @@ object ClusterIngest {
           s"below the newest committed version $maxV — the checkpoint does " +
           "not belong to this prefix (fresh checkpoint over an existing " +
           "view?); refusing to corrupt the maintained assignment")
+    }
+    // The batchId ordering alone cannot catch one torn pairing: a prefix
+    // whose only committed version is v0 receives batch 0 from a FRESH
+    // checkpoint (0 >= 0 passes, yet the delivery is new data that would
+    // silently replace the maintained v0). Stream-attached deliveries
+    // therefore also stamp the prefix with their checkpoint location on
+    // first commit and refuse any later delivery from a different one.
+    // (Direct spec calls pass no ckpt and rely on the ordering guard.)
+    val stampTable =
+      s"${prefix.toLowerCase(java.util.Locale.ROOT)}_ckptstamp"
+    ckpt.foreach { c =>
+      if (spark.catalog.tableExists(stampTable)) {
+        val stamped = spark.table(stampTable).head().getString(0)
+        require(stamped == c,
+          s"ClusterIngest.mergeBatch: prefix '$prefix' was built from " +
+            s"checkpoint '$stamped' but this delivery comes from '$c' — a " +
+            "fresh checkpoint over an existing view would silently replace " +
+            "the maintained assignment; use a new prefix or delete the old " +
+            "view explicitly")
+      } else {
+        import spark.implicits._
+        Seq(c).toDF("checkpoint").write.mode("overwrite")
+          .format("parquet").saveAsTable(stampTable)
+      }
     }
     val edges = batch.select(col("id1"), col("id2")).distinct()
     val merged = latestBefore(spark, prefix, batchId) match {

@@ -124,6 +124,21 @@ class ClusterIngestSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("below the newest committed version"),
       s"wrong failure: ${e.getMessage}")
+    // the ordering guard alone cannot catch batch 0 arriving at a
+    // single-version prefix (0 >= 0 passes) — stream-attached deliveries
+    // stamp the prefix with their checkpoint location and must refuse a
+    // delivery from any other checkpoint, even one the ordering allows
+    val e2 = intercept[IllegalArgumentException] {
+      ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, maxV + 1,
+        ckpt = Some("/tmp/some-other-checkpoint"))
+    }
+    assert(e2.getMessage.contains("fresh checkpoint over an existing view"),
+      s"wrong failure: ${e2.getMessage}")
+    // the ORIGINAL checkpoint keeps working after the refused delivery
+    ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, maxV + 1,
+      ckpt = Some(ckpt))
+    assert(ClusterIngest.committedVersions(spark, prefix).last._1 == maxV + 1,
+      "legitimate delivery after a refused mismatch did not commit")
   }
 
   test("batch-boundary independence: a different split converges to the same assignment") {
