@@ -63,6 +63,13 @@ class EvidenceSpec extends SparkSpec {
     }
   }
 
+  test("skew rehearsal evidence exists at sf1 and covers the rehearsed operators") {
+    val j = read("tools/skew_bench_sf1.json")
+    for (q <- Seq("wire_fold", "minhash_lsh", "components_fresh", "orderbook",
+      "cluster_delta_warm", "cluster_deleted_warm"))
+      assert(j.contains("\"" + q + "\""), s"no skew bench record for $q")
+  }
+
   test("newest full-surface bench evidence covers the current query surface") {
     val dir = new java.io.File("tools")
     val fullN = "full(\\d+)".r
