@@ -49,12 +49,19 @@ object Bench {
     // >2x-comparator regressions that same-code evidence runs then
     // contradicted; without any reference, the old global cutoff.
     def loadTimes(path: String): Map[String, Double] =
-      try {
+      // same-scale gate FIRST: no point reading (or mis-parsing) reference
+      // files for an sf the references don't describe
+      if (!sfDir.contains("sf0.1")) Map.empty
+      else try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)),
           java.nio.charset.StandardCharsets.UTF_8)
-        if (!sfDir.contains("sf0.1")) Map.empty
-        else "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(txt)
+        // scope the scan to the "queries":{...} object: a bare whole-file
+        // regex would sweep metadata fields (e.g. "value": total seconds)
+        // into the map, silently wrong if a query name ever collides
+        val qobj = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        "\"([a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(qobj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val comparator: Map[String, Double] =
@@ -89,9 +96,15 @@ object Bench {
       // BEFORE it lands in the artifact (r11: a 9.3 s steal burst on
       // corpus_clean — isolated steady state 3.3-4.6 s — slipped through
       // the 3× gate and read as the round's only >2× regression)
-      val cutoff = comparator.get(name)
-        .map(c => math.max(1.0, 2.0 * c))
-        .orElse(prior.get(name).map(p => math.max(1.0, 2.0 * p)))
+      // slow queries get a TIGHTER trigger (1.5× past a 2 s reference):
+      // for a >2 s query two extra reps are cheap relative to shipping a
+      // steal-inflated reading, and r11's two worst artifact numbers
+      // (corpus_clean 1.94×, dedup_spans_apply 1.78×) both slipped just
+      // under the uniform 2× bar
+      def trig(ref: Double): Double =
+        math.max(1.0, (if (ref > 2.0) 1.5 else 2.0) * ref)
+      val cutoff = comparator.get(name).map(trig)
+        .orElse(prior.get(name).map(trig))
         .getOrElse(globalCutoff)
       val best =
         if (t > cutoff) {

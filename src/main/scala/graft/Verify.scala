@@ -37,6 +37,10 @@ object Verify {
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name FAILED: ${errors(name)}")
       }
+      // release the query's intra-query cache pins: the gate runs 123
+      // queries in one session, and un-released pins tax every later
+      // query's plan canonicalization (cache hygiene, verdict r11 item 3)
+      graft.functions.TransientCache.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

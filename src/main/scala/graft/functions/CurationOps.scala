@@ -608,9 +608,8 @@ object CurationOps {
     // is two longs per row — 16 bytes — so materialization is far cheaper
     // than two recomputes of the regex tokenizer (unlike the string-shingle
     // cache shardDedup deliberately avoids)
-    val sh = DedupOps.explodedShingles(spark, dir)
-      .select(col("doc_id"), mdhash(col("s")).as("h"))
-      .cache()
+    val sh = TransientCache(DedupOps.explodedShingles(spark, dir)
+      .select(col("doc_id"), mdhash(col("s")).as("h")))
     val tr = sh.filter(col("doc_id") % 10 < 8)
       .select(col("doc_id").as("train_doc"), col("h"))
     val rare = tr.groupBy("h").agg(count(lit(1)).as("train_df"))

@@ -108,7 +108,7 @@ object DedupOps {
     */
   def ngramJaccard(spark: SparkSession, dir: String,
                    maxDocId: Long = 200, minJaccard: Double = 0.02): DataFrame = {
-    val ex = explodedShingles(spark, dir, col("doc_id") < maxDocId).cache()
+    val ex = TransientCache(explodedShingles(spark, dir, col("doc_id") < maxDocId))
     val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -159,7 +159,7 @@ object DedupOps {
     * shingle rows, never full payloads.
     */
   private[graft] def lshJaccardOver(ex: DataFrame, minJaccard: Double): DataFrame = {
-    val sig = signaturesFrom(ex.withColumn("h", mdhash(col("s")))).cache()
+    val sig = TransientCache(signaturesFrom(ex.withColumn("h", mdhash(col("s")))))
     val bands = bandKeys(sig)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -255,7 +255,7 @@ object DedupOps {
     * join is the scale path: only same-bucket pairs ever materialize.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir).cache()
+    val sig = TransientCache(minhashSignatures(spark, dir))
     val bands = bandKeys(sig)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -313,17 +313,16 @@ object DedupOps {
     // pass exists at query time.
     val ex = explodedShingles(spark, dir, distinctShingles = false)
       .withColumn("h", mdhash(col("s")))
-    val sig = signaturesFrom(ex).cache()
+    val sig = TransientCache(signaturesFrom(ex))
     val bands = bandKeys(sig)
     // cached: the candidate-pair set is bounded by the banding probe and is
     // read four times below (intersection, score join-back, both sides of
     // the candidate-id prune)
-    val cand = bands.filter(isShard).as("x")
+    val cand = TransientCache(bands.filter(isShard).as("x")
       .join(bands.filter(!isShard).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("shard_id"), col("y.doc_id").as("corpus_id"))
-      .distinct()
-      .cache()
+      .distinct())
     // candidate doc ids (both sides) — bounded by the banding probe,
     // usually tiny relative to the corpus; broadcast so the semi-join
     // prunes the shingle scan WITHOUT shuffling it. This is what keeps the
@@ -352,10 +351,9 @@ object DedupOps {
     // join) — uncached, each read re-ran the corpus tokenizer (the r7 local
     // regression). Prune BEFORE distinct so the dedup shuffle is
     // candidate-bounded too.
-    val exCand = ex.select(col("doc_id"), col("s"))
+    val exCand = TransientCache(ex.select(col("doc_id"), col("s"))
       .join(prunedIds, Seq("doc_id"), "left_semi")
-      .distinct()
-      .cache()
+      .distinct())
     val counts = exCand.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(exCand.as("a"), col("shard_id") === col("a.doc_id"))
@@ -683,10 +681,9 @@ object DedupOps {
     // side is the INCOMING batch and is never tombstoned. Folding the
     // tombstones into the layout happens off the hot path via
     // [[compactMinhashIndex]]'s `tombs` parameter.
-    val cand = tombs.fold(candAll)(t => candAll.join(
+    val cand = TransientCache(tombs.fold(candAll)(t => candAll.join(
         broadcast(t.select(col("doc_id").as("corpus_id"))),
-        Seq("corpus_id"), "left_anti"))
-      .cache()
+        Seq("corpus_id"), "left_anti")))
     val corpusIds = cand.select(col("corpus_id").as("doc_id")).distinct()
     // guarded by the INDEX, not the probe dir: the stored index is
     // decoupled from the dir's documents table, so shard size says nothing
@@ -778,12 +775,7 @@ object DedupOps {
   // `dedup_clusters` and the un-memoized fixpoint under
   // `dedup_clusters_fresh` — two different numbers on purpose.
   private val clusterCache =
-    new java.util.LinkedHashMap[(SparkSession, String), (DataFrame, DataFrame)]() {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String),
-                                 (DataFrame, DataFrame)]): Boolean =
-        size > 4
-    }
+    new BoundedMemo[(SparkSession, String), (DataFrame, DataFrame)](4, _ => ())
 
   /** The memoized cluster view WITH its edge set: (candidate edges,
     * converged assignment). The edge list is what an incremental cluster
@@ -795,17 +787,10 @@ object DedupOps {
     */
   private[graft] def memoizedClusterState(spark: SparkSession,
                                           dir: String): (DataFrame, DataFrame) =
-    clusterCache.synchronized {
-      val k = (spark, dir)
-      val hit = clusterCache.get(k)
-      if (hit != null) hit
-      else {
-        val edges = minhashLsh(spark, dir)
-          .select(col("id1"), col("id2")).localCheckpoint()
-        val v = (edges, componentsOver(edges))
-        clusterCache.put(k, v)
-        v
-      }
+    clusterCache.getOrBuild((spark, dir)) {
+      val edges = minhashLsh(spark, dir)
+        .select(col("id1"), col("id2")).localCheckpoint()
+      (edges, componentsOver(edges))
     }
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
@@ -815,14 +800,8 @@ object DedupOps {
     * changes); checkpoint blocks are reclaimed once unreferenced.
     */
   def invalidateClusterCache(): Unit = {
-    clusterCache.synchronized(clusterCache.clear())
-    deltaBaseCache.synchronized {
-      // clear() bypasses removeEldestEntry, so release the persisted band
-      // frame explicitly — CacheManager entries are never GC-reclaimed,
-      // unlike the checkpointed assignment's blocks
-      deltaBaseCache.forEach((_, v) => v._1.unpersist())
-      deltaBaseCache.clear()
-    }
+    clusterCache.invalidate()
+    deltaBaseCache.invalidate()
   }
 
   /** The un-memoized iterative fixpoint — what a first materialization of
@@ -856,9 +835,19 @@ object DedupOps {
     // reuse) — a second localCheckpoint would store a full extra copy of
     // the pair list for the life of the memo; a Project over a leaf is
     // just as cheap to re-analyze per round as the leaf itself
+    // the skip must only accept PURE RENAMES over a leaf: a Project
+    // carrying computed (worse: nondeterministic) expressions would be
+    // re-evaluated every fixpoint round if left untruncated — rounds could
+    // then disagree about the edge set (ADVICE r11)
     val alreadyLeaf = renamed.queryExecution.analyzed.collect { case n => n }
       .forall {
-        case _: org.apache.spark.sql.catalyst.plans.logical.Project => true
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.forall {
+            case _: org.apache.spark.sql.catalyst.expressions.AttributeReference => true
+            case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+              a.child.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]
+            case _ => false
+          }
         case _: org.apache.spark.sql.execution.LogicalRDD => true
         case _ => false
       }
@@ -1085,18 +1074,12 @@ object DedupOps {
   // (session, dir) — same bounded-LRU discipline as `clusterCache`. The
   // assignment is localCheckpoint-materialized so steady-state delta reads
   // pay only shard-side work (shard shingling + the delta merge).
+  // eviction releases the cached band frame (ADVICE r10); the checkpointed
+  // assignment's blocks are reclaimed by the ContextCleaner once the
+  // reference drops
   private val deltaBaseCache =
-    new java.util.LinkedHashMap[(SparkSession, String), (DataFrame, DataFrame)]() {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), (DataFrame, DataFrame)]): Boolean = {
-        val evict = size > 4
-        // ivfIndexCache's eviction discipline (ADVICE r10): release the
-        // cached band frame; the checkpointed assignment's blocks are
-        // reclaimed by the ContextCleaner once the reference drops
-        if (evict) e.getValue._1.unpersist()
-        evict
-      }
-    }
+    new BoundedMemo[(SparkSession, String), (DataFrame, DataFrame)](
+      4, _._1.unpersist())
 
   /** The incremental form of [[dedupClustersFresh]]: cluster assignment
     * maintained by [[componentsDelta]] as the shard (`doc_id % 10 = 7` —
@@ -1126,28 +1109,22 @@ object DedupOps {
     */
   def dedupClustersDelta(spark: SparkSession, dir: String): DataFrame = {
     val isShard = col("doc_id") % 10 === 7
-    val (bandsBase, baseAssign) = deltaBaseCache.synchronized {
-      val k = (spark, dir)
-      val hit = deltaBaseCache.get(k)
-      if (hit != null) hit
-      else {
-        val sigBase = signaturesFrom(
-          explodedShingles(spark, dir, !isShard, distinctShingles = false)
-            .withColumn("h", mdhash(col("s")))).cache()
-        val bb = bandKeys(sigBase).cache()
-        val baseCand = bb.as("x").join(bb.as("y"),
-            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-          .distinct()
-        val v = (bb, componentsOver(baseCand).localCheckpoint())
-        // componentsOver is eager, so bb's cache is populated by now and
-        // the signature frame has served its 4-band fan-out — release it
-        // rather than pinning a corpus-sized relation for the session
-        sigBase.unpersist()
-        deltaBaseCache.put(k, v)
-        v
-      }
+    val (bandsBase, baseAssign) = deltaBaseCache.getOrBuild((spark, dir)) {
+      val sigBase = signaturesFrom(
+        explodedShingles(spark, dir, !isShard, distinctShingles = false)
+          .withColumn("h", mdhash(col("s")))).cache()
+      val bb = bandKeys(sigBase).cache()
+      val baseCand = bb.as("x").join(bb.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+        .distinct()
+      val v = (bb, componentsOver(baseCand).localCheckpoint())
+      // componentsOver is eager, so bb's cache is populated by now and
+      // the signature frame has served its 4-band fan-out — release it
+      // rather than pinning a corpus-sized relation for the session
+      sigBase.unpersist()
+      v
     }
     // pin the shard SIGNATURES, not just the bands: the probe (cross) and
     // the shard self-join (within) are separate plan branches, so without

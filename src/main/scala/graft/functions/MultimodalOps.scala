@@ -165,8 +165,7 @@ object MultimodalOps {
     // are ~24 B (doc_id, 16-char hash) pairs, but at 100 TB frame counts
     // the set can still outgrow executor memory — MEMORY_AND_DISK spills
     // instead of silently recomputing the prune per consumer
-    val pruned = fr.join(rare, Seq("frame_hash"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = TransientCache(fr.join(rare, Seq("frame_hash"), "left_semi"))
     val nf = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_f"))
     val shared = pruned.as("a").join(pruned.as("b"),
         col("a.frame_hash") === col("b.frame_hash") &&

@@ -121,14 +121,8 @@ object SimilarityOps {
   // nprobe recall sweep in LlmOpsSpec) reuse one cached relation instead
   // of stacking leaked storage; eviction unpersists.
   private val ivfIndexCache =
-    new java.util.LinkedHashMap[(SparkSession, String, Int), DataFrame]() {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String, Int), DataFrame]): Boolean = {
-        val evict = size > 4
-        if (evict) e.getValue.unpersist()
-        evict
-      }
-    }
+    new graft.functions.BoundedMemo[(SparkSession, String, Int), DataFrame](
+      4, _.unpersist())
 
   /** Ranked nearest-centroid assignment (memoized, see [[ivfIndexCache]]):
     * every vector scored against every centroid via one broadcast of the
@@ -139,26 +133,19 @@ object SimilarityOps {
     */
   private def rankedAssignment(spark: SparkSession, dir: String,
                                nprobe: Int): DataFrame =
-    ivfIndexCache.synchronized {
-      val key = (spark, dir, math.max(nprobe, 1))
-      val hit = ivfIndexCache.get(key)
-      if (hit != null) hit
-      else {
-        val emb = Tables.embeddings(spark, dir)
-          .select(col("vec_id"), col("embedding").as("v"))
-        val cents = centroidVectors(spark, dir)
-        // nearest-centroid assignment, rank on rounded score + label tie-break
-        val v = emb.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("v"), col("label"),
-            bround(nativeCosine(spark, "c", "v"), 8)
-              .cast("decimal(12,8)").as("cscore"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("label"))))
-          .filter(col("rk") <= math.max(nprobe, 1))
-          .persist()
-        ivfIndexCache.put(key, v)
-        v
-      }
+    ivfIndexCache.getOrBuild((spark, dir, math.max(nprobe, 1))) {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").as("v"))
+      val cents = centroidVectors(spark, dir)
+      // nearest-centroid assignment, rank on rounded score + label tie-break
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("label"),
+          bround(nativeCosine(spark, "c", "v"), 8)
+            .cast("decimal(12,8)").as("cscore"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("label"))))
+        .filter(col("rk") <= math.max(nprobe, 1))
+        .persist()
     }
 
   def ivfTopK(spark: SparkSession, dir: String,
@@ -840,13 +827,8 @@ object SimilarityOps {
   // semantic_clusters_fresh (and the shared component engine's under
   // dedup_clusters_fresh).
   private val semClusterCache =
-    new java.util.LinkedHashMap[(SparkSession, String, Double),
-                                (DataFrame, DataFrame)]() {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String, Double),
-                                 (DataFrame, DataFrame)]): Boolean =
-        size > 4
-    }
+    new graft.functions.BoundedMemo[(SparkSession, String, Double),
+                                    (DataFrame, DataFrame)](4, _ => ())
 
   /** The memoized semantic-cluster view WITH its τ-near edge set —
     * (edges, assignment), the embedding twin of
@@ -858,17 +840,11 @@ object SimilarityOps {
   private[graft] def memoizedSemClusterState(
       spark: SparkSession, dir: String,
       minCosine: Double = 0.3): (DataFrame, DataFrame) =
-    semClusterCache.synchronized {
-      val k = (spark, dir, minCosine)
-      val hit = semClusterCache.get(k)
-      if (hit != null) hit
-      else {
-        val edges = semDedupPairs(spark, dir, minCosine)
-          .select(col("id1"), col("id2")).localCheckpoint()
-        val v = (edges, DedupOps.componentsOver(edges)
-          .withColumnRenamed("doc_id", "vec_id"))
-        semClusterCache.put(k, v); v
-      }
+    semClusterCache.getOrBuild((spark, dir, minCosine)) {
+      val edges = semDedupPairs(spark, dir, minCosine)
+        .select(col("id1"), col("id2")).localCheckpoint()
+      (edges, DedupOps.componentsOver(edges)
+        .withColumnRenamed("doc_id", "vec_id"))
     }
 
   def semanticClusters(spark: SparkSession, dir: String,
@@ -881,18 +857,17 @@ object SimilarityOps {
     * stale semantic component map for the session — ADVICE r8). Both are
     * called together by [[graft.functions.DedupOps.invalidateDerived]].
     */
-  def invalidateSemClusterCache(): Unit =
-    semClusterCache.synchronized(semClusterCache.clear())
+  def invalidateSemClusterCache(): Unit = {
+    semClusterCache.invalidate()
+    semDeltaBaseCache.invalidate()
+  }
 
   /** Unpersist and drop every memoized [[rankedAssignment]] view — called
     * by [[graft.functions.DedupOps.invalidateDerived]] on data
     * regeneration: a persisted assignment would otherwise keep serving
     * cached pre-regeneration blocks.
     */
-  def invalidateIvfCache(): Unit = ivfIndexCache.synchronized {
-    ivfIndexCache.forEach((_, df) => df.unpersist())
-    ivfIndexCache.clear()
-  }
+  def invalidateIvfCache(): Unit = ivfIndexCache.invalidate()
 
   /** The un-memoized fixpoint — same result as [[semanticClusters]], but
     * BENCH times the iterative min-label engine here while
@@ -908,11 +883,8 @@ object SimilarityOps {
   // for the delta-maintained view — cell frames come from the already-
   // persisted rankedAssignment, so only the component map is stored here.
   private val semDeltaBaseCache =
-    new java.util.LinkedHashMap[(SparkSession, String, Double), DataFrame]() {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String, Double), DataFrame]): Boolean =
-        size > 4
-    }
+    new graft.functions.BoundedMemo[(SparkSession, String, Double), DataFrame](
+      4, _ => ())
 
   /** The incremental form of [[semanticClustersFresh]] — the embedding
     * twin of [[graft.functions.DedupOps.dedupClustersDelta]], sharing its
@@ -934,20 +906,13 @@ object SimilarityOps {
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("label").as("cell"))
     val base = assigned.filter(!isDelta)
-    val baseAssign = semDeltaBaseCache.synchronized {
-      val k = (spark, dir, minCosine)
-      val hit = semDeltaBaseCache.get(k)
-      if (hit != null) hit
-      else {
-        val basePairs = base.as("x").join(base.as("y"),
-            col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
-          .filter(bround(nativeCosine(spark, "x.v", "y.v"), 8)
-            .cast("decimal(12,8)") >= minCosine)
-          .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
-        val v = DedupOps.componentsOver(basePairs).localCheckpoint()
-        semDeltaBaseCache.put(k, v)
-        v
-      }
+    val baseAssign = semDeltaBaseCache.getOrBuild((spark, dir, minCosine)) {
+      val basePairs = base.as("x").join(base.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+        .filter(bround(nativeCosine(spark, "x.v", "y.v"), 8)
+          .cast("decimal(12,8)") >= minCosine)
+        .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+      DedupOps.componentsOver(basePairs).localCheckpoint()
     }
     val dv = assigned.filter(isDelta)
     val cross = dv.as("x").join(base.as("y"), col("x.cell") === col("y.cell"))
@@ -997,8 +962,7 @@ object SimilarityOps {
   /** Drop the memoized delta-maintenance base assignments (data
     * regeneration hook — cleared alongside [[invalidateSemClusterCache]]).
     */
-  def invalidateSemDeltaCache(): Unit =
-    semDeltaBaseCache.synchronized(semDeltaBaseCache.clear())
+  def invalidateSemDeltaCache(): Unit = semDeltaBaseCache.invalidate()
 
   /** Materialize the rk = 1 cell assignment as a parquet table PARTITIONED
     * BY cell — the stored IVF index layout that [[ivfTopK]] and
@@ -1138,7 +1102,7 @@ object SimilarityOps {
               nQueries: Long = 20, k: Int = 3): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
-    val buckets = lshBuckets(spark, dir).persist() // feeds both join sides
+    val buckets = TransientCache(lshBuckets(spark, dir)) // feeds both join sides
     val qb = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
     val cand = qb.join(buckets.withColumnRenamed("vec_id", "neighbor_id"),

@@ -453,10 +453,9 @@ object TextAnalysis {
     */
   private def scaledCutoffs(spark: SparkSession, dir: String,
                             keepPermille: Int): (DataFrame, DataFrame) = {
-    val scored = freqScore(spark, dir)
+    val scored = TransientCache(freqScore(spark, dir)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
-        Seq("doc_id"))
-      .cache()
+        Seq("doc_id")))
     val cuts = scored.groupBy("lang").agg(
       count(lit(1)).as("n_lang"),
       percentile_approx(col("freq_score"),
@@ -701,7 +700,7 @@ object TextAnalysis {
     // cached: postings-bounded (only docs matching a query term), and read
     // twice below (scoring + the df aggregate) — uncached, the corpus scan
     // and the postings shuffle would run twice
-    val tf = hits.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*).cache()
+    val tf = TransientCache(hits.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*))
     // corpus scalars: N docs + total token mass (no shuffle — partial aggs)
     val corpus = docs.select(size(tokens(col("text"))).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("d"))

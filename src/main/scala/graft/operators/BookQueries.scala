@@ -22,15 +22,21 @@ object BookQueries {
     * unfaithful — and at 100 TB, catastrophic — design; in production this
     * view is the streaming fold's state store or its Delta snapshot.
     */
+  // bounded + releasable like every other long-lived view memo (the old
+  // TrieMap was unbounded and had no unpersist hook, so the fold's
+  // persisted state could never be released for the session's life)
   private val viewCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+    new graft.functions.BoundedMemo[(SparkSession, String), (DataFrame, DataFrame)](
+      4, _._2.unpersist())
 
   private def views(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    viewCache.getOrElseUpdate((spark, dir), {
+    viewCache.getOrBuild((spark, dir)) {
       val ev = OrderEvents(spark, dir)
-      val oc = OrderState.ordersCurrent(ev).persist()
-      (ev, oc)
-    })
+      (ev, OrderState.ordersCurrent(ev).persist())
+    }
+
+  /** Release the memoized order-book fold views (cache-hygiene hook). */
+  def invalidateViewCache(): Unit = viewCache.invalidate()
 
   /** `GET /pools/:a/orderbook?depth=k` (order-book-controller.ts:62-76) —
     * two-sided top-k price levels with per-level volume (W1/W2/W3 + A2).

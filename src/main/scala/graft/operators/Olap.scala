@@ -628,10 +628,9 @@ object Olap {
     // persist: the counts job and the main query MUST see the same range
     // boundaries (the range sampler reseeds per job — unpinned, the offset
     // map could describe a different partitioning than the one ranked)
-    val ranged = spend
+    val ranged = graft.functions.TransientCache(spend
       .repartitionByRange(parts, col("spend_dec").desc, col("o_custkey"))
-      .withColumn("pid", spark_partition_id())
-      .persist()
+      .withColumn("pid", spark_partition_id()))
     val local = ranged.withColumn("lrn", row_number().over(
       Window.partitionBy("pid").orderBy(col("spend_dec").desc, col("o_custkey"))))
     // P rows of (pid, count): metadata, not data — same category as the

@@ -82,27 +82,25 @@ object ClusterIngest {
     // The batchId ordering alone cannot catch one torn pairing: a prefix
     // whose only committed version is v0 receives batch 0 from a FRESH
     // checkpoint (0 >= 0 passes, yet the delivery is new data that would
-    // silently replace the maintained v0). Stream-attached deliveries
-    // therefore also stamp the prefix with their checkpoint location on
-    // first commit and refuse any later delivery from a different one.
-    // (Direct spec calls pass no ckpt and rely on the ordering guard.)
+    // silently replace the maintained v0). Every delivery therefore also
+    // carries an IDENTITY — the checkpoint location for stream-attached
+    // deliveries, the synthetic "direct:<prefix>" for direct calls
+    // (ADVICE r11: the direct path previously bypassed the stamp entirely)
+    // — stamped onto the prefix at first commit; any later delivery with a
+    // different identity is refused.
     val stampTable =
       s"${prefix.toLowerCase(java.util.Locale.ROOT)}_ckptstamp"
-    ckpt.foreach { c =>
-      if (spark.catalog.tableExists(stampTable)) {
-        val stamped = spark.table(stampTable).head().getString(0)
-        require(stamped == c,
-          s"ClusterIngest.mergeBatch: prefix '$prefix' was built from " +
-            s"checkpoint '$stamped' but this delivery comes from '$c' — a " +
-            "fresh checkpoint over an existing view would silently replace " +
-            "the maintained assignment; use a new prefix or delete the old " +
-            "view explicitly")
-      } else {
-        import spark.implicits._
-        Seq(c).toDF("checkpoint").write.mode("overwrite")
-          .format("parquet").saveAsTable(stampTable)
-      }
-    }
+    val declared =
+      ckpt.getOrElse(s"direct:${prefix.toLowerCase(java.util.Locale.ROOT)}")
+    def requireStamp(stamped: String): Unit =
+      require(stamped == declared,
+        s"ClusterIngest.mergeBatch: prefix '$prefix' was built from " +
+          s"checkpoint '$stamped' but this delivery comes from '$declared' " +
+          "— a fresh checkpoint over an existing view would silently " +
+          "replace the maintained assignment; use a new prefix or delete " +
+          "the old view explicitly")
+    if (spark.catalog.tableExists(stampTable))
+      requireStamp(spark.table(stampTable).head().getString(0))
     val edges = batch.select(col("id1"), col("id2")).distinct()
     val merged = latestBefore(spark, prefix, batchId) match {
       case Some(base) => DedupOps.componentsDelta(base, edges)
@@ -112,6 +110,21 @@ object ClusterIngest {
     merged.write.mode("overwrite").format("parquet").saveAsTable(table)
     spark.table(table).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+    // stamp AFTER the first successful commit, with create-if-absent
+    // semantics (ADVICE r11): a failed first batch leaves no stamp behind,
+    // and two concurrent first deliveries race on the metastore's atomic
+    // CREATE TABLE — the loser re-reads the winner's stamp and must match
+    // it or fail loudly (its version table is then orphaned, never served,
+    // and overwritten by the winner's replay if ids collide).
+    if (!spark.catalog.tableExists(stampTable)) {
+      import spark.implicits._
+      try Seq(declared).toDF("checkpoint").write
+        .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .format("parquet").saveAsTable(stampTable)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        requireStamp(spark.table(stampTable).head().getString(0))
+      }
+    }
     gc(spark, prefix)
   }
 

@@ -91,8 +91,11 @@ class ClusterIngestSpec extends SparkSpec {
     val (newestId, newestTable) = vers.last
 
     // REPLAY of the committed newest batch (at-least-once re-delivery):
-    // must rebuild the same version from its predecessor, not corrupt it
-    ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, newestId)
+    // must rebuild the same version from its predecessor, not corrupt it.
+    // A replay carries the SAME checkpoint identity as the original
+    // delivery — the stamp guard now covers direct calls too (ADVICE r11).
+    ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, newestId,
+      ckpt = Some(ckpt))
     assert(rows(spark.table(newestTable)) == expectAll,
       "replayed batch corrupted the committed assignment")
 
@@ -101,7 +104,8 @@ class ClusterIngestSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS ${newestTable}_meta")
     assert(ClusterIngest.committedVersions(spark, prefix).size == 1,
       "torn version still counted as committed")
-    ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, newestId)
+    ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, newestId,
+      ckpt = Some(ckpt))
     assert(rows(ClusterIngest.current(spark, prefix).get) == expectAll,
       "replay after torn write did not converge")
   }
@@ -124,6 +128,14 @@ class ClusterIngestSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("below the newest committed version"),
       s"wrong failure: ${e.getMessage}")
+    // the DIRECT path is stamped too (ADVICE r11): an ordering-legal direct
+    // delivery against a stream-built prefix is a different identity and
+    // must be refused — previously it bypassed the stamp entirely
+    val eDirect = intercept[IllegalArgumentException] {
+      ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, maxV + 1)
+    }
+    assert(eDirect.getMessage.contains("fresh checkpoint over an existing view"),
+      s"wrong failure: ${eDirect.getMessage}")
     // the ordering guard alone cannot catch batch 0 arriving at a
     // single-version prefix (0 >= 0 passes) — stream-attached deliveries
     // stamp the prefix with their checkpoint location and must refuse a
