@@ -1,0 +1,610 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import TextAnalysis.{mdhash, tokens, P}
+
+/** Shingle/signature CORE of [[DedupOps]] — the row-local and
+  * candidate-bounded half of the dedup surface: shingling, MinHash
+  * signatures, LSH banding, the exact-Jaccard verify, SimHash
+  * fingerprints, span-level dedup, and the shard admission gate. Split
+  * out of the monolithic DedupOps by lifecycle (verdict r11 item 7);
+  * behavior is byte-identical — every member still lives on the
+  * [[DedupOps]] object via mixin.
+  */
+private[graft] trait DedupShingleCore {
+
+  /** Word 3-gram shingles of a token array column (distinct per doc).
+    * Guarded: Spark's `sequence(0, n)` walks BACKWARDS for n < 0, so short
+    * docs must short-circuit to an empty array.
+    *
+    * PERF: pass a *materialized attribute* (a column produced by a previous
+    * projection), never `tokens(col("text"))` inline — this expression
+    * references its input 5×, and expensive children referenced from
+    * multiple sites are re-evaluated per reference (measured: inline
+    * composition re-ran the regex tokenizer ~3× per shingle, 25s vs 2s at
+    * sf0.1). [[shingleDocs]] does the split correctly.
+    */
+  def shingles(t: Column): Column =
+    when(size(t) >= 3,
+      array_distinct(transform(
+        sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ",
+          element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact dedup via content digest (hash-groupBy): canonical keeper = min
+    * doc_id per digest; emits one row per group with the copy count.
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keep_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+
+  /** Exploded (doc_id, shingle) rows — the scale-path shingle pipeline.
+    *
+    * Deliberately NOT explode(shingle-array): Spark's
+    * InferFiltersFromGenerate + predicate pushdown substitute a generator's
+    * child expression into an inferred `size(..)>0` filter, re-evaluating
+    * the whole array build (and its regex tokenizer) several times per doc —
+    * measured 16s vs 2s at sf0.1. Exploding cheap *positions* and building
+    * each shingle per-row from the materialized token attribute leaves
+    * nothing expensive for the optimizer to duplicate, and never
+    * materializes a per-doc shingle array at all.
+    */
+  def explodedShingles(spark: SparkSession, dir: String,
+                       docFilter: Column = lit(true),
+                       distinctShingles: Boolean = true): DataFrame = {
+    val base = Tables.documents(spark, dir).filter(docFilter)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 3)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("t"), col("i") + 1),
+        element_at(col("t"), col("i") + 2),
+        element_at(col("t"), col("i") + 3)).as("s"))
+    if (distinctShingles) base.distinct() else base
+  }
+
+  /** Shared Jaccard tail: per-pair intersection counts + per-doc shingle
+    * counts → |A∩B| / |A∪B|, thresholded in exact DECIMAL, DOUBLE at the
+    * serving edge (emitted decimals hash differently across engines).
+    */
+  private def jaccardFromInter(inter: DataFrame, counts: DataFrame,
+                               minJaccard: Double): DataFrame =
+    inter
+      .join(counts.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(counts.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn("jaccard",
+        bround(col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")), 6)
+          .cast("decimal(10,6)"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("n_inter"), col("n1"), col("n2"),
+        col("jaccard").cast("double").as("jaccard"))
+
+  /** Exact n-gram Jaccard over all pairs in a bounded id range: explode
+    * distinct shingles, self-join on shingle (the intersection), derive the
+    * union from per-doc counts. The id bound keeps the demonstration
+    * quadratic-free — this form is the yardstick; the SCALE path is
+    * [[ngramJaccardLsh]], which runs the identical exact verify on LSH
+    * candidates only, with no id bound.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   maxDocId: Long = 200, minJaccard: Double = 0.02): DataFrame = {
+    val ex = TransientCache(explodedShingles(spark, dir, col("doc_id") < maxDocId))
+    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    jaccardFromInter(inter, counts, minJaccard)
+  }
+
+  /** The 100 TB n-gram verify: exact Jaccard computed ONLY on
+    * [[minhashLsh]] candidate pairs — banding generates candidates, the
+    * exact verify confirms them, and nothing quadratic ever materializes
+    * (no doc-id bound; `PlanSpec` forbids cartesian/nested-loop here).
+    * Shuffle shape: candidates join the exploded shingles on id1, then on
+    * (id2, shingle) — cost is Σ over candidates |shingles|, not n².
+    */
+  def ngramJaccardLsh(spark: SparkSession, dir: String,
+                      minJaccard: Double = 0.02): DataFrame = {
+    val (inter, counts) = lshCandidateIntersection(spark, dir)
+    jaccardFromInter(inter, counts, minJaccard)
+  }
+
+  /** Shared candidate-verify front half of [[ngramJaccardLsh]] and
+    * [[minhashContainment]]: LSH candidate pairs, per-doc distinct shingle
+    * counts, and the per-pair exact intersection size — so the two scorers
+    * cannot drift in candidate generation or intersection semantics.
+    */
+  private def lshCandidateIntersection(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cand = minhashLsh(spark, dir).select(col("id1"), col("id2"))
+    val ex = explodedShingles(spark, dir)
+    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(ex.as("a"), col("id1") === col("a.doc_id"))
+      .join(ex.as("b"), col("id2") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_inter"))
+    (inter, counts)
+  }
+
+  /** The full MinHash-LSH near-dup pipeline over an ARBITRARY distinct
+    * (doc_id, s) shingle frame: 8-perm signatures → 4×2 banding self-join
+    * for candidates → exact shingle-Jaccard verify on candidates only —
+    * the [[ngramJaccardLsh]] discipline with the shingle definition
+    * abstracted out, so non-text modalities can reuse it wholesale
+    * ([[graft.functions.MultimodalOps.mediaDedup]] feeds BYTE-window
+    * shingles of media blobs through here). Cost: Σ bucket² candidates,
+    * never n²; shuffles move 64 B signatures and candidate-bounded
+    * shingle rows, never full payloads.
+    */
+  private[graft] def lshJaccardOver(ex: DataFrame, minJaccard: Double): DataFrame = {
+    val sig = TransientCache(signaturesFrom(ex.withColumn("h", mdhash(col("s")))))
+    val bands = bandKeys(sig)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(ex.as("a"), col("id1") === col("a.doc_id"))
+      .join(ex.as("b"), col("id2") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_inter"))
+    jaccardFromInter(inter, counts, minJaccard)
+  }
+
+  /** Asymmetric shingle CONTAINMENT on the LSH candidates (Broder 1997:
+    * C(A,B) = |A∩B| / |A|) — the partial-duplication detector Jaccard
+    * structurally misses: a short document quoted verbatim inside a long
+    * one has Jaccard ≈ |A|/|B| (tiny) but containment ≈ 1. Same candidate
+    * front-end and exact-verify discipline as [[ngramJaccardLsh]] (shuffles
+    * bounded by candidates, never all-pairs); both directions and their max
+    * are emitted so a consumer can pick quote-detection (max) or
+    * subset-detection (directional). NOTE the candidates still come from
+    * the Jaccard-tuned 4×2 banding — at scale a containment-tuned index
+    * bands the SHORTER side's shingles only (sketch of Broder's modified
+    * scheme); the verify stage here is front-end-agnostic.
+    */
+  def minhashContainment(spark: SparkSession, dir: String,
+                         minContainment: Double = 0.1): DataFrame = {
+    val (inter, counts) = lshCandidateIntersection(spark, dir)
+    inter
+      .join(counts.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(counts.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn("c1",
+        bround(col("n_inter").cast("double") / col("n1"), 6).cast("decimal(10,6)"))
+      .withColumn("c2",
+        bround(col("n_inter").cast("double") / col("n2"), 6).cast("decimal(10,6)"))
+      .withColumn("cmax", greatest(col("c1"), col("c2")))
+      .filter(col("cmax") >= minContainment)
+      .select(col("id1"), col("id2"), col("n_inter"), col("n1"), col("n2"),
+        col("c1").cast("double").as("containment_1"),
+        col("c2").cast("double").as("containment_2"),
+        col("cmax").cast("double").as("containment"))
+  }
+
+  /** MinHash permutation constants (a·x + b mod P, P = 2^31−1): fixed public
+    * pseudo-random values; signature length 8, banded 4×2.
+    */
+  val perms: Seq[(Long, Long)] = Seq( // public: oracle SQL generates from these
+    (1686629713L, 411L), (1583082576L, 92L), (722129567L, 51001L),
+    (1546453463L, 8191L), (910672911L, 77L), (1033668507L, 131071L),
+    (650686437L, 524287L), (1217100571L, 3301L))
+
+  private def minhashCol(k: Int): Column = {
+    val (a, b) = perms(k)
+    min((lit(a) * (col("h") % P) + b) % P).as(s"m$k")
+  }
+
+  /** The 4×2 LSH banding of an 8-value signature frame — one (doc_id,
+    * band, bkey) row per band. The single definition used by every banding
+    * consumer ([[minhashLsh]], [[shardDedup]], [[writeMinhashIndex]],
+    * [[shardDedupFromIndex]]) so the live and stored band keys cannot
+    * drift.
+    */
+  private[graft] def bandKeys(sig: DataFrame): DataFrame =
+    (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat_ws(":", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bkey"))
+    }.reduce(_ union _)
+
+  /** MinHash signatures (8 perms) per document. One explode + one hash agg;
+    * the signature is 64 bytes per doc regardless of document size.
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesFrom(explodedShingles(spark, dir, distinctShingles = false)
+      .withColumn("h", mdhash(col("s"))))
+
+  /** Signature build over an already-exploded-and-hashed (doc_id, s, h)
+    * frame — the single definition of the 8-perm scheme; [[shardDedup]]
+    * shares it so the shard gate and the LSH views cannot drift.
+    */
+  private[graft] def signaturesFrom(exHashed: DataFrame): DataFrame = {
+    // distinct unnecessary: MIN over a multiset equals MIN over its set
+    exHashed
+      .groupBy("doc_id")
+      .agg(minhashCol(0), minhashCol(1), minhashCol(2), minhashCol(3),
+           minhashCol(4), minhashCol(5), minhashCol(6), minhashCol(7))
+  }
+
+  /** MinHash + LSH near-dup candidates: band the 8-value signature into 4
+    * bands of 2, self-join per band bucket, dedup pairs, and attach the
+    * signature-estimated similarity (matching minhash fraction). The band
+    * join is the scale path: only same-bucket pairs ever materialize.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = TransientCache(minhashSignatures(spark, dir))
+    val bands = bandKeys(sig)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    val est = cand
+      .join(sig.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sig.as("s2"), col("id2") === col("s2.doc_id"))
+    val matches = (0 until 8).map(k =>
+      when(col(s"s1.m$k") === col(s"s2.m$k"), 1).otherwise(0)).reduce(_ + _)
+    // k/8 is exactly representable at scale 6 (no rounding tie possible);
+    // emit DOUBLE — decimal outputs hash differently across engines
+    est.select(col("id1"), col("id2"),
+      (matches.cast("double") / 8).cast("decimal(10,6)").cast("double")
+        .as("est_jaccard"))
+  }
+
+  /** Incremental shard-vs-corpus dedup — the production admission gate for
+    * continuously-ingested training data: an incoming SHARD (here docs with
+    * `doc_id % 10 = 7`) is deduplicated against the already-accepted
+    * CORPUS (all other docs) WITHOUT ever re-deduplicating the corpus
+    * against itself. The batch analog of the stateful streaming index in
+    * [[graft.streaming.IngestDedup]], sharing its asymmetric semantics.
+    *
+    * Pipeline: the production 4×2 MinHash banding on both sides, shard
+    * bands probe corpus bands via one equi-join on (band, bucket-key) —
+    * never a cross join — then the exact n-gram Jaccard verify runs on
+    * candidate pairs only (the [[ngramJaccardLsh]] discipline). Per shard
+    * doc: candidate count, verified-duplicate count (exact Jaccard ≥ τ in
+    * DECIMAL), the best-matching corpus doc (rank-1 by Jaccard desc,
+    * corpus id asc — deterministic), and the admit verdict.
+    *
+    * At 100 TB: corpus signatures/bands are a PRECOMPUTED index table
+    * maintained by ingest (64 bytes/doc — here derived inline from the same
+    * scan for the gate); the shard probes it with one shuffle on the band
+    * key. The exact verify PRUNES the shingle index to candidate doc ids
+    * via a broadcast semi-join BEFORE joining — corpus shingles are read
+    * once at scan speed but NEVER shuffled; every exchange in the verify is
+    * bounded by the candidate docs' shingles. Corpus text never moves.
+    * Admission cost = one banding-index probe + one broadcast-pruned scan
+    * of the shingle index + candidate-bounded shuffles; with the index
+    * bucketed by doc_id the scan partition-prunes too, making the per-shard
+    * marginal cost O(shard + candidates).
+    */
+  def shardDedup(spark: SparkSession, dir: String,
+                 minJaccard: Double = 0.5): DataFrame = {
+    val isShard = col("doc_id") % 10 === 7
+    // One shared exploded-shingle DEFINITION feeds both the signature build
+    // and the exact-verify index (deliberately NOT cached: materializing the
+    // full corpus shingle set costs more than the second tokenizer pass it
+    // saves — measured at sf0.1; the verify-side read is broadcast-pruned to
+    // candidates before anything heavy happens). At 100 TB both derivations
+    // are PRECOMPUTED index tables maintained by ingest — neither tokenizer
+    // pass exists at query time.
+    val ex = explodedShingles(spark, dir, distinctShingles = false)
+      .withColumn("h", mdhash(col("s")))
+    val sig = TransientCache(signaturesFrom(ex))
+    val bands = bandKeys(sig)
+    // cached: the candidate-pair set is bounded by the banding probe and is
+    // read four times below (intersection, score join-back, both sides of
+    // the candidate-id prune)
+    val cand = TransientCache(bands.filter(isShard).as("x")
+      .join(bands.filter(!isShard).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("shard_id"), col("y.doc_id").as("corpus_id"))
+      .distinct())
+    // candidate doc ids (both sides) — bounded by the banding probe,
+    // usually tiny relative to the corpus; broadcast so the semi-join
+    // prunes the shingle scan WITHOUT shuffling it. This is what keeps the
+    // verify candidates-bounded: only pruned shingles ever enter an
+    // exchange. GUARDED: a forced broadcast hint bypasses
+    // autoBroadcastJoinThreshold, so an unbounded candIds would hit the
+    // 8 GB broadcast limit / driver OOM on adversarial inputs. Band-bucket
+    // blowup inflates candidate PAIRS (~ Σ bucket²), but candIds is a set
+    // of doc IDS — bounded by |documents| — so the cheap primary guard is
+    // the parquet row count (footer metadata, no data scan). Only past 8M
+    // docs does the real |candIds| count run (an agg over the cached cand,
+    // not a recompute); past 8M ids (~128 MB) degrade to a shuffled
+    // left-semi, which is slower but finishes. NOTE the hint is
+    // load-bearing vs letting AQE decide: AQE converts the SortMergeJoin
+    // to broadcast only AFTER the static plan placed a shuffle under the
+    // corpus-shingle side — the 100 TB scale-killer this prune exists to
+    // avoid — whereas the hint keeps any exchange off that side entirely.
+    val candIds = cand.select(col("shard_id").as("doc_id"))
+      .union(cand.select(col("corpus_id").as("doc_id")))
+      .distinct()
+    val broadcastSafe = Tables.rowCount(spark, dir, "documents") <= 8000000L ||
+      candIds.count() <= 8000000L
+    val prunedIds = if (broadcastSafe) broadcast(candIds) else candIds
+    // cached: the pruned DISTINCT shingle set is candidate-bounded (small)
+    // and read three times below (counts + both sides of the intersection
+    // join) — uncached, each read re-ran the corpus tokenizer (the r7 local
+    // regression). Prune BEFORE distinct so the dedup shuffle is
+    // candidate-bounded too.
+    val exCand = TransientCache(ex.select(col("doc_id"), col("s"))
+      .join(prunedIds, Seq("doc_id"), "left_semi")
+      .distinct())
+    val counts = exCand.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(exCand.as("a"), col("shard_id") === col("a.doc_id"))
+      .join(exCand.as("b"), col("corpus_id") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy("shard_id", "corpus_id")
+      .agg(count(lit(1)).as("n_inter"))
+    admissionVerdicts(
+      Tables.documents(spark, dir).filter(isShard), cand, inter, counts,
+      minJaccard)
+  }
+
+  /** Shared admission tail of [[shardDedup]] and [[shardDedupFromIndex]]:
+    * score candidate pairs (LEFT join back to `cand` — a banding false
+    * positive CAN share zero shingles via a min-hash collision without set
+    * overlap; it must still count as a candidate, at Jaccard 0), roll up
+    * per shard doc, pick the deterministic rank-1 best duplicate, and emit
+    * one verdict row per shard doc. `counts` must cover every doc id
+    * appearing in `cand` (both sides).
+    */
+  private[functions] def admissionVerdicts(docsShard: DataFrame, cand: DataFrame,
+                                inter: DataFrame, counts: DataFrame,
+                                minJaccard: Double): DataFrame = {
+    val scored = cand
+      .join(inter, Seq("shard_id", "corpus_id"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(counts.withColumnRenamed("doc_id", "shard_id")
+        .withColumnRenamed("n_sh", "n1"), "shard_id")
+      .join(counts.withColumnRenamed("doc_id", "corpus_id")
+        .withColumnRenamed("n_sh", "n2"), "corpus_id")
+      .withColumn("j",
+        bround(col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")), 6).cast("decimal(10,6)"))
+    val roll = scored.groupBy("shard_id").agg(
+      count(lit(1)).as("n_cand"),
+      sum(when(col("j") >= minJaccard, 1L).otherwise(0L)).as("n_dup"))
+    val best = scored.filter(col("j") >= minJaccard)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("shard_id")
+          .orderBy(col("j").desc, col("corpus_id"))))
+      .filter(col("rn") === 1)
+      .select(col("shard_id"), col("corpus_id").as("best_dup_id"),
+        col("j").cast("double").as("best_jaccard"))
+    docsShard
+      .select(col("doc_id"))
+      .join(roll.withColumnRenamed("shard_id", "doc_id"), Seq("doc_id"), "left")
+      .join(best.withColumnRenamed("shard_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        col("best_dup_id"), col("best_jaccard"),
+        (coalesce(col("n_dup"), lit(0L)) === 0).as("admit"))
+  }
+
+  /** SimHash: 32-bit locality-sensitive fingerprint per document — for each
+    * bit position, sum ±1 contributions of every token hash, take the sign.
+    * Expressed as explode(tokens × 32 bit-positions) + hash agg: integer
+    * arithmetic end-to-end, exact in both engines.
+    */
+  def simhash(spark: SparkSession, dir: String, maxDocId: Long = Long.MaxValue): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < maxDocId)
+    // two-step select: explode an attribute, not the regex expression — the
+    // optimizer's inferred generate-filters would re-run an inline tokenizer
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .withColumn("h", mdhash(col("tok")))
+    val bits = toks.select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("contrib",
+        when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1))
+    bits.groupBy("doc_id", "b")
+      .agg(sum(col("contrib")).as("bitsum"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("bitsum") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
+        .otherwise(0L)).as("simhash32"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming via
+    * bit_count(xor). The fingerprint comparison never touches the text.
+    *
+    * Scale shape (pigeonhole banding, the standard simhash index): split the
+    * 32-bit fingerprint into (maxHamming+1) disjoint bit segments. Two
+    * fingerprints within Hamming ≤ maxHamming differ in ≤ maxHamming
+    * segments, so they AGREE exactly on ≥ 1 segment — candidate generation
+    * is therefore an EQUI-join on (segment_index, segment_value) with
+    * perfect recall, never an all-pairs nested loop. Cost is Σ bucket², like
+    * MinHash banding; the Hamming verify runs only on candidates. The
+    * round-1 version was a bounded cartesian join (`doc_id < maxDocId` was
+    * load-bearing); the bound is now just a demo default, not a crutch —
+    * `PlanSpec` asserts no CartesianProduct/BroadcastNestedLoopJoin here.
+    */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxDocId: Long = 300, maxHamming: Int = 6): DataFrame = {
+    val nSeg = maxHamming + 1
+    // segment boundaries: spread 32 bits as evenly as possible (e.g. 7 segs
+    // → widths 5,5,5,5,4,4,4); seg k covers bits [lo(k), lo(k+1))
+    val bounds = (0 to nSeg).map(k => k * 32 / nSeg)
+    val fp = simhash(spark, dir, maxDocId)
+    val segs = fp.select(col("doc_id"), col("simhash32"),
+      explode(array((0 until nSeg).map { k =>
+        val lo = bounds(k); val width = bounds(k + 1) - lo
+        struct(lit(k).as("seg"),
+          (shiftright(col("simhash32"), lo) % (1L << width)).as("segval"))
+      }: _*)).as("s"))
+      .select(col("doc_id"), col("simhash32"),
+        col("s.seg").as("seg"), col("s.segval").as("segval"))
+    segs.as("a").join(segs.as("b"),
+        col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.simhash32").bitwiseXOR(col("b.simhash32"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may collide in several segments
+  }
+
+  /** Cross-document substring duplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", at token-n-gram
+    * granularity): per document, how many of its token L-gram positions
+    * carry an L-gram that also occurs in at least one OTHER document — the
+    * memorization-risk signal that motivates substring-level dedup, distinct
+    * from the per-PAIR similarity family (Jaccard/MinHash/SimHash measure
+    * how alike two docs are; this measures how much of each doc is
+    * boilerplate shared with ANYWHERE in the corpus).
+    *
+    * Scale shape mirrors [[graft.functions.TextAnalysis.repSignals]]'s
+    * one-repartition trick on the hash side: repartition the gram stream by
+    * h once, then the (h, doc_id) count AND the per-h doc-frequency window
+    * are both partition-local; the only other exchange carries per-doc
+    * partial sums. Only 60-bit hashes shuffle, never text.
+    */
+  def dupSpans(spark: SparkSession, dir: String, L: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= L)
+      // explode positions of an attribute, not the regex (see shingles note)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - L)).as("i"))
+      .select(col("doc_id"), mdhash(concat_ws(" ",
+        (0 until L).map(j => element_at(col("t"), col("i") + j + 1)): _*))
+        .as("h"))
+    val byHashDoc = grams.repartition(col("h"))
+      .groupBy("h", "doc_id").agg(count(lit(1)).as("cnt"))
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy("h")))
+    byHashDoc.groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_grams"),
+        coalesce(sum(when(col("ndocs") >= 2, col("cnt"))), lit(0L))
+          .as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        bround(col("n_dup_grams").cast("double") / col("n_grams"), 6)
+          .cast("decimal(10,6)").cast("double").as("dup_gram_frac"))
+  }
+
+  /** The TRANSFORM side of [[dupSpans]]: drop every token position covered
+    * by a cross-document duplicated L-gram and re-emit the cleaned text —
+    * the actual substring-dedup pass of Lee et al. 2022 (their §3: remove
+    * duplicated spans, keep the rest), where [[dupSpans]] only measures the
+    * signal. Deterministic rule: token position p (1-based) is dropped iff
+    * some duplicated gram starts at i with i ≤ p ≤ i+L−1; docs shorter than
+    * L tokens (no grams) pass through unchanged.
+    *
+    * Scale shape: the gram stream repartitions by hash ONCE, and the
+    * doc-frequency aggregate + the dup-hash join are both partition-local
+    * behind it; what flows back to documents is (doc_id, position) pairs —
+    * 60-bit hashes and integer offsets, never text. Text is scanned once
+    * and shuffled once (the final doc_id join materializes the cleaned
+    * string); on a mostly-clean corpus the drop-set side is tiny and a
+    * broadcast join would remove even that text shuffle.
+    */
+  def dedupSpansApply(spark: SparkSession, dir: String, L: Int = 8): DataFrame = {
+    val (toks, _, dup) = spanStreams(spark, dir, L)
+    spansApplyFrom(toks, dup, L)
+  }
+
+  /** The shared substring-dedup stage: tokenized docs, positioned token
+    * L-grams behind ONE h-repartition, and their cross-document duplicated
+    * subset. Both [[dedupSpansApply]] and the `corpus_clean` composition
+    * ([[CurationOps.corpusClean]]) read these SAME frames — the gram
+    * explode + hash shuffle (the dominant cost) canonicalizes identically
+    * for every consumer, so ReuseExchange plans it once per query even
+    * when a composition needs both the per-doc dup counts and the drop
+    * positions.
+    */
+  private[graft] def spanStreams(spark: SparkSession, dir: String,
+                                 L: Int = 8): (DataFrame, DataFrame, DataFrame) = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val grams = toks
+      .filter(size(col("t")) >= L)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - L)).as("i"))
+      .select(col("doc_id"), col("i"), mdhash(concat_ws(" ",
+        (0 until L).map(j => element_at(col("t"), col("i") + j + 1)): _*))
+        .as("h"))
+      .repartition(col("h"))
+    // doc frequency per hash and the dup-hash semi-join both run inside
+    // the single h-partitioning — no second exchange on the gram stream.
+    // "appears in ≥ 2 docs" needs only min(doc_id) ≠ max(doc_id), which a
+    // plain hash agg answers without countDistinct's per-key expansion
+    val dupH = grams.groupBy("h")
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
+      .select("h")
+    (toks, grams, grams.join(dupH, Seq("h"), "leftsemi"))
+  }
+
+  /** Cleaned-text emission over the duplicated positioned grams.
+    *
+    * The doc-side aggregate collects gram START offsets — one row per
+    * duplicated gram through the exchange — and the L-wide expansion to
+    * covered 1-based positions i+1 .. i+L (matching DuckDB's 1-based list
+    * indexing in the oracle mirror) happens ROW-LOCALLY after the join
+    * (`flatten∘transform∘sequence`): the earlier form exploded every gram
+    * into its L covered positions BEFORE the groupBy, paying an L× row
+    * multiplier through the shuffle plus a distinct-set merge over the
+    * inflated stream for the identical result.
+    */
+  private[graft] def spansApplyFrom(toks: DataFrame, dup: DataFrame,
+                                    L: Int): DataFrame = {
+    val dropSets = dup
+      .groupBy("doc_id")
+      .agg(collect_set(col("i")).as("starts"))
+    toks.join(dropSets, Seq("doc_id"), "left")
+      .withColumn("drop",
+        when(col("starts").isNull, lit(null))
+          .otherwise(array_distinct(flatten(transform(col("starts"),
+            s => sequence(s + 1, s + lit(L)))))))
+      .select(
+        col("doc_id"),
+        array_join(
+          when(col("drop").isNull, col("t"))
+            .otherwise(filter(col("t"),
+              (x, p) => !array_contains(col("drop"), p + 1))),
+          " ").as("clean_text"),
+        size(col("t")).cast("long").as("n_tokens"),
+        coalesce(size(col("drop")), lit(0)).cast("long").as("n_dropped"))
+  }
+
+  /** LSH recall curve — the "measure, don't guess" evaluator for the
+    * MinHash banding parameters: per exact-Jaccard decile band, what
+    * fraction of true near-dup pairs does the 4×2 banding actually
+    * surface? This is the empirical S-curve (1−(1−s^r)^b) that justifies —
+    * or indicts — the banding choice before a full-corpus dedup run.
+    *
+    * Ground truth is inherently quadratic, so it runs on the SAME bounded
+    * id sample as [[ngramJaccard]] (the yardstick); candidates come from
+    * the production [[minhashLsh]] path restricted to the sample. At
+    * 100 TB the identical query runs on a drawn sample — the curve, not
+    * the pair list, is the product, and it transfers to the full corpus
+    * because banding probability depends only on similarity.
+    */
+  def lshRecall(spark: SparkSession, dir: String,
+                maxDocId: Long = 200): DataFrame = {
+    val truth = ngramJaccard(spark, dir, maxDocId)
+    val hits = minhashLsh(spark, dir)
+      .filter(col("id1") < maxDocId && col("id2") < maxDocId)
+      .select(col("id1"), col("id2"), lit(1).as("hit"))
+    truth.join(hits, Seq("id1", "id2"), "left")
+      .groupBy(floor(col("jaccard") * 10).cast("int").as("band"))
+      .agg(count(lit(1)).as("n_pairs"), count(col("hit")).as("n_hit"))
+      .select(col("band"), col("n_pairs"), col("n_hit"),
+        bround(col("n_hit").cast("double") / col("n_pairs"), 6)
+          .cast("decimal(10,6)").cast("double").as("recall"))
+  }
+}
