@@ -127,6 +127,11 @@ object SparkEntry {
     // components recompute locally from the view's persisted edge set
     // pruned to surviving members; untouched components pass through
     "dedup_clusters_deleted" -> ((s, d) => DedupOps.dedupClustersDeleted(s, d)),
+    // MIXED maintenance (one pass): shard edges merge in AND the takedown
+    // set applies — componentsDelta composed with componentsDeleteDelta
+    // over the persisted base ∪ delta edge list; oracle is the closure
+    // over a corpus containing the shard, never containing the deleted
+    "dedup_clusters_mixed" -> ((s, d) => DedupOps.dedupClustersMixed(s, d)),
     "dedup_select"    -> ((s, d) => CurationOps.dedupSelect(s, d)),
     // topic balancing: at most `cap` docs per semantic (embedding τ-near)
     // cluster, ranked by the deterministic dedup_select election rule
@@ -218,6 +223,9 @@ object SparkEntry {
     // over the persisted τ-near edge set pruned to surviving members
     "semantic_clusters_deleted" -> ((s, d) =>
       SimilarityOps.semanticClustersDeleted(s, d)),
+    // mixed add+takedown maintenance, embedding side
+    "semantic_clusters_mixed" -> ((s, d) =>
+      SimilarityOps.semanticClustersMixed(s, d)),
     "token_counts"    -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "quality_filter"  -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     // CCNet-style reference-frequency scoring (exact-arithmetic LM proxy)
@@ -315,6 +323,10 @@ object SparkEntry {
     "dedup_clusters_fresh" -> TextSql.dedupClustersSql,
     "dedup_clusters_delta" -> TextSql.dedupClustersSql,
     "dedup_clusters_deleted" -> TextSql.dedupClustersDeletedSql,
+    // the mixed pass lands on the same survivor closure the takedown
+    // oracle computes from scratch — proving the COMPOSED incremental
+    // path (merge then delete) reaches it is the point of the gate
+    "dedup_clusters_mixed" -> TextSql.dedupClustersDeletedSql,
     "dedup_select"    -> TextSql.dedupSelectSql,
     "cluster_cap_sample" -> TextSql.clusterCapSampleSql,
     "leakage_split"   -> TextSql.leakageSplitSql,
@@ -355,6 +367,7 @@ object SparkEntry {
     "semantic_clusters_fresh" -> TextSql.semanticClustersSql,
     "semantic_clusters_delta" -> TextSql.semanticClustersSql,
     "semantic_clusters_deleted" -> TextSql.semanticClustersDeletedSql,
+    "semantic_clusters_mixed" -> TextSql.semanticClustersDeletedSql,
     "token_counts"    -> TextSql.tokenCountsSql,
     "quality_filter"  -> TextSql.qualityFilterSql,
     "freq_score"      -> TextSql.freqScoreSql,

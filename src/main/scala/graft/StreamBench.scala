@@ -246,6 +246,42 @@ object StreamBench {
       record("takedown_ingest", nRows, secs, converged)
     }
 
+    // ── 8. MIXED maintenance: adds and takedowns interleaved in ONE stream ──
+    // The composition the split pipelines (6: adds, 7: deletes) never
+    // rehearse together (verdict r11 item 2): candidate pairs and takedown
+    // notices share a feed, range-chunked over the shared id domain so
+    // deletes land before, between, and after the edges they affect.
+    // Convergence is the strong form: the maintained view must equal the
+    // one-shot closure over pairs whose endpoints were never deleted —
+    // tombstone-wins ordering independence at rehearsal scale on RocksDB.
+    {
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("streambench_mx")).foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      val pairs = graft.functions.DedupOps.minhashLsh(spark, sfDir)
+        .select(col("id1"), col("id2"))
+      val dels = graft.sources.Tables.documents(spark, sfDir)
+        .select("doc_id").filter(col("doc_id") % 37 === 3)
+      val feed = pairs.withColumn("op", lit("add"))
+        .unionByName(dels.select(col("doc_id").as("id1"))
+          .withColumn("id2", lit(null).cast("long"))
+          .withColumn("op", lit("del")))
+        .select("op", "id1", "id2")
+      val nRows = chunk(feed, s"$work/mx-feed", "id1")
+      val secs = drain(graft.streaming.MixedIngest.start(
+        fileStream(s"$work/mx-feed", feed.schema),
+        "streambench_mx", s"$work/ckpt-mx"))
+      val maintained = graft.streaming.MixedIngest.current(spark, "streambench_mx")
+      val livePairs = pairs
+        .join(broadcast(dels.select(col("doc_id").as("id1"))), Seq("id1"), "left_anti")
+        .join(broadcast(dels.select(col("doc_id").as("id2"))), Seq("id2"), "left_anti")
+        .select("id1", "id2")
+      val batch = graft.functions.DedupOps.componentsOver(livePairs)
+      val converged = maintained.isDefined &&
+        maintained.get.except(batch).isEmpty && batch.except(maintained.get).isEmpty
+      record("mixed_ingest", nRows, secs, converged)
+    }
+
     val streams = out.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"stream_bench","streams":$streams,"files_per_trigger":$perTrigger,"state_store":"rocksdb","sf":"$sfDir"}""")
     spark.stop()

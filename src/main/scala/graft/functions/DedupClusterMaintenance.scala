@@ -343,8 +343,67 @@ private[graft] trait DedupClusterMaintenance { self: DedupShingleCore =>
   // assignment's blocks are reclaimed by the ContextCleaner once the
   // reference drops
   private val deltaBaseCache =
-    new BoundedMemo[(SparkSession, String), (DataFrame, DataFrame)](
+    new BoundedMemo[(SparkSession, String), (DataFrame, DataFrame, DataFrame)](
       4, _._1.unpersist())
+
+  /** Memoized delta-maintenance base state: (corpus band keys, converged
+    * base assignment, base candidate edges). The edge list is checkpointed
+    * alongside the assignment because the MIXED maintenance read
+    * ([[dedupClustersMixed]]) recomputes takedown-affected components from
+    * (base ∪ delta) edges — exactly what an incremental maintainer
+    * persists anyway (the [[componentsDeleteDelta]] contract).
+    */
+  private def deltaBase(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val isShard = col("doc_id") % 10 === 7
+    deltaBaseCache.getOrBuild((spark, dir)) {
+      val sigBase = signaturesFrom(
+        explodedShingles(spark, dir, !isShard, distinctShingles = false)
+          .withColumn("h", mdhash(col("s")))).cache()
+      val bb = bandKeys(sigBase).cache()
+      // checkpoint the edge list FIRST so the fixpoint's leaf check reuses
+      // it instead of storing a second copy
+      val baseEdges = bb.as("x").join(bb.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+        .distinct()
+        .localCheckpoint()
+      val v = (bb, componentsOver(baseEdges), baseEdges)
+      // componentsOver is eager, so bb's cache is populated by now and
+      // the signature frame has served its 4-band fan-out — release it
+      // rather than pinning a corpus-sized relation for the session
+      sigBase.unpersist()
+      v
+    }
+  }
+
+  /** Shard-side candidate edges against the memoized corpus bands: the
+    * cross probe (shard bands vs corpus band index) plus the shard's own
+    * band self-join — shared by [[dedupClustersDelta]] and
+    * [[dedupClustersMixed]]. Returns (edges, pin): the shard SIGNATURES
+    * are pinned because the two joins are separate plan branches (without
+    * the pin the shard shingle+minhash pipeline executed once per branch,
+    * measured 2× at sf0.1); the caller releases the pin once the edges
+    * have been consumed eagerly.
+    */
+  private def shardDeltaEdges(spark: SparkSession, dir: String,
+      bandsBase: DataFrame): (DataFrame, DataFrame) = {
+    val isShard = col("doc_id") % 10 === 7
+    val sigShard = signaturesFrom(
+      explodedShingles(spark, dir, isShard, distinctShingles = false)
+        .withColumn("h", mdhash(col("s")))).cache()
+    val bandsShard = bandKeys(sigShard)
+    val cross = bandsShard.as("x").join(bandsBase.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id2"))
+    val within = bandsShard.as("x").join(bandsShard.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+    (cross.union(within).distinct(), sigShard)
+  }
 
   /** The incremental form of [[dedupClustersFresh]]: cluster assignment
     * maintained by [[componentsDelta]] as the shard (`doc_id % 10 = 7` —
@@ -373,44 +432,50 @@ private[graft] trait DedupClusterMaintenance { self: DedupShingleCore =>
     * exists for.
     */
   def dedupClustersDelta(spark: SparkSession, dir: String): DataFrame = {
-    val isShard = col("doc_id") % 10 === 7
-    val (bandsBase, baseAssign) = deltaBaseCache.getOrBuild((spark, dir)) {
-      val sigBase = signaturesFrom(
-        explodedShingles(spark, dir, !isShard, distinctShingles = false)
-          .withColumn("h", mdhash(col("s")))).cache()
-      val bb = bandKeys(sigBase).cache()
-      val baseCand = bb.as("x").join(bb.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-        .distinct()
-      val v = (bb, componentsOver(baseCand).localCheckpoint())
-      // componentsOver is eager, so bb's cache is populated by now and
-      // the signature frame has served its 4-band fan-out — release it
-      // rather than pinning a corpus-sized relation for the session
-      sigBase.unpersist()
-      v
-    }
-    // pin the shard SIGNATURES, not just the bands: the probe (cross) and
-    // the shard self-join (within) are separate plan branches, so without
-    // the cache the shard shingle+minhash pipeline — the expensive part of
-    // a steady-state read — executed once per branch (measured 2× at
-    // sf0.1). componentsDelta consumes the candidate union eagerly, so the
-    // pin can be released as soon as it returns.
-    val sigShard = signaturesFrom(
-      explodedShingles(spark, dir, isShard, distinctShingles = false)
-        .withColumn("h", mdhash(col("s")))).cache()
-    val bandsShard = bandKeys(sigShard)
-    val cross = bandsShard.as("x").join(bandsBase.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("id1"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("id2"))
-    val within = bandsShard.as("x").join(bandsShard.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-    val out = componentsDelta(baseAssign, cross.union(within).distinct())
-    sigShard.unpersist()
+    val (bandsBase, baseAssign, _) = deltaBase(spark, dir)
+    val (delta, pin) = shardDeltaEdges(spark, dir, bandsBase)
+    // componentsDelta consumes the candidate union eagerly, so the shard
+    // pin can be released as soon as it returns
+    val out = componentsDelta(baseAssign, delta)
+    pin.unpersist()
+    out
+  }
+
+  /** MIXED maintenance in one pass (verdict r11 item 2, batch form —
+    * [[graft.streaming.MixedIngest]] is the streaming form): the shard
+    * (`doc_id % 10 = 7`) ARRIVES and the takedown set (`doc_id % 37 = 3`,
+    * the standing `*_deleted` fixture) is APPLIED against the same
+    * maintained view, composing [[componentsDelta]] (merge the shard's
+    * candidate edges into the converged base) with
+    * [[componentsDeleteDelta]] (component-local recompute over the
+    * persisted base ∪ delta edge set pruned to survivors). Nothing
+    * corpus-sized re-runs: the base is the memoized [[deltaBase]] state,
+    * the delta is shard-sized, and the delete recompute reads the
+    * persisted pair list via broadcast semi-joins.
+    *
+    * Gated as `dedup_clusters_mixed` against
+    * [[graft.oracle.TextSql.dedupClustersDeletedSql]] — the from-scratch
+    * DuckDB transitive closure over a corpus that contains the shard and
+    * never contained the deleted docs. The composed incremental path must
+    * be bit-identical to that closure.
+    */
+  def dedupClustersMixed(spark: SparkSession, dir: String): DataFrame = {
+    val (bandsBase, baseAssign, baseEdges) = deltaBase(spark, dir)
+    val (delta, pin) = shardDeltaEdges(spark, dir, bandsBase)
+    val merged = componentsDelta(baseAssign, delta)
+    val tombs = merged.select(col("doc_id")).filter(col("doc_id") % 37 === 3)
+    // the maintained edge set after the merge: base edges ∪ shard edges —
+    // the exact pair list MixedIngest persists per version
+    val edges1 = baseEdges.unionByName(delta)
+    val out = componentsDeleteDelta(merged, tombs, members => {
+      val m = broadcast(members.select(col("doc_id").as("mid")))
+      edges1
+        .join(m, col("id1") === col("mid"), "left_semi")
+        .join(m, col("id2") === col("mid"), "left_semi")
+    })
+    // componentsDeleteDelta runs its affected-component fixpoint eagerly,
+    // so the shard pin has been fully consumed by now
+    pin.unpersist()
     out
   }
 }

@@ -882,9 +882,50 @@ object SimilarityOps {
   // Memoized converged assignment over the BASE vectors (vec_id % 10 != 7)
   // for the delta-maintained view — cell frames come from the already-
   // persisted rankedAssignment, so only the component map is stored here.
+  // (converged base assignment, base τ-near pairs): the pair list is
+  // checkpointed alongside the assignment because the MIXED maintenance
+  // read ([[semanticClustersMixed]]) recomputes takedown-affected
+  // components from (base ∪ delta) edges — the componentsDeleteDelta
+  // contract's persisted pair list
   private val semDeltaBaseCache =
-    new graft.functions.BoundedMemo[(SparkSession, String, Double), DataFrame](
-      4, _ => ())
+    new graft.functions.BoundedMemo[(SparkSession, String, Double),
+                                    (DataFrame, DataFrame)](4, _ => ())
+
+  /** Shared candidate machinery of [[semanticClustersDelta]] and
+    * [[semanticClustersMixed]]: the memoized (base assignment, base pairs)
+    * plus the shard's τ-near edges (cell-local cross probe + within-shard
+    * self-join — Σ|cell ∩ delta|·|cell| work, never corpus-wide).
+    */
+  private def semDeltaParts(spark: SparkSession, dir: String,
+      minCosine: Double): (DataFrame, DataFrame, DataFrame) = {
+    val isDelta = col("vec_id") % 10 === 7
+    val assigned = rankedAssignment(spark, dir, 1)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("label").as("cell"))
+    val base = assigned.filter(!isDelta)
+    val (baseAssign, basePairs) =
+      semDeltaBaseCache.getOrBuild((spark, dir, minCosine)) {
+        val bp = base.as("x").join(base.as("y"),
+            col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+          .filter(bround(nativeCosine(spark, "x.v", "y.v"), 8)
+            .cast("decimal(12,8)") >= minCosine)
+          .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+          .localCheckpoint()
+        (DedupOps.componentsOver(bp), bp)
+      }
+    val dv = assigned.filter(isDelta)
+    val cross = dv.as("x").join(base.as("y"), col("x.cell") === col("y.cell"))
+      .filter(bround(nativeCosine(spark, "x.v", "y.v"), 8)
+        .cast("decimal(12,8)") >= minCosine)
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("id1"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("id2"))
+    val within = dv.as("x").join(dv.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(bround(nativeCosine(spark, "x.v", "y.v"), 8)
+        .cast("decimal(12,8)") >= minCosine)
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+    (baseAssign, basePairs, cross.union(within))
+  }
 
   /** The incremental form of [[semanticClustersFresh]] — the embedding
     * twin of [[graft.functions.DedupOps.dedupClustersDelta]], sharing its
@@ -901,32 +942,35 @@ object SimilarityOps {
     */
   def semanticClustersDelta(spark: SparkSession, dir: String,
                             minCosine: Double = 0.3): DataFrame = {
-    val isDelta = col("vec_id") % 10 === 7
-    val assigned = rankedAssignment(spark, dir, 1)
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("label").as("cell"))
-    val base = assigned.filter(!isDelta)
-    val baseAssign = semDeltaBaseCache.getOrBuild((spark, dir, minCosine)) {
-      val basePairs = base.as("x").join(base.as("y"),
-          col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
-        .filter(bround(nativeCosine(spark, "x.v", "y.v"), 8)
-          .cast("decimal(12,8)") >= minCosine)
-        .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
-      DedupOps.componentsOver(basePairs).localCheckpoint()
-    }
-    val dv = assigned.filter(isDelta)
-    val cross = dv.as("x").join(base.as("y"), col("x.cell") === col("y.cell"))
-      .filter(bround(nativeCosine(spark, "x.v", "y.v"), 8)
-        .cast("decimal(12,8)") >= minCosine)
-      .select(least(col("x.vec_id"), col("y.vec_id")).as("id1"),
-        greatest(col("x.vec_id"), col("y.vec_id")).as("id2"))
-    val within = dv.as("x").join(dv.as("y"),
-        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
-      .filter(bround(nativeCosine(spark, "x.v", "y.v"), 8)
-        .cast("decimal(12,8)") >= minCosine)
-      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
-    DedupOps.componentsDelta(baseAssign, cross.union(within))
+    val (baseAssign, _, delta) = semDeltaParts(spark, dir, minCosine)
+    DedupOps.componentsDelta(baseAssign, delta)
       .withColumnRenamed("doc_id", "vec_id")
+  }
+
+  /** MIXED semantic maintenance in one pass — the embedding twin of
+    * [[graft.functions.DedupOps.dedupClustersMixed]]: the shard
+    * (`vec_id % 10 = 7`) merges into the converged base via the
+    * delta-sized label-graph fixpoint, then the takedown set
+    * (`vec_id % 37 = 3`) applies via component-local recompute over the
+    * persisted (base ∪ delta) τ-near pair list — corpus embeddings are
+    * never re-scored. Gated as `semantic_clusters_mixed` against
+    * [[graft.oracle.TextSql.semanticClustersDeletedSql]]: the composed
+    * incremental path must be bit-identical to the from-scratch closure
+    * over a corpus that contains the shard and never contained the
+    * deleted vectors.
+    */
+  def semanticClustersMixed(spark: SparkSession, dir: String,
+                            minCosine: Double = 0.3): DataFrame = {
+    val (baseAssign, basePairs, delta) = semDeltaParts(spark, dir, minCosine)
+    val merged = DedupOps.componentsDelta(baseAssign, delta)
+    val tombs = merged.select(col("doc_id")).filter(col("doc_id") % 37 === 3)
+    val edges1 = basePairs.unionByName(delta)
+    DedupOps.componentsDeleteDelta(merged, tombs, members => {
+      val m = broadcast(members.select(col("doc_id").as("mid")))
+      edges1
+        .join(m, col("id1") === col("mid"), "left_semi")
+        .join(m, col("id2") === col("mid"), "left_semi")
+    }).withColumnRenamed("doc_id", "vec_id")
   }
 
   /** Takedown-aware semantic-cluster maintenance — the embedding twin of

@@ -54,7 +54,8 @@ class EvidenceSpec extends SparkSpec {
     assert(j.contains("\"state_store\":\"rocksdb\""),
       "stream bench evidence was not recorded on the RocksDB provider")
     for (s <- Seq("wire_fold", "ingest_dedup", "sem_ingest",
-      "pq_ingest", "bm_ingest", "cluster_ingest", "takedown_ingest")) {
+      "pq_ingest", "bm_ingest", "cluster_ingest", "takedown_ingest",
+      "mixed_ingest")) {
       val at = j.indexOf("\"" + s + "\"")
       assert(at >= 0, s"no stream bench record for pipeline $s")
       val rec = j.substring(at, math.min(j.length, at + 300))
