@@ -45,6 +45,60 @@ object IndexBench {
     // extrapolates — a probe that reads 64 B/doc signatures instead of
     // the text column wins at 100 TB regardless of local timings
     val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+    // FILE-SCAN bytes, the quantity that actually extrapolates to 100 TB
+    // (verdict r11 item 1, root-caused in r12): task inputMetrics does NOT
+    // count local parquet file reads on this Spark build — a full 5.9 MB
+    // corpus scan reports 3.6 KB (the parquet reader's local-file path
+    // bypasses Hadoop FileSystem statistics), so every bytes row ever
+    // recorded was BLOCK-MANAGER traffic (cache/checkpoint reads) plus a
+    // footer trickle. That made bm25_live read a flat ~140-210 KB across
+    // three decades of sf: its only cached frame is the tiny
+    // postings-bounded tf pivot, while its corpus scan was invisible.
+    // The honest ledger: sum "size of files read" (filesSize — partition-
+    // pruned, DPP-aware) over every FileSourceScanExec executed during the
+    // rep. A live form's file bytes grow with the corpus; a stored probe's
+    // stay index-sized. Block traffic is still recorded separately as the
+    // working-set number.
+    val fileBytes = new java.util.concurrent.atomic.AtomicLong()
+    // cached relations whose buffers were materialized by an EARLIER query
+    // execution: their hidden file scans did not run again, so a later
+    // reader pays block traffic, not file reads — descending into them
+    // would credit a warm memo view (e.g. the delta base's band frame)
+    // with corpus scans it never re-ran. Identity-keyed: a released and
+    // rebuilt transient is a NEW relation object and counts again.
+    val seenRelations = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    def scanBytes(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
+      var sum = 0L
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p.foreach {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            sum += f.metrics.get("filesSize").map(_.value).getOrElse(0L)
+          case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            // first sighting = this execution materialized it (transients
+            // are created per call): count its underlying scans once
+            if (seenRelations.add(im.relation)) walk(im.relation.cachedPlan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case _ => ()
+        }
+        p.subqueries.foreach(walk)
+      }
+      walk(plan)
+      sum
+    }
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        seenRelations.synchronized {
+          fileBytes.addAndGet(scanBytes(qe.executedPlan))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    })
     // task CPU time + shuffle bytes (verdict r11 item 5): wall-clock on 32
     // idle local cores hides recompute cost that CPU time exposes — the
     // shard_dedup_indexed wall inversion needs the CPU ledger to be
@@ -77,6 +131,7 @@ object IndexBench {
     // reps so a steal burst can't masquerade as build cost
     def best(body: => Unit): Double = (1 to reps).map(_ => t(body)).min
     val bytes = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val fbytes = scala.collection.mutable.LinkedHashMap[String, Long]()
     val cpu = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shuffle = scala.collection.mutable.LinkedHashMap[String, Long]()
     // bytes/cpu/shuffle of ONE rep (listener totals are cumulative; divide
@@ -84,11 +139,13 @@ object IndexBench {
     def measured(name: String)(body: => Unit): Double = {
       val secs = best(body)
       graft.functions.TransientCache.release(spark)
-      Thread.sleep(1000) // listener bus is async; settle before/after
+      Thread.sleep(1000) // listener buses are async; settle before/after
       val b0 = bytesRead.get(); val c0 = cpuNs.get(); val s0 = shufBytes.get()
+      val f0 = fileBytes.get()
       body
       Thread.sleep(1000)
       bytes(name) = bytesRead.get() - b0
+      fbytes(name) = fileBytes.get() - f0
       cpu(name) = (cpuNs.get() - c0) / 1e9
       shuffle(name) = shufBytes.get() - s0
       secs
@@ -262,9 +319,11 @@ object IndexBench {
       spark.catalog.clearCache(); DedupOps.invalidateDerived(sfDir)
       Thread.sleep(1000)
       val b0 = bytesRead.get(); val c0 = cpuNs.get(); val s0 = shufBytes.get()
+      val f0 = fileBytes.get()
       body
       Thread.sleep(1000)
       bytes(name) = bytesRead.get() - b0
+      fbytes(name) = fileBytes.get() - f0
       cpu(name) = (cpuNs.get() - c0) / 1e9
       shuffle(name) = shufBytes.get() - s0
     }
@@ -304,7 +363,7 @@ object IndexBench {
       }.mkString("{", ",", "}")
     def fmtL(m: scala.collection.Map[String, Long]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"index_bench","builds":${fmt(builds)},"probes":${fmt(probes)},"probe_input_bytes":${fmtL(bytes)},"probe_cpu_sec":${fmt(cpu)},"probe_shuffle_bytes":${fmtL(shuffle)},"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"index_bench","builds":${fmt(builds)},"probes":${fmt(probes)},"probe_file_bytes":${fmtL(fbytes)},"probe_input_bytes":${fmtL(bytes)},"probe_cpu_sec":${fmt(cpu)},"probe_shuffle_bytes":${fmtL(shuffle)},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
