@@ -25,10 +25,22 @@ private[graft] trait DedupIndexLifecycle { self: DedupShingleCore with DedupClus
     *  - `<table>_bands`: the 4×2 banding keys (doc_id, band, bkey),
     *    bucketed AND sorted by (band, bkey) — an oversized shard probe
     *    sort-merges against it with the exchange on the SHARD side only;
-    *  - `<table>_shingles`: the distinct (doc_id, shingle) exact-verify
-    *    index, bucketed by doc_id;
-    *  - `<table>_counts`: per-doc distinct-shingle counts (derived from
-    *    the STORED shingle table, so count and index cannot disagree).
+    *  - `<table>_shingles`: the distinct (doc_id, shingle HASH) exact-
+    *    verify index, bucketed by doc_id. Hashes (the cross-engine 64-bit
+    *    `mdhash`), NOT raw shingle strings: the r12 file-bytes ledger
+    *    showed the string layout weighing ~3× the corpus text itself
+    *    (~25 B/shingle vs 8 B), so a probe that scanned it read more file
+    *    bytes than the live form — the wrong trade at any scale. The
+    *    verify join on 8-byte longs also shuffles ~3× less and compares
+    *    integers instead of strings. Jaccard over hashed shingles equals
+    *    Jaccard over raw strings absent 64-bit collisions (~10⁻¹⁵ per doc
+    *    at these shingle counts — the standard trade every production
+    *    shingle index makes); the DuckDB oracle keeps verifying over RAW
+    *    strings, so the hash-exact gate empirically proves the equality
+    *    on every corpus it runs — a collision would fail loudly, never
+    *    skew silently;
+    *  - `<table>_counts`: per-doc distinct-shingle-hash counts (derived
+    *    from the STORED table, so count and index cannot disagree).
     *
     * The corpus tokenizer pass happens HERE, once, at index-build time —
     * at probe time corpus text does not exist in the plan at all.
@@ -80,15 +92,18 @@ private[graft] trait DedupIndexLifecycle { self: DedupShingleCore with DedupClus
       val fp = corpusFingerprint(spark, dir)
       val complete = Seq("_bands", "_shingles", "_counts", "_meta")
         .forall(sfx => spark.catalog.tableExists(s"$table$sfx"))
+      // layout 2 = hashed-shingle verify table (r12); a 3-column meta is a
+      // pre-hash string layout and must rebuild, not be probed with h
       val fresh = complete && {
         val m = spark.table(s"${table}_meta").head()
-        m.length == 3 && (m.getLong(0), m.getLong(1), m.getLong(2)) == fp
+        m.length == 4 && (m.getLong(0), m.getLong(1), m.getLong(2)) == fp &&
+          m.getLong(3) == 2L
       }
       if (!fresh) {
         invalidateDerived(dir) // plan/count memos + cluster views are stale too
         writeMinhashIndex(spark, dir, table)
         import spark.implicits._
-        Seq(fp).toDF("n_rows", "max_doc_id", "file_sig")
+        Seq((fp._1, fp._2, fp._3, 2L)).toDF("n_rows", "max_doc_id", "file_sig", "layout")
           .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
       }
     }
@@ -197,11 +212,19 @@ private[graft] trait DedupIndexLifecycle { self: DedupShingleCore with DedupClus
     clearIndexLayout(spark, table)
     val ex = explodedShingles(spark, dir, docFilter, distinctShingles = false)
       .withColumn("h", mdhash(col("s")))
+    // repartition ONTO the bucket key before the bucketed write: without
+    // it every shuffle partition writes a sliver into every bucket
+    // (buckets × partitions files — 256 tiny files at 16×16), and the
+    // per-file dictionary/footer overhead dominated the layout's size
+    // (the r12 file-bytes ledger caught this too). One exchange at build
+    // time buys one file per bucket and full-size row groups.
     bandKeys(signaturesFrom(ex))
+      .repartition(buckets, col("band"), col("bkey"))
       .write.mode("overwrite")
       .bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
       .format("parquet").saveAsTable(s"${table}_bands")
-    ex.select(col("doc_id"), col("s")).distinct()
+    ex.select(col("doc_id"), col("h")).distinct()
+      .repartition(buckets, col("doc_id"))
       .write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(s"${table}_shingles")
@@ -310,7 +333,7 @@ private[graft] trait DedupIndexLifecycle { self: DedupShingleCore with DedupClus
       else corpusIds
     val exCorpus = gen("_shingles")
       .join(prunedCorpusIds, Seq("doc_id"), "left_semi")
-    val exShard = ex.select(col("doc_id"), col("s")).distinct()
+    val exShard = ex.select(col("doc_id"), col("h")).distinct()
     // aggregated, NOT distinct-unioned: a replayed shard doc contributes a
     // (doc_id, n_sh) row from both the live side and the stored side — when
     // they agree the max collapses them exactly like distinct did, and if
@@ -325,7 +348,7 @@ private[graft] trait DedupIndexLifecycle { self: DedupShingleCore with DedupClus
     val inter = cand
       .join(exShard.as("a"), col("shard_id") === col("a.doc_id"))
       .join(exCorpus.as("b"),
-        col("corpus_id") === col("b.doc_id") && col("a.s") === col("b.s"))
+        col("corpus_id") === col("b.doc_id") && col("a.h") === col("b.h"))
       .groupBy("shard_id", "corpus_id")
       .agg(count(lit(1)).as("n_inter"))
     admissionVerdicts(
@@ -350,10 +373,12 @@ private[graft] trait DedupIndexLifecycle { self: DedupShingleCore with DedupClus
       tombs.fold(u)(t => u.join(broadcast(t.select(col("doc_id"))),
         Seq("doc_id"), "left_anti"))
     }
-    merge("_bands").write.mode("overwrite")
+    merge("_bands").repartition(buckets, col("band"), col("bkey"))
+      .write.mode("overwrite")
       .bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
       .format("parquet").saveAsTable(s"${outTable}_bands")
-    merge("_shingles").write.mode("overwrite")
+    merge("_shingles").repartition(buckets, col("doc_id"))
+      .write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(s"${outTable}_shingles")
     merge("_counts").write.mode("overwrite")
