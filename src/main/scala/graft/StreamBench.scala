@@ -280,6 +280,39 @@ object StreamBench {
       val converged = maintained.isDefined &&
         maintained.get.except(batch).isEmpty && batch.except(maintained.get).isEmpty
       record("mixed_ingest", nRows, secs, converged)
+
+      // ── 8b. COMPACT mid-stream, then resume on the SAME checkpoint ──
+      // (verdict r12 item 1 done-criteria): the fold must not change the
+      // served view (tombstones drop, duplicate edges collapse), and the
+      // resumed stream must keep converging — now with the documented
+      // reset semantics. The resume wave re-feeds exactly the edges the
+      // tombstones had suppressed (pairs \ livePairs), so the maintained
+      // view must land on the FULL closure componentsOver(pairs): live
+      // edges ∪ re-admitted edges = every candidate pair.
+      val pre = maintained.get.localCheckpoint()
+      graft.streaming.MixedIngest.compact(spark, "streambench_mx")
+      val (post, edgesC, tombsC) =
+        graft.streaming.MixedIngest.currentState(spark, "streambench_mx").get
+      val folded = tombsC.isEmpty &&
+        edgesC.count() == edgesC.distinct().count() &&
+        post.except(pre).isEmpty && pre.except(post).isEmpty
+      val reAdd = pairs.except(livePairs)
+        .withColumn("op", lit("add")).select("op", "id1", "id2")
+      // APPEND into the same feed dir and resume on the SAME checkpoint —
+      // the file source picks up only the new chunks and batch ids
+      // continue past the stamp/ordering guards, exactly like a restarted
+      // production feed
+      reAdd.repartitionByRange(32, col("id1"))
+        .write.mode("append").parquet(s"$work/mx-feed")
+      val nRows2 = spark.read.parquet(s"$work/mx-feed").count() - nRows
+      val secs2 = drain(graft.streaming.MixedIngest.start(
+        fileStream(s"$work/mx-feed", feed.schema),
+        "streambench_mx", s"$work/ckpt-mx"))
+      val resumed = graft.streaming.MixedIngest.current(spark, "streambench_mx")
+      val full = graft.functions.DedupOps.componentsOver(pairs)
+      val converged2 = folded && resumed.isDefined &&
+        resumed.get.except(full).isEmpty && full.except(resumed.get).isEmpty
+      record("mixed_compact_resume", nRows2, secs2, converged2)
     }
 
     val streams = out.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -9,28 +9,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the old pattern ran the full LSH edge materialization + fixpoint while
   * holding the shared cache monitor).
   *
-  * Eviction discipline: `release` runs against computed values only; a
-  * cell evicted MID-compute releases itself on completion instead of
-  * leaking its pinned storage (the value is still returned to the caller
-  * that computed it — unpersist only unpins, it never invalidates).
+  * Eviction discipline (ADVICE r12): `evict()` NEVER blocks — it flags the
+  * cell and releases only an already-published value lock-free, so an
+  * eviction triggered from inside the map monitor (removeEldestEntry)
+  * cannot stall other keys' readers behind this key's in-flight build, and
+  * the only lock order anywhere is map → cell (a memo body that re-enters
+  * a memo cannot deadlock on a cell it doesn't own). A cell evicted
+  * MID-compute is released by `force` on completion instead of leaking its
+  * pinned storage (the value is still returned to the caller that computed
+  * it — unpersist only unpins, it never invalidates). `release` fires at
+  * most ONCE per value (CAS-guarded), so it need not be idempotent.
   */
 private[graft] final class LazyCell[A](body: () => A, release: A => Unit) {
   @volatile private[this] var evicted = false
-  private[this] var value: Option[A] = None
+  // published OUTSIDE the cell monitor so evict() can read it lock-free;
+  // the monitor only serializes the compute itself
+  private[this] val computed =
+    new java.util.concurrent.atomic.AtomicReference[Option[A]](None)
+  private[this] val released =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
   def force: A = {
     val a = synchronized {
-      value match {
+      computed.get() match {
         case Some(v) => v
-        case None => val v = body(); value = Some(v); v
+        case None => val v = body(); computed.set(Some(v)); v
       }
     }
-    if (evicted) release(a)
+    // Dekker pairing with evict(): force publishes `computed` then reads
+    // `evicted`; evict() writes `evicted` then reads `computed` — both are
+    // volatile/atomic, so at least one side observes the other and the
+    // CAS in releaseOnce collapses the overlap to a single release.
+    if (evicted) releaseOnce(a)
     a
   }
   def evict(): Unit = {
     evicted = true
-    synchronized(value).foreach(release)
+    computed.get().foreach(releaseOnce)
   }
+  private def releaseOnce(a: A): Unit =
+    if (released.compareAndSet(false, true)) release(a)
 }
 
 /** Bounded insertion-ordered memo (the shared discipline of the cluster /
@@ -38,7 +55,11 @@ private[graft] final class LazyCell[A](body: () => A, release: A => Unit) {
   * and invalidation release a value's pinned storage via `release`.
   * Lock order is map → cell only (get-or-create under the map monitor,
   * compute under the cell monitor), so builders and readers of different
-  * keys never contend.
+  * keys never contend — and because [[LazyCell.evict]] is non-blocking,
+  * the map-monitor critical sections (insert-with-eviction, invalidate)
+  * never wait on any cell monitor either (ADVICE r12: the old evict
+  * blocked on an in-flight build, stalling every other key's getOrBuild
+  * behind it whenever an insert overflowed `max`).
   */
 private[graft] final class BoundedMemo[K, A](max: Int, release: A => Unit) {
   private val map = new java.util.LinkedHashMap[K, LazyCell[A]]() {
@@ -96,8 +117,16 @@ object TransientCache {
   }
 
   /** Unpersist every transient pinned since the last release (non-blocking:
-    * block cleanup proceeds async). Safe to call with queries in flight —
-    * an unpersisted-but-still-referenced frame recomputes, it never breaks.
+    * block cleanup proceeds async). Contract (ADVICE r12): call this only
+    * AFTER the consuming query of every registered frame has fully
+    * executed. An unpersisted-but-still-referenced frame silently
+    * recomputes, and recompute is NOT always semantics-preserving — a
+    * nondeterministic subtree (repartitionByRange resamples boundaries per
+    * job, shuffles resend in a different order under `spark_partition_id`
+    * or `monotonically_increasing_id`) can recompute to a DIFFERENT value
+    * mid-query and corrupt results. Correctness-load-bearing
+    * nondeterministic pins must not be transients at all — materialize
+    * them with `localCheckpoint()` instead (see `Olap.qCustomerDeciles`).
     */
   def release(spark: SparkSession): Unit = {
     val q = live.remove(spark)

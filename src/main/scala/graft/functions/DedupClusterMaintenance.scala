@@ -369,7 +369,11 @@ private[graft] trait DedupClusterMaintenance { self: DedupShingleCore =>
         .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
         .distinct()
         .localCheckpoint()
-      val v = (bb, componentsOver(baseEdges), baseEdges)
+      // the assignment checkpoint keeps steady-state delta reads from
+      // re-running the corpus-wide cluster_size window per read (the
+      // discipline the header comment promises — ADVICE r12 caught the
+      // semantic twin of this memo dropping it)
+      val v = (bb, componentsOver(baseEdges).localCheckpoint(), baseEdges)
       // componentsOver is eager, so bb's cache is populated by now and
       // the signature frame has served its 4-band fan-out — release it
       // rather than pinning a corpus-sized relation for the session

@@ -911,7 +911,11 @@ object SimilarityOps {
             .cast("decimal(12,8)") >= minCosine)
           .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
           .localCheckpoint()
-        (DedupOps.componentsOver(bp), bp)
+        // checkpoint the converged assignment too (ADVICE r12): without it
+        // every steady-state delta/mixed read re-runs the corpus-wide
+        // cluster_size window over the checkpointed labels — the memo's
+        // stated purpose is that those reads pay only shard-side work
+        (DedupOps.componentsOver(bp).localCheckpoint(), bp)
       }
     val dv = assigned.filter(isDelta)
     val cross = dv.as("x").join(base.as("y"), col("x.cell") === col("y.cell"))

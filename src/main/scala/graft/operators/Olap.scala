@@ -625,12 +625,18 @@ object Olap {
     val spend = ord.groupBy("o_custkey")
       .agg(sum(dec("o_totalprice")).as("spend_dec"))
     val parts = spark.sparkContext.defaultParallelism
-    // persist: the counts job and the main query MUST see the same range
-    // boundaries (the range sampler reseeds per job — unpinned, the offset
-    // map could describe a different partitioning than the one ranked)
-    val ranged = graft.functions.TransientCache(spend
+    // materialize: the counts job and the main query MUST see the same
+    // range boundaries (the range sampler reseeds per job — unpinned, the
+    // offset map could describe a different partitioning than the one
+    // ranked). localCheckpoint, NOT a transient cache: a cached frame can
+    // be unpersisted-and-recomputed, and recompute of this subtree is not
+    // semantics-preserving (ADVICE r12) — a checkpoint leaf cannot
+    // recompute, so the pid/offset pairing is immutable for the frame's
+    // lifetime; blocks reclaim when the reference drops
+    val ranged = spend
       .repartitionByRange(parts, col("spend_dec").desc, col("o_custkey"))
-      .withColumn("pid", spark_partition_id()))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val local = ranged.withColumn("lrn", row_number().over(
       Window.partitionBy("pid").orderBy(col("spend_dec").desc, col("o_custkey"))))
     // P rows of (pid, count): metadata, not data — same category as the

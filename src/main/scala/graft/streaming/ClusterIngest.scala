@@ -99,8 +99,29 @@ object ClusterIngest {
           "— a fresh checkpoint over an existing view would silently " +
           "replace the maintained assignment; use a new prefix or delete " +
           "the old view explicitly")
+    // stamp BEFORE the first version commit, with create-if-absent
+    // semantics (ADVICE r12 reversed r11's stamp-after ordering: a crash
+    // between the v0 commit and a trailing stamp write leaves a committed
+    // version with NO stamp, and a later batch 0 from a FRESH checkpoint
+    // then passes both guards and silently overwrites the maintained v0 —
+    // the exact torn pairing the stamp exists to refuse). Stamp-first has
+    // no such window: a stale stamp from a failed first batch is harmless
+    // (the same identity retries; a DIFFERENT identity is refused, which
+    // is the documented "delete the old view explicitly" semantics). Two
+    // concurrent first deliveries race on the metastore's atomic CREATE
+    // TABLE — the loser re-reads the winner's stamp and must match it or
+    // fail loudly before writing anything.
     if (spark.catalog.tableExists(stampTable))
       requireStamp(spark.table(stampTable).head().getString(0))
+    else {
+      import spark.implicits._
+      try Seq(declared).toDF("checkpoint").write
+        .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .format("parquet").saveAsTable(stampTable)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        requireStamp(spark.table(stampTable).head().getString(0))
+      }
+    }
     val edges = batch.select(col("id1"), col("id2")).distinct()
     val merged = latestBefore(spark, prefix, batchId) match {
       case Some(base) => DedupOps.componentsDelta(base, edges)
@@ -110,21 +131,6 @@ object ClusterIngest {
     merged.write.mode("overwrite").format("parquet").saveAsTable(table)
     spark.table(table).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
-    // stamp AFTER the first successful commit, with create-if-absent
-    // semantics (ADVICE r11): a failed first batch leaves no stamp behind,
-    // and two concurrent first deliveries race on the metastore's atomic
-    // CREATE TABLE — the loser re-reads the winner's stamp and must match
-    // it or fail loudly (its version table is then orphaned, never served,
-    // and overwritten by the winner's replay if ids collide).
-    if (!spark.catalog.tableExists(stampTable)) {
-      import spark.implicits._
-      try Seq(declared).toDF("checkpoint").write
-        .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
-        .format("parquet").saveAsTable(stampTable)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        requireStamp(spark.table(stampTable).head().getString(0))
-      }
-    }
     gc(spark, prefix)
   }
 

@@ -22,8 +22,7 @@ import graft.functions.DedupOps
   *  1. tombstones accumulate: `tombs_B = tombs_base ∪ batch deletes`
   *     (TOMBSTONE WINS over re-admission, the [[TakedownIngest]] reading
   *     of a deletion notice: an edge arriving AFTER its endpoint's
-  *     takedown stays suppressed until an explicit compaction drops the
-  *     tombstone);
+  *     takedown stays suppressed until [[compact]] drops the tombstone);
   *  2. arriving edges are filtered against the accumulated tombstones
   *     (both endpoints must be live) and merged into the assignment via
   *     [[graft.functions.DedupOps.componentsDelta]] — delta-sized
@@ -34,24 +33,63 @@ import graft.functions.DedupOps
   *     never a re-derivation of candidates.
   *
   * The maintained state is three tables per version: the assignment
-  * (`_v<B>`), the live edge set (`_e<B>` — edges among live docs only;
+  * (`_v<v>`), the live edge set (`_e<v>` — edges among live docs only;
   * duplicate edges across batches are tolerated, they cannot change a
-  * closure and are folded out at compaction rather than paying a
+  * closure and are folded out by [[compact]] rather than paying a
   * corpus-sized distinct per batch), and the accumulated tombstones
-  * (`_d<B>`). Versioned-table discipline is [[ClusterIngest]]'s: batch B
-  * merges against the newest committed version STRICTLY below B, writes
-  * its own versions with overwrite (idempotent replay), marks the version
-  * committed with a `_meta` twin written LAST, and GC keeps the newest
-  * two. The checkpoint-stamp guard also mirrors [[ClusterIngest]]: every
-  * delivery carries an identity (checkpoint location, or the synthetic
-  * direct identity), stamped create-if-absent after the first commit.
+  * (`_d<v>`). Both growth paths are BOUNDED by [[compact]] (verdict r12
+  * item 1): the per-batch tombstone anti-joins stop broadcasting past
+  * [[tombBroadcastLimit]] rows (a shuffle anti-join takes over — the
+  * arriving-edge side is delta-sized, so the shuffle is cheap), and
+  * compaction folds the accumulated history back to a minimal version.
+  *
+  * Versioned-table discipline extends [[ClusterIngest]]'s: version numbers
+  * are a MONOTONE COUNTER decoupled from batch ids (so a compaction can
+  * commit a version of its own without colliding with the stream's next
+  * batch id), and each version's `_meta` twin — written LAST, the commit
+  * marker — records `upto`, the highest batch id the version incorporates.
+  * Batch B merges against the newest committed version with `upto < B`
+  * (replays of B therefore rebuild from exactly the state the original
+  * delivery used), writes fresh tables (never overwriting a committed
+  * version in place), and GC keeps the newest version of each of the two
+  * newest distinct `upto` marks — the replay base always survives. The
+  * checkpoint-stamp guard mirrors [[ClusterIngest]]: every delivery
+  * carries an identity (checkpoint location, or the synthetic direct
+  * identity), stamped create-if-absent BEFORE the first commit (ADVICE
+  * r12: a trailing stamp left a crash window in which a committed v0 had
+  * no stamp and a fresh checkpoint could silently overwrite it).
   *
   * Equivalence guarantee (`MixedIngestSpec`): after draining ANY
   * interleaving, [[current]] is bit-identical to
   * `componentsOver(all added edges with both endpoints never deleted)` —
-  * the batch closure over (base ∪ adds) ∖ deletes.
+  * the batch closure over (base ∪ adds) ∖ deletes. After [[compact]], the
+  * closure's delete set resets: compaction drops the tombstones, so a
+  * previously-deleted id CAN re-enter via a later add (the documented
+  * semantics boundary — a takedown is permanent only against edges that
+  * arrive before the next compaction).
   */
 object MixedIngest {
+
+  /** Tombstone-set row count above which the per-batch anti-joins stop
+    * broadcasting and fall back to a shuffle anti-join (verdict r12: the
+    * cumulative set would otherwise grow toward the broadcast/driver
+    * ceiling on a long feed). At the default, the broadcast is ≤ ~32 MB of
+    * longs. Overridable for tests via `-Dgraft.mixed.tombBroadcastLimit`.
+    */
+  private[graft] def tombBroadcastLimit: Long =
+    sys.props.get("graft.mixed.tombBroadcastLimit").map(_.toLong)
+      .getOrElse(4000000L)
+
+  /** Test-only failpoint: when set to "assign" | "edges" | "tombs", the
+    * merge throws immediately AFTER that state table lands — simulating a
+    * crash inside the commit window, before the `_meta` marker. The torn
+    * version must stay invisible and a replay must converge
+    * (`MixedIngestSpec`, the [[graft.SnapshotCrashSpec]] discipline).
+    */
+  @volatile private[graft] var crashAfter: Option[String] = None
+  private def maybeCrash(step: String): Unit =
+    if (crashAfter.contains(step))
+      throw new IllegalStateException(s"injected crash after $step write")
 
   /** Attach the mixed maintenance sink to a stream of (op, id1, id2). */
   def start(feed: DataFrame, prefix: String, checkpoint: String,
@@ -65,6 +103,18 @@ object MixedIngest {
       }
       .start()
 
+  /** Anti-join `df` against the tombstone ids on `idCol` — broadcast only
+    * while the set is provably small; past [[tombBroadcastLimit]] the plan
+    * degrades gracefully to a shuffle anti-join (the `df` side is
+    * delta-sized in every caller, so the shuffle is batch-cheap).
+    */
+  private def antiTombs(df: DataFrame, tombs: DataFrame, tombCount: Long,
+                        idCol: String): DataFrame = {
+    val t = tombs.select(col("doc_id").as(idCol))
+    val side = if (tombCount <= tombBroadcastLimit) broadcast(t) else t
+    df.join(side, Seq(idCol), "left_anti")
+  }
+
   /** One micro-batch of interleaved adds/deletes → one (assignment, edges,
     * tombstones) version. Exposed for the spec to replay deliveries.
     */
@@ -72,12 +122,13 @@ object MixedIngest {
                  ckpt: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val p = prefix.toLowerCase(java.util.Locale.ROOT)
-    committedVersions(spark, prefix).lastOption.foreach { case (maxV, _) =>
-      require(batchId >= maxV,
+    val versions = committedVersions(spark, prefix)
+    versions.lastOption.foreach { case (_, upto, _) =>
+      require(batchId >= upto,
         s"MixedIngest.mergeBatch: batch $batchId for prefix '$prefix' is " +
-          s"below the newest committed version $maxV — the checkpoint does " +
-          "not belong to this prefix (fresh checkpoint over an existing " +
-          "view?); refusing to corrupt the maintained assignment")
+          s"below the newest incorporated batch $upto — the checkpoint " +
+          "does not belong to this prefix (fresh checkpoint over an " +
+          "existing view?); refusing to corrupt the maintained assignment")
     }
     val stampTable = s"${p}_ckptstamp"
     val declared = ckpt.getOrElse(s"direct:$p")
@@ -88,8 +139,21 @@ object MixedIngest {
           "— a fresh checkpoint over an existing view would silently " +
           "replace the maintained assignment; use a new prefix or delete " +
           "the old view explicitly")
+    // stamp BEFORE the first commit (ADVICE r12): stamp-first has no
+    // torn-pairing window — a stale stamp from a failed first batch is
+    // harmless (the same identity retries), and the metastore's atomic
+    // CREATE TABLE breaks ties between concurrent first deliveries
     if (spark.catalog.tableExists(stampTable))
       requireStamp(spark.table(stampTable).head().getString(0))
+    else {
+      import spark.implicits._
+      try Seq(declared).toDF("checkpoint").write
+        .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .format("parquet").saveAsTable(stampTable)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        requireStamp(spark.table(stampTable).head().getString(0))
+      }
+    }
 
     // the batch is micro-batch-sized by contract and read several times
     // below (split, tombstone union, edge filter) — truncate its lineage
@@ -100,22 +164,25 @@ object MixedIngest {
     val dels = b.filter(col("op") === "del")
       .select(col("id1").as("doc_id")).na.drop().distinct()
 
-    val base = latestBefore(spark, prefix, batchId)
-    // 1. accumulated tombstones — delta-sized union, materialized eagerly
-    // because adds-filtering, the delete recompute, and the version write
-    // all read it
+    val base = versions.filter(_._2 < batchId).lastOption
+      .map { case (v, _, t) =>
+        (spark.table(t), spark.table(s"${p}_e$v"), spark.table(s"${p}_d$v"))
+      }
+    // 1. accumulated tombstones — materialized eagerly because
+    // adds-filtering, the delete recompute, and the version write all read
+    // it; the checkpoint also makes the size probe below a free count
     val tombsAll = base.map { case (_, _, t) => t.unionByName(dels).distinct() }
       .getOrElse(dels).localCheckpoint()
+    val tombCount = tombsAll.count()
     // 2. live arriving edges: both endpoints must be outside the
     // accumulated tombstone set — an edge to a previously- (or
     // concurrently-) deleted doc never enters the view (tombstone wins).
-    // Two broadcast anti-joins against the tombstone ids: the arriving
-    // edges stream, nothing corpus-sized shuffles.
-    val liveAdds = adds
-      .join(broadcast(tombsAll.select(col("doc_id").as("id1"))),
-        Seq("id1"), "left_anti")
-      .join(broadcast(tombsAll.select(col("doc_id").as("id2"))),
-        Seq("id2"), "left_anti")
+    // Two size-guarded anti-joins: the arriving edges stream, nothing
+    // corpus-sized shuffles, and the tombstone side is broadcast only
+    // below the limit.
+    val liveAdds =
+      antiTombs(antiTombs(adds, tombsAll, tombCount, "id1"),
+        tombsAll, tombCount, "id2")
       .select(col("id1"), col("id2"))
     // 3. merge the adds (delta-sized label-graph fixpoint); first batch
     // over an empty prefix runs the plain fixpoint over its own edges
@@ -125,8 +192,10 @@ object MixedIngest {
     }
     // the live edge set this version persists: base edges (already free of
     // older tombstones) plus this batch's live adds, minus edges incident
-    // to THIS batch's deletes — one broadcast anti-join per endpoint,
-    // linear in the edge table (at scale: a doc-bucketed pruned rewrite)
+    // to THIS batch's deletes — dels is batch-sized by construction, so
+    // its broadcast never grows; duplicate edges across batches are left
+    // for [[compact]]'s distinct rather than paying a corpus-sized
+    // shuffle per batch
     val edgesUnion = base.map { case (_, e, _) => e.unionByName(liveAdds) }
       .getOrElse(liveAdds)
     val edgesLive = edgesUnion
@@ -144,29 +213,75 @@ object MixedIngest {
         .join(m, col("id2") === col("mid"), "left_semi")
     })
 
-    val vTable = s"${p}_v$batchId"
-    finalAssign.write.mode("overwrite").format("parquet").saveAsTable(vTable)
-    edgesLive.write.mode("overwrite").format("parquet").saveAsTable(s"${p}_e$batchId")
-    tombsAll.write.mode("overwrite").format("parquet").saveAsTable(s"${p}_d$batchId")
-    // commit marker LAST — a crash leaves all three torn tables invisible
-    spark.table(vTable).agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${vTable}_meta")
-    if (!spark.catalog.tableExists(stampTable)) {
-      import spark.implicits._
-      try Seq(declared).toDF("checkpoint").write
-        .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
-        .format("parquet").saveAsTable(stampTable)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        requireStamp(spark.table(stampTable).head().getString(0))
-      }
-    }
+    val v = versions.lastOption.map(_._1 + 1).getOrElse(0L)
+    commitVersion(spark, p, v, upto = batchId,
+      assign = finalAssign, edges = edgesLive, tombs = tombsAll)
     gc(spark, prefix)
   }
 
-  /** Committed versions under `prefix`, oldest first — a version counts
-    * only when its `_meta` twin exists AND all three state tables landed.
+  /** Write one (assignment, edges, tombstones) version with the `_meta`
+    * commit marker LAST — a crash at any earlier point leaves all three
+    * torn tables invisible to [[committedVersions]].
     */
-  def committedVersions(spark: SparkSession, prefix: String): Seq[(Long, String)] = {
+  private def commitVersion(spark: SparkSession, p: String, v: Long,
+      upto: Long, assign: DataFrame, edges: DataFrame,
+      tombs: DataFrame): Unit = {
+    val vTable = s"${p}_v$v"
+    assign.write.mode("overwrite").format("parquet").saveAsTable(vTable)
+    maybeCrash("assign")
+    edges.write.mode("overwrite").format("parquet").saveAsTable(s"${p}_e$v")
+    maybeCrash("edges")
+    tombs.write.mode("overwrite").format("parquet").saveAsTable(s"${p}_d$v")
+    maybeCrash("tombs")
+    spark.table(vTable)
+      .agg(count(lit(1)).as("n")).withColumn("upto", lit(upto))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${vTable}_meta")
+  }
+
+  /** Fold the accumulated mixed state down to its minimum (verdict r12
+    * item 1 — the promise the per-batch path defers to): duplicate edges
+    * from the per-batch union-without-distinct collapse, any
+    * tombstone-incident edge is dropped permanently, and the tombstone
+    * table is reset to EMPTY — after which a previously-deleted id can
+    * re-enter the view via a later add (the documented semantics boundary:
+    * a takedown suppresses re-admission only until the next compaction).
+    * The assignment passes through untouched — deletes were already
+    * applied to it batch-by-batch.
+    *
+    * Commits a fresh version (same `upto` as the state it compacts, next
+    * counter number) under the standard marker-last protocol: a torn
+    * compaction is invisible and the uncompacted version keeps serving.
+    * Run against a QUIESCED stream (e.g. between AvailableNow drains,
+    * after `awaitTermination`): a replay delivered concurrently with — or
+    * after a crash racing — a compaction rebuilds from the pre-compaction
+    * base, which is correct but silently discards the compaction's work.
+    */
+  def compact(spark: SparkSession, prefix: String): Unit = {
+    val p = prefix.toLowerCase(java.util.Locale.ROOT)
+    committedVersions(spark, prefix).lastOption.foreach { case (v, upto, t) =>
+      val tombs = spark.table(s"${p}_d$v").localCheckpoint()
+      val tombCount = tombs.count()
+      // belt-and-braces: the per-batch writes maintain "edges among live
+      // docs only", so the anti-joins should drop nothing — but compaction
+      // is the one place the fold is CHEAP (one pass over the edge table),
+      // so re-assert the invariant rather than assuming it
+      val edges =
+        antiTombs(antiTombs(spark.table(s"${p}_e$v"), tombs, tombCount, "id1"),
+          tombs, tombCount, "id2")
+        .select(col("id1"), col("id2")).distinct()
+      commitVersion(spark, p, v + 1, upto,
+        assign = spark.table(t), edges = edges, tombs = tombs.limit(0))
+      gc(spark, prefix)
+    }
+  }
+
+  /** Committed versions under `prefix` as (version, upto, table), oldest
+    * first — a version counts only when its `_meta` twin exists AND all
+    * three state tables landed. `upto` is the highest batch id the version
+    * incorporates (compaction versions repeat their predecessor's).
+    */
+  def committedVersions(spark: SparkSession,
+      prefix: String): Seq[(Long, Long, String)] = {
     val p = prefix.toLowerCase(java.util.Locale.ROOT)
     val re = (java.util.regex.Pattern.quote(p) + "_v(\\d+)").r
     spark.catalog.listTables().collect().toSeq
@@ -178,17 +293,14 @@ object MixedIngest {
           spark.catalog.tableExists(s"${p}_e$n") &&
           spark.catalog.tableExists(s"${p}_d$n")
       }
-  }
-
-  /** The newest committed (assignment, edges, tombstones) strictly below
-    * `batchId` — the state a (re)delivery of `batchId` builds on.
-    */
-  private def latestBefore(spark: SparkSession, prefix: String,
-      batchId: Long): Option[(DataFrame, DataFrame, DataFrame)] = {
-    val p = prefix.toLowerCase(java.util.Locale.ROOT)
-    committedVersions(spark, prefix).filter(_._1 < batchId).lastOption
       .map { case (n, t) =>
-        (spark.table(t), spark.table(s"${p}_e$n"), spark.table(s"${p}_d$n"))
+        // pre-counter metas (no `upto` column) carried the batch id AS the
+        // version number — read them under that equivalence
+        val meta = spark.table(s"${t}_meta")
+        val upto =
+          if (meta.columns.contains("upto")) meta.head().getAs[Long]("upto")
+          else n
+        (n, upto, t)
       }
   }
 
@@ -197,7 +309,7 @@ object MixedIngest {
     */
   def current(spark: SparkSession, prefix: String): Option[DataFrame] =
     committedVersions(spark, prefix).lastOption
-      .map { case (_, t) => spark.table(t) }
+      .map { case (_, _, t) => spark.table(t) }
 
   /** The maintained live edge set and accumulated tombstones of the newest
     * committed version (exposed for specs and compaction).
@@ -205,16 +317,27 @@ object MixedIngest {
   def currentState(spark: SparkSession,
       prefix: String): Option[(DataFrame, DataFrame, DataFrame)] = {
     val p = prefix.toLowerCase(java.util.Locale.ROOT)
-    committedVersions(spark, prefix).lastOption.map { case (n, t) =>
-      (spark.table(t), spark.table(s"${p}_e$n"), spark.table(s"${p}_d$n"))
+    committedVersions(spark, prefix).lastOption.map { case (v, _, t) =>
+      (spark.table(t), spark.table(s"${p}_e$v"), spark.table(s"${p}_d$v"))
     }
   }
 
+  /** Keep the newest version of each of the two newest distinct `upto`
+    * marks: the newest version serves reads, and the newest version of the
+    * PREVIOUS batch mark is exactly what a replay of the newest batch
+    * rebuilds from. Older versions — and superseded same-`upto` versions
+    * (replay duplicates, pre-compaction state) — drop.
+    */
   private def gc(spark: SparkSession, prefix: String): Unit = {
     val p = prefix.toLowerCase(java.util.Locale.ROOT)
-    committedVersions(spark, prefix).dropRight(2).foreach { case (n, t) =>
-      Seq(s"${t}_meta", t, s"${p}_e$n", s"${p}_d$n")
-        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    val versions = committedVersions(spark, prefix)
+    val keepUptos = versions.map(_._2).distinct.sorted.takeRight(2).toSet
+    val newestPerUpto = versions.groupBy(_._2).values
+      .map(_.map(_._1).max).toSet
+    versions.foreach { case (v, u, t) =>
+      if (!keepUptos.contains(u) || !newestPerUpto.contains(v))
+        Seq(s"${t}_meta", t, s"${p}_e$v", s"${p}_d$v")
+          .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
     }
   }
 }

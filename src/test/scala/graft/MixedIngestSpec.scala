@@ -181,27 +181,135 @@ class MixedIngestSpec extends SparkSpec {
     assert(rows(MixedIngest.current(spark, prefix).get) == expectAll)
     val vers = MixedIngest.committedVersions(spark, prefix)
     assert(vers.size == 2, s"GC should keep 2 versions, found $vers")
-    val (newestId, newestTable) = vers.last
-    // REPLAY of the newest committed batch — same checkpoint identity
-    MixedIngest.mergeBatch(feedDf(w2, dels), prefix, newestId,
+    val (_, newestUpto, _) = vers.last
+    // REPLAY of the newest committed batch — same checkpoint identity;
+    // rebuilds from the pre-batch state into a FRESH version (committed
+    // versions are never overwritten in place), and GC folds the
+    // superseded same-batch version
+    MixedIngest.mergeBatch(feedDf(w2, dels), prefix, newestUpto,
       ckpt = Some(ckpt))
-    assert(rows(spark.table(newestTable)) == expectAll,
+    assert(rows(MixedIngest.current(spark, prefix).get) == expectAll,
       "replayed mixed batch corrupted the assignment")
-    // TORN version: missing meta ⇒ invisible; replay completes it
-    spark.sql(s"DROP TABLE IF EXISTS ${newestTable}_meta")
-    assert(MixedIngest.committedVersions(spark, prefix).size == 1,
-      "torn version still counted as committed")
-    MixedIngest.mergeBatch(feedDf(w2, dels), prefix, newestId,
+    val replayed = MixedIngest.committedVersions(spark, prefix)
+    assert(replayed.size == 2 && replayed.map(_._2) == vers.map(_._2) &&
+      replayed.last._1 > vers.last._1,
+      s"replay should supersede the same-batch version: $vers -> $replayed")
+    // TORN version: an injected crash between the state-table writes and
+    // the _meta commit marker must leave the torn version invisible and a
+    // replay of the same batch must converge (the foreachBatch recovery
+    // contract — the exact window verdict r12 stretch item 8 names)
+    MixedIngest.crashAfter = Some("tombs")
+    try intercept[IllegalStateException] {
+      MixedIngest.mergeBatch(feedDf(w2, dels), prefix, newestUpto,
+        ckpt = Some(ckpt))
+    } finally MixedIngest.crashAfter = None
+    assert(MixedIngest.committedVersions(spark, prefix) == replayed,
+      "torn version (crash before the _meta marker) counted as committed")
+    assert(rows(MixedIngest.current(spark, prefix).get) == expectAll,
+      "torn write corrupted the served view")
+    MixedIngest.mergeBatch(feedDf(w2, dels), prefix, newestUpto,
       ckpt = Some(ckpt))
     assert(rows(MixedIngest.current(spark, prefix).get) == expectAll,
       "replay after torn write did not converge")
     // stamp guard: a delivery from a different checkpoint is refused even
     // when the batch ordering allows it
     val e = intercept[IllegalArgumentException] {
-      MixedIngest.mergeBatch(feedDf(w2, dels), prefix, newestId + 1,
+      MixedIngest.mergeBatch(feedDf(w2, dels), prefix, newestUpto + 1,
         ckpt = Some("/tmp/some-other-checkpoint"))
     }
     assert(e.getMessage.contains("fresh checkpoint over an existing view"),
       s"wrong failure: ${e.getMessage}")
+  }
+
+  test("mid-stream crash inside the commit window recovers by replay") {
+    reset()
+    feedDf(Seq((1L, 2L), (3L, 4L)), Seq.empty)
+      .coalesce(1).write.parquet(s"$inbox/w1")
+    ingestAvailable()
+    val afterW1 = rows(MixedIngest.current(spark, prefix).get)
+    assert(afterW1 == expect(Seq((1L, 2L), (3L, 4L)), Seq.empty))
+    // the second drain dies between the edge-table write and the _meta
+    // commit — the version is torn, the checkpoint never commits batch 1
+    feedDf(Seq((2L, 5L)), Seq(3L)).coalesce(1).write.parquet(s"$inbox/w2")
+    MixedIngest.crashAfter = Some("edges")
+    try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ingestAvailable()
+    } finally MixedIngest.crashAfter = None
+    assert(rows(MixedIngest.current(spark, prefix).get) == afterW1,
+      "torn mid-stream version leaked into the served view")
+    // restart from the SAME checkpoint: batch 1 replays against the
+    // pre-crash state and the view converges
+    ingestAvailable()
+    assert(rows(MixedIngest.current(spark, prefix).get) ==
+      expect(Seq((1L, 2L), (3L, 4L), (2L, 5L)), Seq(3L)),
+      "post-crash restart did not converge to the closure")
+  }
+
+  test("compact folds duplicate edges, drops tombstones, and re-opens re-entry") {
+    reset()
+    // batch 0: chain {1,2,3} and pair {10,11}; batch 1 re-adds (10,11)
+    // (a duplicate edge across batches), adds (1,3), deletes 2
+    MixedIngest.mergeBatch(
+      feedDf(Seq((1L, 2L), (2L, 3L), (10L, 11L)), Seq.empty), prefix, 0L)
+    MixedIngest.mergeBatch(
+      feedDf(Seq((10L, 11L), (1L, 3L)), Seq(2L)), prefix, 1L)
+    val adds = Seq((1L, 2L), (2L, 3L), (10L, 11L), (1L, 3L))
+    val expectPre = expect(adds, Seq(2L))
+    assert(rows(MixedIngest.current(spark, prefix).get) == expectPre)
+    val (_, edgesPre, tombsPre) = MixedIngest.currentState(spark, prefix).get
+    assert(edgesPre.count() > edgesPre.distinct().count(),
+      "fixture must carry a cross-batch duplicate edge for the fold to bite")
+    assert(tombsPre.count() == 1L)
+    MixedIngest.compact(spark, prefix)
+    // the view is bit-identical, the edge list is folded, tombstones gone
+    assert(rows(MixedIngest.current(spark, prefix).get) == expectPre,
+      "compaction changed the served assignment")
+    val (_, edgesPost, tombsPost) = MixedIngest.currentState(spark, prefix).get
+    assert(edgesPost.count() == edgesPost.distinct().count() &&
+      edgesPost.count() == 2L, "compaction did not fold duplicate edges")
+    assert(tombsPost.count() == 0L, "compaction did not drop the tombstones")
+    // the semantics boundary: with the tombstone gone, the previously-
+    // deleted doc CAN re-enter via a later add
+    MixedIngest.mergeBatch(feedDf(Seq((2L, 10L)), Seq.empty), prefix, 2L)
+    val got = rows(MixedIngest.current(spark, prefix).get)
+    assert(got.exists(_._1 == 2L),
+      s"compacted tombstone still suppresses re-entry: $got")
+    assert(got == expect(Seq((1L, 3L), (10L, 11L), (2L, 10L)), Seq.empty),
+      s"post-compaction re-entry diverged from the reset closure: $got")
+  }
+
+  test("compact between drains: the stream keeps converging") {
+    reset()
+    val (w1, w2) = allAdds.splitAt(35)
+    val dels1 = Seq(w1(1)._1)
+    feedDf(w1, dels1).coalesce(1).write.parquet(s"$inbox/w1")
+    ingestAvailable()
+    MixedIngest.compact(spark, prefix)
+    // post-compaction the dels1 tombstone is gone: w2 edges touching that
+    // id are admitted (re-entry), and only dels2 suppresses
+    val dels2 = Seq(w2.head._2)
+    feedDf(w2, dels2).coalesce(1).write.parquet(s"$inbox/w2")
+    ingestAvailable()
+    val w1live = w1.filter { case (a, b) =>
+      !dels1.contains(a) && !dels1.contains(b) }
+    assert(rows(MixedIngest.current(spark, prefix).get) ==
+      expect(w1live ++ w2, dels2),
+      "drain → compact → drain diverged from the reset closure")
+  }
+
+  test("the shuffle anti-join path (tombstones past the broadcast limit) matches") {
+    reset()
+    sys.props("graft.mixed.tombBroadcastLimit") = "1"
+    try {
+      // two deletes push the accumulated set past the limit=1 → the
+      // per-batch anti-joins take the non-broadcast path; the closure
+      // must not notice
+      val dels = Seq(allAdds(2)._1, allAdds(9)._2)
+      MixedIngest.mergeBatch(feedDf(allAdds.take(30), dels), prefix, 0L)
+      MixedIngest.mergeBatch(feedDf(allAdds.drop(30), Seq.empty), prefix, 1L)
+      assert(rows(MixedIngest.current(spark, prefix).get) ==
+        expect(allAdds, dels),
+        "shuffle-anti-join tombstone path diverged from the closure")
+    } finally sys.props.remove("graft.mixed.tombBroadcastLimit")
   }
 }
