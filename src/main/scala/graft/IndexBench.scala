@@ -19,15 +19,19 @@ object IndexBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args(1).toInt else 2
-    // optional section filter (arg 3, comma list of core|pq_gen|gen|tombs|
-    // cluster; default all): lets the big-SF ladder add ONE lifecycle's
-    // rows — e.g. the PQ generation economics at sf10 — without paying a
-    // full re-run of every layout at that scale
+    // optional section filter (arg 3, comma list of core|mh|bm|pq|pq_gen|
+    // gen|tombs|cluster; default all): lets the big-SF ladder add ONE
+    // lifecycle's rows — e.g. the PQ generation economics at sf10 —
+    // without paying a full re-run of every layout at that scale. `core`
+    // is the union of its three sub-sections (mh = MinHash admission
+    // layout, bm = BM25 postings, pq = PQ/cell ANN layouts), addressable
+    // individually so a single layout change (e.g. the r12 hashed-shingle
+    // relayout) can be re-recorded at sf10 for exactly the rows it touched
     val sections: Set[String] =
       if (args.length > 2) args(2).split(",").map(_.trim).toSet
       else Set("core", "pq_gen", "gen", "tombs", "cluster")
-    def section(name: String)(body: => Unit): Unit =
-      if (sections(name)) body
+    def section(names: String*)(body: => Unit): Unit =
+      if (names.exists(sections)) body
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -172,19 +176,23 @@ object IndexBench {
     val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
     val probes = scala.collection.mutable.LinkedHashMap[String, Double]()
 
-    section("core") {
+    section("core", "mh") {
     builds("minhash_index") = best(DedupOps.writeMinhashIndex(spark, sfDir, "ib_minhash"))
     probes("shard_dedup_live") =
       measured("shard_dedup_live")(DedupOps.shardDedup(spark, sfDir).collect())
     probes("shard_dedup_indexed") = measured("shard_dedup_indexed")(
       DedupOps.shardDedupFromIndex(spark, sfDir, "ib_minhash").collect())
+    }
 
+    section("core", "bm") {
     builds("bm25_postings") = best(TextAnalysis.writePostingsIndex(spark, sfDir, "ib_postings"))
     probes("bm25_live") =
       measured("bm25_live")(TextAnalysis.bm25TopK(spark, sfDir).collect())
     probes("bm25_indexed") = measured("bm25_indexed")(
       TextAnalysis.bm25TopKFromIndex(spark, "ib_postings").collect())
+    }
 
+    section("core", "pq") {
     builds("pq_index") = best(SimilarityOps.writePqIndex(spark, sfDir, pqPath))
     builds("cell_index") = best(SimilarityOps.writeCellIndex(spark, sfDir, cellPath))
     // the super-linear term the r9 sf1 rehearsal surfaced in pq_topk: the

@@ -91,15 +91,38 @@ object MixedIngest {
     if (crashAfter.contains(step))
       throw new IllegalStateException(s"injected crash after $step write")
 
-  /** Attach the mixed maintenance sink to a stream of (op, id1, id2). */
+  /** Attach the mixed maintenance sink to a stream of (op, id1, id2).
+    *
+    * `autoCompactTombs`: when set, the sink [[compact]]s itself whenever the
+    * newest committed version's tombstone set exceeds that many rows — the
+    * operational bound for a feed nobody manually maintains (state growth
+    * is then ≤ one compaction interval, and the per-batch anti-joins stay
+    * under [[tombBroadcastLimit]] by choosing a smaller threshold). Running
+    * inside `foreachBatch` makes the compaction quiesced-by-construction
+    * (micro-batches are serialized), and the marker-last protocol makes a
+    * crash mid-compaction invisible. OPT-IN because it moves a semantics
+    * boundary: compaction drops tombstones, so with auto-compaction the
+    * window in which a takedown suppresses re-admission of late-arriving
+    * edges depends on feed volume rather than on an explicit operator
+    * action (`MixedIngestSpec` pins both readings).
+    */
   def start(feed: DataFrame, prefix: String, checkpoint: String,
-            name: String = "mixed_ingest"): StreamingQuery =
+            name: String = "mixed_ingest",
+            autoCompactTombs: Option[Long] = None): StreamingQuery =
     feed.writeStream
       .queryName(name)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(batch, prefix, batchId, ckpt = Some(checkpoint))
+        autoCompactTombs.foreach { limit =>
+          val spark = batch.sparkSession
+          // metadata-cheap: the tombstone table is takedown-sized, and
+          // parquet counts fold to footer row counts
+          val over = currentState(spark, prefix)
+            .exists { case (_, _, d) => d.count() > limit }
+          if (over) compact(spark, prefix)
+        }
       }
       .start()
 

@@ -297,6 +297,35 @@ class MixedIngestSpec extends SparkSpec {
       "drain → compact → drain diverged from the reset closure")
   }
 
+  test("auto-compaction bounds tombstone state mid-stream and re-opens re-entry") {
+    reset()
+    val schema = feedDf(Seq((0L, 1L)), Seq(2L)).schema
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(inbox)
+      MixedIngest.start(stream, prefix, ckpt,
+        autoCompactTombs = Some(0L)).awaitTermination()
+    }
+    // w1: chain {1,2,3}; w2: delete 2 (splits — 1 and 3 drop with it);
+    // w3: an edge to the deleted doc. With threshold 0, the sink compacts
+    // right after w2 (its accumulated set {2} exceeds 0), so by w3 the
+    // tombstone is GONE and 2 re-enters — the opposite of the default
+    // tombstone-wins run in the delete-then-re-add test above.
+    feedDf(Seq((1L, 2L), (2L, 3L)), Seq.empty).coalesce(1).write.parquet(s"$inbox/w1")
+    feedDf(Seq.empty, Seq(2L)).coalesce(1).write.parquet(s"$inbox/w2")
+    feedDf(Seq((2L, 10L)), Seq.empty).coalesce(1).write.parquet(s"$inbox/w3")
+    drain()
+    val got = rows(MixedIngest.current(spark, prefix).get)
+    assert(got == expect(Seq((2L, 10L)), Seq.empty),
+      s"auto-compacted stream diverged from the compaction-reset closure: $got")
+    val (_, _, tombs) = MixedIngest.currentState(spark, prefix).get
+    assert(tombs.count() == 0L,
+      "auto-compaction left tombstones in the newest version")
+  }
+
   test("the shuffle anti-join path (tombstones past the broadcast limit) matches") {
     reset()
     sys.props("graft.mixed.tombBroadcastLimit") = "1"
