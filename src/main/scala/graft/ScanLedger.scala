@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+
+/** Per-scan file-bytes diagnostic for one gated query: run `warmups` calls
+  * first (memo/view state reaches steady state), then ONE measured call,
+  * printing every FileSourceScanExec the measured call executed — root
+  * path + filesSize — one line per scan, plus a total. This is the
+  * drill-down behind IndexBench's `probe_file_bytes` ledger: when a row
+  * reads more than its layout's `du`, this names the scan responsible.
+  *
+  * Usage: runMain graft.ScanLedger <query> [sfDir] [warmups]
+  */
+object ScanLedger {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val warmups = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", Warehouse.dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scans = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    @volatile var record = false
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    def walk(p: SparkPlan): Unit = {
+      p.foreach {
+        case f: FileSourceScanExec =>
+          if (record) {
+            val root = f.relation.location.rootPaths.mkString(",")
+            scans.add((root, f.metrics.get("filesSize").map(_.value).getOrElse(0L)))
+          }
+        case im: InMemoryTableScanExec =>
+          // identity rule shared with IndexBench: a cached relation's hidden
+          // scans count once, at the execution that materialized it — the
+          // warm-up walks populate `seen` so the measured call reports only
+          // scans it actually re-ran
+          if (seen.add(im.relation)) walk(im.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec        => walk(q.plan)
+        case _                        => ()
+      }
+      p.subqueries.foreach(walk)
+    }
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        seen.synchronized { walk(qe.executedPlan) }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    })
+
+    val fn = SparkEntry.queries(name)
+    (1 to warmups).foreach { _ =>
+      graft.functions.TransientCache.release(spark)
+      fn(spark, sfDir).collect()
+    }
+    graft.functions.TransientCache.release(spark)
+    org.apache.spark.GraftListenerDrain.drain(spark.sparkContext, 60000)
+    // mark memo-backed cached relations as pre-seen so the measured call
+    // reports only scans it actually re-ran (IndexBench's identity rule)
+    record = true
+    fn(spark, sfDir).collect()
+    org.apache.spark.GraftListenerDrain.drain(spark.sparkContext, 60000)
+    record = false
+    var total = 0L
+    scans.forEach { case (root, sz) =>
+      total += sz
+      println(f"[scan] $sz%12d  $root")
+    }
+    println(f"[scan] $total%12d  TOTAL ($name, warmups=$warmups)")
+    spark.stop()
+  }
+}

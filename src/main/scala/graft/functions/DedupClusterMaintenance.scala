@@ -343,7 +343,8 @@ private[graft] trait DedupClusterMaintenance { self: DedupShingleCore =>
   // assignment's blocks are reclaimed by the ContextCleaner once the
   // reference drops
   private val deltaBaseCache =
-    new BoundedMemo[(SparkSession, String), (DataFrame, DataFrame, DataFrame)](
+    new BoundedMemo[(SparkSession, String),
+                    (DataFrame, DataFrame, DataFrame, DataFrame)](
       4, _._1.unpersist())
 
   /** Memoized delta-maintenance base state: (corpus band keys, converged
@@ -354,9 +355,18 @@ private[graft] trait DedupClusterMaintenance { self: DedupShingleCore =>
     * persists anyway (the [[componentsDeleteDelta]] contract).
     */
   private def deltaBase(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame, DataFrame) = {
+      dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val isShard = col("doc_id") % 10 === 7
     deltaBaseCache.getOrBuild((spark, dir)) {
+      // materialize the arriving shard's documents ONCE at base-build time:
+      // in production the delta batch lands as its own files, so a
+      // steady-state delta read must never scan the CORPUS file to find
+      // them — the r13 ScanLedger audit showed the old per-read
+      // `documents.filter(isShard)` charging every warm delta/mixed read a
+      // full corpus filesSize (a doc_id predicate cannot prune a
+      // single-file fixture corpus) and decoding 10× the text it needed
+      val shardDocs = Tables.documents(spark, dir).filter(isShard)
+        .select(col("doc_id"), col("text")).localCheckpoint()
       val sigBase = signaturesFrom(
         explodedShingles(spark, dir, !isShard, distinctShingles = false)
           .withColumn("h", mdhash(col("s")))).cache()
@@ -373,7 +383,8 @@ private[graft] trait DedupClusterMaintenance { self: DedupShingleCore =>
       // re-running the corpus-wide cluster_size window per read (the
       // discipline the header comment promises — ADVICE r12 caught the
       // semantic twin of this memo dropping it)
-      val v = (bb, componentsOver(baseEdges).localCheckpoint(), baseEdges)
+      val v = (bb, componentsOver(baseEdges).localCheckpoint(), baseEdges,
+        shardDocs)
       // componentsOver is eager, so bb's cache is populated by now and
       // the signature frame has served its 4-band fan-out — release it
       // rather than pinning a corpus-sized relation for the session
@@ -391,11 +402,10 @@ private[graft] trait DedupClusterMaintenance { self: DedupShingleCore =>
     * measured 2× at sf0.1); the caller releases the pin once the edges
     * have been consumed eagerly.
     */
-  private def shardDeltaEdges(spark: SparkSession, dir: String,
+  private def shardDeltaEdges(shardDocs: DataFrame,
       bandsBase: DataFrame): (DataFrame, DataFrame) = {
-    val isShard = col("doc_id") % 10 === 7
     val sigShard = signaturesFrom(
-      explodedShingles(spark, dir, isShard, distinctShingles = false)
+      explodedShinglesOf(shardDocs, distinctShingles = false)
         .withColumn("h", mdhash(col("s")))).cache()
     val bandsShard = bandKeys(sigShard)
     val cross = bandsShard.as("x").join(bandsBase.as("y"),
@@ -436,8 +446,8 @@ private[graft] trait DedupClusterMaintenance { self: DedupShingleCore =>
     * exists for.
     */
   def dedupClustersDelta(spark: SparkSession, dir: String): DataFrame = {
-    val (bandsBase, baseAssign, _) = deltaBase(spark, dir)
-    val (delta, pin) = shardDeltaEdges(spark, dir, bandsBase)
+    val (bandsBase, baseAssign, _, shardDocs) = deltaBase(spark, dir)
+    val (delta, pin) = shardDeltaEdges(shardDocs, bandsBase)
     // componentsDelta consumes the candidate union eagerly, so the shard
     // pin can be released as soon as it returns
     val out = componentsDelta(baseAssign, delta)
@@ -464,8 +474,8 @@ private[graft] trait DedupClusterMaintenance { self: DedupShingleCore =>
     * be bit-identical to that closure.
     */
   def dedupClustersMixed(spark: SparkSession, dir: String): DataFrame = {
-    val (bandsBase, baseAssign, baseEdges) = deltaBase(spark, dir)
-    val (delta, pin) = shardDeltaEdges(spark, dir, bandsBase)
+    val (bandsBase, baseAssign, baseEdges, shardDocs) = deltaBase(spark, dir)
+    val (delta, pin) = shardDeltaEdges(shardDocs, bandsBase)
     val merged = componentsDelta(baseAssign, delta)
     val tombs = merged.select(col("doc_id")).filter(col("doc_id") % 37 === 3)
     // the maintained edge set after the merge: base edges ∪ shard edges —

@@ -59,8 +59,18 @@ private[graft] trait DedupShingleCore {
     */
   def explodedShingles(spark: SparkSession, dir: String,
                        docFilter: Column = lit(true),
-                       distinctShingles: Boolean = true): DataFrame = {
-    val base = Tables.documents(spark, dir).filter(docFilter)
+                       distinctShingles: Boolean = true): DataFrame =
+    explodedShinglesOf(Tables.documents(spark, dir).filter(docFilter),
+      distinctShingles)
+
+  /** Frame-based twin of [[explodedShingles]] for callers whose documents
+    * do not come from the corpus file — an arriving shard materialized by
+    * [[DedupClusterMaintenance.deltaBase]], a stream micro-batch. Needs
+    * (doc_id, text).
+    */
+  def explodedShinglesOf(docs: DataFrame,
+                         distinctShingles: Boolean): DataFrame = {
+    val base = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), col("t"),

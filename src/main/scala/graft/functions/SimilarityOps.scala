@@ -118,11 +118,19 @@ object SimilarityOps {
   // The persisted IVF assignment is the materialized index (at scale: the
   // stored cell-partitioned table), so it is a memoized VIEW like the
   // cluster cache, not a per-call persist — repeated calls (e.g. the
-  // nprobe recall sweep in LlmOpsSpec) reuse one cached relation instead
-  // of stacking leaked storage; eviction unpersists.
+  // nprobe recall sweep in LlmOpsSpec) reuse one materialized relation
+  // instead of stacking leaked storage. Materialized via localCheckpoint,
+  // NOT .cache(): the r13 ScanLedger audit caught the cached form never
+  // being substituted into consumer plans (every "warm" ivf/semantic-delta
+  // read silently re-derived the assignment from the corpus file — 4-8
+  // full embedding scans per read), so the memo was a no-op costing
+  // CacheManager bloat. localCheckpoint truncates lineage physically and
+  // needs no plan-canonicalization match to be reused. Eviction drops the
+  // reference; ContextCleaner reclaims the checkpoint blocks (the deltaBase
+  // discipline).
   private val ivfIndexCache =
     new graft.functions.BoundedMemo[(SparkSession, String, Int), DataFrame](
-      4, _.unpersist())
+      4, _ => ())
 
   /** Ranked nearest-centroid assignment (memoized, see [[ivfIndexCache]]):
     * every vector scored against every centroid via one broadcast of the
@@ -145,7 +153,7 @@ object SimilarityOps {
         .withColumn("rk", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("label"))))
         .filter(col("rk") <= math.max(nprobe, 1))
-        .persist()
+        .localCheckpoint()
     }
 
   def ivfTopK(spark: SparkSession, dir: String,
