@@ -81,7 +81,14 @@ object IndexBench {
           case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
             // first sighting = this execution materialized it (transients
             // are created per call): count its underlying scans once
-            if (seenRelations.add(im.relation)) walk(im.relation.cachedPlan)
+            // keyed on the shared cacheBuilder, NOT the InMemoryRelation:
+            // cache substitution inserts a fresh relation COPY per plan
+            // reference (withOutput), all sharing one CachedRDDBuilder and
+            // one cachedPlan whose scan metrics are therefore summed once
+            // per REFERENCE under relation-identity — the r12 ledger's
+            // residual inflation (a warm delta probe "reading" more file
+            // bytes than a cold corpus pass) was exactly this re-count
+            if (seenRelations.add(im.relation.cacheBuilder)) walk(im.relation.cachedPlan)
           case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
             walk(a.executedPlan)
           case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>

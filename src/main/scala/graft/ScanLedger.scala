@@ -46,7 +46,10 @@ object ScanLedger {
           // scans count once, at the execution that materialized it — the
           // warm-up walks populate `seen` so the measured call reports only
           // scans it actually re-ran
-          if (seen.add(im.relation)) walk(im.relation.cachedPlan)
+          // keyed on the shared cacheBuilder (IndexBench's identity rule):
+          // substitution inserts a relation copy per reference, so
+          // relation-identity re-counts one materialization per reference
+          if (seen.add(im.relation.cacheBuilder)) walk(im.relation.cachedPlan)
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
         case q: QueryStageExec        => walk(q.plan)
         case _                        => ()

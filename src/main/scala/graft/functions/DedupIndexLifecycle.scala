@@ -291,9 +291,17 @@ private[graft] trait DedupIndexLifecycle { self: DedupShingleCore with DedupClus
     def gen(suffix: String): DataFrame =
       tables.map(t => spark.table(s"$t$suffix")).reduce(_ unionByName _)
     val isShard = col("doc_id") % 10 === 7
-    val ex = explodedShingles(spark, dir, isShard, distinctShingles = false)
-      .withColumn("h", mdhash(col("s")))
-    val shardBands = bandKeys(signaturesFrom(ex))
+    // pinned: the shard's exploded+hashed shingles feed the signature
+    // build AND the exact verify, and unlike [[shardDedup]]'s corpus-wide
+    // twin this frame is SHARD-sized by the admission premise — without
+    // the pin every downstream reference re-ran the tokenizer over the
+    // corpus file (the r13 scan ledger counted 7 corpus scans per probe:
+    // 4 from bandKeys' band projections over an unpinned signature frame,
+    // the rest from the verify/counts tail)
+    val ex = TransientCache(
+      explodedShingles(spark, dir, isShard, distinctShingles = false)
+        .withColumn("h", mdhash(col("s"))))
+    val shardBands = bandKeys(TransientCache(signaturesFrom(ex)))
     // shard-bounded by the admission premise (a shard is one ingest batch,
     // not a corpus); guarded like shardDedup's candIds broadcast — past the
     // bound the hint is dropped and the bucketed layout carries the join
@@ -333,7 +341,9 @@ private[graft] trait DedupIndexLifecycle { self: DedupShingleCore with DedupClus
       else corpusIds
     val exCorpus = gen("_shingles")
       .join(prunedCorpusIds, Seq("doc_id"), "left_semi")
-    val exShard = ex.select(col("doc_id"), col("h")).distinct()
+    // pinned: referenced by the counts union and the intersection join —
+    // unpinned, each reference re-paid the distinct shuffle over the pin
+    val exShard = TransientCache(ex.select(col("doc_id"), col("h")).distinct())
     // aggregated, NOT distinct-unioned: a replayed shard doc contributes a
     // (doc_id, n_sh) row from both the live side and the stored side — when
     // they agree the max collapses them exactly like distinct did, and if

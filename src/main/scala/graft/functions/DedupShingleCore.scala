@@ -375,16 +375,22 @@ private[graft] trait DedupShingleCore {
   private[functions] def admissionVerdicts(docsShard: DataFrame, cand: DataFrame,
                                 inter: DataFrame, counts: DataFrame,
                                 minJaccard: Double): DataFrame = {
-    val scored = cand
+    // both pinned: `counts` is joined twice below (n1/n2 sides) and
+    // `scored` feeds the rollup AND the rank-1 pick — every frame here is
+    // candidates-bounded, while an unpinned reference re-derived the whole
+    // intersection/counts subtree per consumer (the r13 scan ledger
+    // counted the verify tail twice per probe)
+    val countsP = TransientCache(counts)
+    val scored = TransientCache(cand
       .join(inter, Seq("shard_id", "corpus_id"), "left")
       .na.fill(0L, Seq("n_inter"))
-      .join(counts.withColumnRenamed("doc_id", "shard_id")
+      .join(countsP.withColumnRenamed("doc_id", "shard_id")
         .withColumnRenamed("n_sh", "n1"), "shard_id")
-      .join(counts.withColumnRenamed("doc_id", "corpus_id")
+      .join(countsP.withColumnRenamed("doc_id", "corpus_id")
         .withColumnRenamed("n_sh", "n2"), "corpus_id")
       .withColumn("j",
         bround(col("n_inter").cast("double") /
-          (col("n1") + col("n2") - col("n_inter")), 6).cast("decimal(10,6)"))
+          (col("n1") + col("n2") - col("n_inter")), 6).cast("decimal(10,6)")))
     val roll = scored.groupBy("shard_id").agg(
       count(lit(1)).as("n_cand"),
       sum(when(col("j") >= minJaccard, 1L).otherwise(0L)).as("n_dup"))
