@@ -375,13 +375,12 @@ private[graft] trait DedupShingleCore {
   private[functions] def admissionVerdicts(docsShard: DataFrame, cand: DataFrame,
                                 inter: DataFrame, counts: DataFrame,
                                 minJaccard: Double): DataFrame = {
-    // both pinned: `counts` is joined twice below (n1/n2 sides) and
-    // `scored` feeds the rollup AND the rank-1 pick — every frame here is
-    // candidates-bounded, while an unpinned reference re-derived the whole
-    // intersection/counts subtree per consumer (the r13 scan ledger
-    // counted the verify tail twice per probe)
+    // pinned: `counts` is joined twice below (n1/n2 sides) — it is
+    // candidates-bounded, while an unpinned reference re-derived the
+    // whole shingle/counts subtree per side (the r13 scan ledger counted
+    // the corpus tokenizer once per consumer)
     val countsP = TransientCache(counts)
-    val scored = TransientCache(cand
+    val scored = cand
       .join(inter, Seq("shard_id", "corpus_id"), "left")
       .na.fill(0L, Seq("n_inter"))
       .join(countsP.withColumnRenamed("doc_id", "shard_id")
@@ -390,25 +389,31 @@ private[graft] trait DedupShingleCore {
         .withColumnRenamed("n_sh", "n2"), "corpus_id")
       .withColumn("j",
         bround(col("n_inter").cast("double") /
-          (col("n1") + col("n2") - col("n_inter")), 6).cast("decimal(10,6)")))
+          (col("n1") + col("n2") - col("n_inter")), 6).cast("decimal(10,6)"))
+    // ONE aggregation computes the rollup AND the rank-1 best duplicate:
+    // `max_by` over the key (j, -corpus_id) reproduces the old
+    // row_number(ORDER BY j DESC, corpus_id ASC) pick exactly (max j,
+    // ties → smallest corpus_id), and sub-threshold rows contribute a
+    // NULL ordering key, which max_by skips — so shard docs with
+    // candidates but no duplicate keep a NULL best. The earlier shape
+    // (groupBy + window + two joins back) consumed `scored` twice, which
+    // either re-derived the whole verify subtree per consumer (r13 scan
+    // ledger: the probe's dominant CPU) or — pinned — paid a
+    // materialization wave; a single shuffle on shard_id does neither.
+    val qual = col("j") >= minJaccard
     val roll = scored.groupBy("shard_id").agg(
       count(lit(1)).as("n_cand"),
-      sum(when(col("j") >= minJaccard, 1L).otherwise(0L)).as("n_dup"))
-    val best = scored.filter(col("j") >= minJaccard)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("shard_id")
-          .orderBy(col("j").desc, col("corpus_id"))))
-      .filter(col("rn") === 1)
-      .select(col("shard_id"), col("corpus_id").as("best_dup_id"),
-        col("j").cast("double").as("best_jaccard"))
+      sum(when(qual, 1L).otherwise(0L)).as("n_dup"),
+      max_by(struct(col("corpus_id"), col("j")),
+        when(qual, struct(col("j"), (-col("corpus_id")).as("nid")))).as("b"))
     docsShard
       .select(col("doc_id"))
       .join(roll.withColumnRenamed("shard_id", "doc_id"), Seq("doc_id"), "left")
-      .join(best.withColumnRenamed("shard_id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        col("best_dup_id"), col("best_jaccard"),
+        col("b.corpus_id").as("best_dup_id"),
+        col("b.j").cast("double").as("best_jaccard"),
         (coalesce(col("n_dup"), lit(0L)) === 0).as("admit"))
   }
 
