@@ -118,19 +118,21 @@ object SimilarityOps {
   // The persisted IVF assignment is the materialized index (at scale: the
   // stored cell-partitioned table), so it is a memoized VIEW like the
   // cluster cache, not a per-call persist — repeated calls (e.g. the
-  // nprobe recall sweep in LlmOpsSpec) reuse one materialized relation
-  // instead of stacking leaked storage. Materialized via localCheckpoint,
-  // NOT .cache(): the r13 ScanLedger audit caught the cached form never
-  // being substituted into consumer plans (every "warm" ivf/semantic-delta
-  // read silently re-derived the assignment from the corpus file — 4-8
-  // full embedding scans per read), so the memo was a no-op costing
-  // CacheManager bloat. localCheckpoint truncates lineage physically and
-  // needs no plan-canonicalization match to be reused. Eviction drops the
-  // reference; ContextCleaner reclaims the checkpoint blocks (the deltaBase
-  // discipline).
+  // nprobe recall sweep in LlmOpsSpec) reuse one cached relation instead
+  // of stacking leaked storage; eviction unpersists. An r13 interlude
+  // swapped this to localCheckpoint after the scan ledger appeared to
+  // show warm reads re-deriving the assignment (4-8 embedding scans per
+  // read) — that reading was the ledger's relation-COPY re-count (cache
+  // substitution inserts a fresh InMemoryRelation copy per plan
+  // reference, and the relation-keyed seen-set summed one
+  // materialization's scan metrics once per copy). Under the
+  // builder-keyed ledger the cached form measures ZERO file bytes on
+  // warm ivf/semantic-delta reads, while the eager localCheckpoint
+  // doubled the FRESH path's wall at sf1 (a separate write-out job +
+  // read-back where persist materializes inside the first consumer).
   private val ivfIndexCache =
     new graft.functions.BoundedMemo[(SparkSession, String, Int), DataFrame](
-      4, _ => ())
+      4, _.unpersist())
 
   /** Ranked nearest-centroid assignment (memoized, see [[ivfIndexCache]]):
     * every vector scored against every centroid via one broadcast of the
@@ -153,7 +155,7 @@ object SimilarityOps {
         .withColumn("rk", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("label"))))
         .filter(col("rk") <= math.max(nprobe, 1))
-        .localCheckpoint()
+        .persist()
     }
 
   def ivfTopK(spark: SparkSession, dir: String,
