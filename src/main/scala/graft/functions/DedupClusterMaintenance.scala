@@ -206,6 +206,19 @@ private[graft] trait DedupClusterMaintenance { self: DedupShingleCore =>
     */
   private[graft] def componentsDelta(baseAssign: DataFrame,
                                      deltaEdges0: DataFrame): DataFrame = {
+    val (untouched, recomputed) = componentsDeltaParts(baseAssign, deltaEdges0)
+    untouched.union(recomputed)
+  }
+
+  /** [[componentsDelta]] split into its two construction halves:
+    * (untouched base rows, recomputed rows). The union IS componentsDelta;
+    * the split exists so a delta-layout maintainer
+    * ([[graft.streaming.MixedIngest]], verdict r13 item 1) can persist
+    * ONLY the recomputed half per micro-batch — the untouched half is by
+    * definition already durable in older versions.
+    */
+  private[graft] def componentsDeltaParts(baseAssign: DataFrame,
+      deltaEdges0: DataFrame): (DataFrame, DataFrame) = {
     // delta-sized by contract, and consumed three times (endpoint set,
     // relabel join, and the fixpoint's symmetrized union) — pin it so the
     // upstream candidate pipeline (shard shingling + band joins) runs
@@ -267,7 +280,7 @@ private[graft] trait DedupClusterMaintenance { self: DedupShingleCore =>
     val recomputed = affected.union(direct)
       .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
-    untouched.union(recomputed)
+    (untouched, recomputed)
   }
 
   /** Takedown-aware cluster maintenance — the DELETE side of
@@ -289,17 +302,40 @@ private[graft] trait DedupClusterMaintenance { self: DedupShingleCore =>
   private[graft] def componentsDeleteDelta(baseAssign: DataFrame,
       tombs0: DataFrame,
       edgesAmong: DataFrame => DataFrame): DataFrame = {
+    val (untouched, recomputed, _, _) =
+      componentsDeleteDeltaParts(baseAssign, tombs0, edgesAmong)
+    untouched.union(recomputed)
+  }
+
+  /** [[componentsDeleteDelta]] split for delta-layout maintainers (verdict
+    * r13 item 1): (untouched rows, recomputed survivor rows, members of
+    * affected components, affected cluster ids). A per-batch delta is then
+    * `recomputed ∪ removal markers for (affectedMembers ∖ recomputed)` —
+    * the markers cover tombstoned members AND survivors whose every edge
+    * led to deleted docs (they leave the view with no replacement row, so
+    * newest-wins resolution needs an explicit erase). `affectedLabels` is
+    * delta-sized and localCheckpoint-materialized, safe to broadcast.
+    */
+  private[graft] def componentsDeleteDeltaParts(baseAssign: DataFrame,
+      tombs0: DataFrame,
+      edgesAmong: DataFrame => DataFrame):
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val tombs = tombs0.toDF("doc_id").localCheckpoint()
     val affLabels = baseAssign.join(broadcast(tombs), "doc_id")
       .select(col("cluster_id")).distinct().localCheckpoint()
     val untouched = baseAssign
       .join(broadcast(affLabels), Seq("cluster_id"), "left_anti")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("keep"))
-    val survivors = baseAssign
+    // affected-component members are needed twice (survivor derivation
+    // here, removal-marker derivation in delta maintainers) and are
+    // delta-sized by the sparse-takedown contract — materialize once
+    val members = baseAssign
       .join(broadcast(affLabels), Seq("cluster_id"), "left_semi")
+      .select(col("doc_id")).localCheckpoint()
+    val survivors = members
       .join(broadcast(tombs), Seq("doc_id"), "left_anti")
       .select(col("doc_id")).localCheckpoint()
-    untouched.union(componentsOver(edgesAmong(survivors)))
+    (untouched, componentsOver(edgesAmong(survivors)), members, affLabels)
   }
 
   /** Gated-query form of takedown-aware cluster maintenance: the corpus

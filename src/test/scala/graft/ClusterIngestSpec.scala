@@ -85,29 +85,56 @@ class ClusterIngestSpec extends SparkSpec {
     assert(rows(ClusterIngest.current(spark, prefix).get) == expectAll,
       "drained assignment != batch fixpoint over all edges")
 
-    // GC: only the newest two committed versions survive
+    // GC under the delta layout: every version is a link in the serving
+    // chain (base + one delta per batch) — nothing is droppable until a
+    // replay supersedes a link or compaction folds the chain
     val vers = ClusterIngest.committedVersions(spark, prefix)
-    assert(vers.size == 2, s"GC should keep 2 versions, found $vers")
-    val (newestId, newestTable) = vers.last
+    assert(vers.size == 3, s"expected base + two delta versions, found $vers")
+    val (newestV, newestUpto, _) = vers.last
 
     // REPLAY of the committed newest batch (at-least-once re-delivery):
-    // must rebuild the same version from its predecessor, not corrupt it.
-    // A replay carries the SAME checkpoint identity as the original
-    // delivery — the stamp guard now covers direct calls too (ADVICE r11).
-    ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, newestId,
+    // must rebuild the same state from its predecessor into a FRESH
+    // version (committed versions are never overwritten in place), after
+    // which GC folds the superseded same-batch link out of the chain. A
+    // replay carries the SAME checkpoint identity as the original
+    // delivery — the stamp guard covers direct calls too (ADVICE r11).
+    ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, newestUpto,
       ckpt = Some(ckpt))
-    assert(rows(spark.table(newestTable)) == expectAll,
-      "replayed batch corrupted the committed assignment")
+    assert(rows(ClusterIngest.current(spark, prefix).get) == expectAll,
+      "replayed batch corrupted the maintained assignment")
+    val replayed = ClusterIngest.committedVersions(spark, prefix)
+    assert(replayed.size == 3 && replayed.last._1 > newestV &&
+      replayed.last._2 == newestUpto && !replayed.exists(_._1 == newestV),
+      s"replay should supersede the same-batch link: $vers -> $replayed")
 
     // TORN version: crash after the data write, before the meta commit —
-    // the torn table must be invisible, and replay must complete it
-    spark.sql(s"DROP TABLE IF EXISTS ${newestTable}_meta")
-    assert(ClusterIngest.committedVersions(spark, prefix).size == 1,
+    // the torn version must be invisible (this also exercises the catalog
+    // cursor's staleness probe: the meta drop happens OUTSIDE the sink
+    // API, and the cursor must notice rather than serve the stale list),
+    // and replay must complete it
+    spark.sql(s"DROP TABLE IF EXISTS ${replayed.last._3}_meta")
+    assert(ClusterIngest.committedVersions(spark, prefix).size == 2,
       "torn version still counted as committed")
-    ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, newestId,
+    ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, newestUpto,
       ckpt = Some(ckpt))
     assert(rows(ClusterIngest.current(spark, prefix).get) == expectAll,
       "replay after torn write did not converge")
+
+    // COMPACTION folds the chain to a single base version without
+    // changing the served view; the next delivery chains onto the new
+    // base and GC can finally drop the whole pre-compaction chain (only
+    // the replay-base discipline kept it alive until now)
+    ClusterIngest.compact(spark, prefix)
+    assert(rows(ClusterIngest.current(spark, prefix).get) == expectAll,
+      "compaction changed the served assignment")
+    ClusterIngest.mergeBatch(edgesDf(Seq((100L, 101L))), prefix,
+      newestUpto + 1, ckpt = Some(ckpt))
+    assert(rows(ClusterIngest.current(spark, prefix).get) ==
+      rows(DedupOps.componentsOver(edgesDf(allEdges :+ (100L, 101L)))),
+      "post-compaction delivery diverged")
+    val postCompact = ClusterIngest.committedVersions(spark, prefix)
+    assert(postCompact.size == 2,
+      s"pre-compaction chain should be GC'd once unreachable: $postCompact")
   }
 
   test("checkpoint/prefix mismatch fails loudly instead of serving stale state") {
@@ -121,18 +148,18 @@ class ClusterIngestSpec extends SparkSpec {
     // before the guard, mergeBatch(0) merged against no base while gc kept
     // the stale higher-numbered versions: current() silently served old
     // state. Now it must refuse (ADVICE r10).
-    val maxV = ClusterIngest.committedVersions(spark, prefix).last._1
-    assert(maxV >= 1, "test setup: expected two committed versions")
+    val maxUpto = ClusterIngest.committedVersions(spark, prefix).last._2
+    assert(maxUpto >= 1, "test setup: expected two committed batches")
     val e = intercept[IllegalArgumentException] {
       ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, 0L)
     }
-    assert(e.getMessage.contains("below the newest committed version"),
+    assert(e.getMessage.contains("below the newest incorporated batch"),
       s"wrong failure: ${e.getMessage}")
     // the DIRECT path is stamped too (ADVICE r11): an ordering-legal direct
     // delivery against a stream-built prefix is a different identity and
     // must be refused — previously it bypassed the stamp entirely
     val eDirect = intercept[IllegalArgumentException] {
-      ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, maxV + 1)
+      ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, maxUpto + 1)
     }
     assert(eDirect.getMessage.contains("fresh checkpoint over an existing view"),
       s"wrong failure: ${eDirect.getMessage}")
@@ -141,15 +168,15 @@ class ClusterIngestSpec extends SparkSpec {
     // stamp the prefix with their checkpoint location and must refuse a
     // delivery from any other checkpoint, even one the ordering allows
     val e2 = intercept[IllegalArgumentException] {
-      ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, maxV + 1,
+      ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, maxUpto + 1,
         ckpt = Some("/tmp/some-other-checkpoint"))
     }
     assert(e2.getMessage.contains("fresh checkpoint over an existing view"),
       s"wrong failure: ${e2.getMessage}")
     // the ORIGINAL checkpoint keeps working after the refused delivery
-    ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, maxV + 1,
+    ClusterIngest.mergeBatch(edgesDf(thirds(2)), prefix, maxUpto + 1,
       ckpt = Some(ckpt))
-    assert(ClusterIngest.committedVersions(spark, prefix).last._1 == maxV + 1,
+    assert(ClusterIngest.committedVersions(spark, prefix).last._2 == maxUpto + 1,
       "legitimate delivery after a refused mismatch did not commit")
   }
 
