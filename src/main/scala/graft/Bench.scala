@@ -19,9 +19,19 @@ object Bench {
     // without this the alphabetically-first queries absorb all of it and
     // the per-query numbers measure warmup, not the engine. Skippable via
     // SPARK_GRAFT_NO_WARMUP for a cold-start reading.
+    // Transient pins (TransientCache) are released after EVERY query run,
+    // warmup included (ADVICE r13): leaving them registered for the
+    // session accumulates CacheManager entries that tax every later
+    // plan's canonicalization AND can substitute a stale warmup-pass pin
+    // into a later timed rep by canonical-plan match — the exact hazards
+    // TransientCache exists to scope. Memoized VIEWS (cluster/IVF/fold
+    // bases) are not transients and stay warm — that is their steady
+    // state by design.
+    def releasePins(): Unit = graft.functions.TransientCache.release(spark)
     if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) {
       SparkEntry.queries.values.foreach { fn =>
         try fn(spark, sfDir).collect() catch { case _: Throwable => }
+        finally releasePins()
       }
     }
     // collect(), not count(): count lets Catalyst prune the aggregate
@@ -33,6 +43,7 @@ object Bench {
       try { fn(spark, sfDir).collect(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      finally releasePins()
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, time(name, fn))

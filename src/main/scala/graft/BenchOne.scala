@@ -20,12 +20,18 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = names.map(n => n -> SparkEntry.queries(n))
-    qs.foreach { case (_, fn) => fn(spark, sfDir).collect() } // warmup
+    // release transient pins after every run (ADVICE r13): same discipline
+    // as Bench — no stale warm pins across reps, no canonicalization tax
+    def releasePins(): Unit = graft.functions.TransientCache.release(spark)
+    qs.foreach { case (_, fn) =>
+      fn(spark, sfDir).collect(); releasePins() } // warmup
     qs.foreach { case (name, fn) =>
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).collect()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        releasePins()
+        dt
       }
       println(f"$name%-24s best=${reps.min}%.3f reps=${reps.map(t => f"$t%.3f").mkString(",")}")
     }

@@ -58,7 +58,15 @@ object Serve {
       }
     }
 
-    // warm the fold view so the first request doesn't pay plan+fold cost
+    // warm the fold view so the first request doesn't pay plan+fold cost.
+    // No TransientCache.release loop here (ADVICE r13 asked each driver to
+    // release or justify): the serving path — BookQueries/BookServing over
+    // the memoized fold — registers no transients (grep: TransientCache
+    // callers are all dedup/text/similarity kernels, none reachable from
+    // the REST/WS routes), so a long-running server accumulates nothing;
+    // releasing per request would also race concurrent requests, which
+    // TransientCache's contract (release only after the consumer fully
+    // executed) forbids.
     graft.operators.BookQueries.poolInfo(spark, sfDir).collect()
     println(s"[serve] REST on :${rest.port}  WS on :${ws.port}  data=$sfDir")
     Thread.currentThread.join() // serve until killed

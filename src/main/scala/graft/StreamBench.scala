@@ -46,13 +46,38 @@ object StreamBench {
     spark.streams.addListener(metrics)
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
 
-    def record(name: String, rows: Long, secs: Double, converged: Boolean): Unit = {
+    def record(name: String, rows: Long, secs: Double, converged: Boolean,
+               extra: String = ""): Unit = {
       val ms = metrics.metrics.filter(_.queryName == name)
       val state = if (ms.isEmpty) 0L else ms.map(_.stateRows).max
       out(name) = f"""{"rows":$rows,"seconds":$secs%.1f,""" +
         f""""rows_per_sec":${rows / secs}%.0f,"batches":${ms.size},""" +
-        s""""state_rows":$state,"converged":$converged}"""
+        s""""state_rows":$state,"converged":$converged$extra}"""
       System.err.println(s"[streambench] $name: ${out(name)}")
+      // drop transient pins between pipelines (ADVICE r13): the batch-twin
+      // equivalence checks register intra-query pins that would otherwise
+      // accumulate for the session and tax later sections' plan
+      // canonicalization (or serve them stale warm blocks)
+      graft.functions.TransientCache.release(spark)
+    }
+
+    /** Per-version durable write bytes of a maintained-view prefix, from
+      * the sink's write ledger (verdict r13 item 1 done-criteria: the
+      * delta layout must show per-batch written bytes ~ O(batch), not
+      * O(state) — the old layout re-wrote the full edge+tombstone+
+      * assignment state every micro-batch, visible here as monotonically
+      * growing entries; deltas read as ~flat after the base version).
+      */
+    def writeBytesExtra(prefix: String): String = {
+      val led = graft.streaming.MixedIngest.writeLedger
+        .getOrDefault(prefix, Vector.empty)
+      if (led.isEmpty) ""
+      else {
+        val bytes = led.map(_._2)
+        s""","write_bytes_per_version":${bytes.mkString("[", ",", "]")}""" +
+          s""","write_bytes_max":${bytes.max}""" +
+          s""","write_bytes_total":${bytes.sum}"""
+      }
     }
 
     /** Chunk a batch frame into `n` range-partitioned parquet files so the
@@ -203,6 +228,9 @@ object StreamBench {
       spark.catalog.listTables().collect()
         .filter(_.name.startsWith("streambench_cl")).foreach(t =>
           spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      graft.streaming.ClusterIngest.invalidateCursor(spark, "streambench_cl")
+      graft.streaming.MixedIngest.recordWrites = true
+      graft.streaming.MixedIngest.writeLedger.remove("streambench_cl")
       val pairs = graft.functions.DedupOps.minhashLsh(spark, sfDir)
         .select(col("id1"), col("id2"))
       val nRows = chunk(pairs, s"$work/cl-pairs", "id1")
@@ -213,7 +241,8 @@ object StreamBench {
       val batch = graft.functions.DedupOps.componentsOver(pairs)
       val converged = maintained.isDefined &&
         maintained.get.except(batch).isEmpty && batch.except(maintained.get).isEmpty
-      record("cluster_ingest", nRows, secs, converged)
+      record("cluster_ingest", nRows, secs, converged,
+        extra = writeBytesExtra("streambench_cl"))
     }
 
     // ── 7. takedown maintenance: one tombstone generation per request batch ──
@@ -258,6 +287,9 @@ object StreamBench {
       spark.catalog.listTables().collect()
         .filter(_.name.startsWith("streambench_mx")).foreach(t =>
           spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      graft.streaming.MixedIngest.invalidateCursor(spark, "streambench_mx")
+      graft.streaming.MixedIngest.recordWrites = true
+      graft.streaming.MixedIngest.writeLedger.remove("streambench_mx")
       val pairs = graft.functions.DedupOps.minhashLsh(spark, sfDir)
         .select(col("id1"), col("id2"))
       val dels = graft.sources.Tables.documents(spark, sfDir)
@@ -279,7 +311,9 @@ object StreamBench {
       val batch = graft.functions.DedupOps.componentsOver(livePairs)
       val converged = maintained.isDefined &&
         maintained.get.except(batch).isEmpty && batch.except(maintained.get).isEmpty
-      record("mixed_ingest", nRows, secs, converged)
+      record("mixed_ingest", nRows, secs, converged,
+        extra = writeBytesExtra("streambench_mx"))
+      graft.streaming.MixedIngest.writeLedger.remove("streambench_mx")
 
       // ── 8b. COMPACT mid-stream, then resume on the SAME checkpoint ──
       // (verdict r12 item 1 done-criteria): the fold must not change the
@@ -312,7 +346,8 @@ object StreamBench {
       val full = graft.functions.DedupOps.componentsOver(pairs)
       val converged2 = folded && resumed.isDefined &&
         resumed.get.except(full).isEmpty && full.except(resumed.get).isEmpty
-      record("mixed_compact_resume", nRows2, secs2, converged2)
+      record("mixed_compact_resume", nRows2, secs2, converged2,
+        extra = writeBytesExtra("streambench_mx"))
     }
 
     val streams = out.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -400,6 +400,12 @@ private[graft] trait DedupShingleCore {
     // either re-derived the whole verify subtree per consumer (r13 scan
     // ledger: the probe's dominant CPU) or — pinned — paid a
     // materialization wave; a single shuffle on shard_id does neither.
+    // Disclosure (the WireOrderFold.scala:37 pitfall, ADVICE r13): the
+    // struct-typed max_by value/ordering buffers demote this aggregation
+    // from codegen HashAggregate to ObjectHashAggregate — accepted here
+    // because the input is candidate-bounded (band-join survivors, not
+    // the corpus) and the fusion removes a window + two join-backs, a
+    // measured 8.3→4.5 s cold win that dwarfs the codegen loss.
     val qual = col("j") >= minJaccard
     val roll = scored.groupBy("shard_id").agg(
       count(lit(1)).as("n_cand"),

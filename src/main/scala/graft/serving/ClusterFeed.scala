@@ -1,0 +1,105 @@
+package graft.serving
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.streaming.MixedIngest
+
+/** Serving bridge from the MAINTAINED cluster views to the WebSocket push
+  * edge (verdict r13 item 7): the REST/WS layer previously served only the
+  * batch-derived order-book snapshot; this wires the same
+  * subscribe → snapshot → push contract (ST8, `server.ts:26-51` semantics)
+  * to the [[graft.streaming.MixedIngest]] / [[graft.streaming
+  * .ClusterIngest]] assignment views, fed by the sinks' commit hook
+  * instead of any recompute.
+  *
+  * Rooms (all under the `clusters:` topic so they can never collide with
+  * order-book pool rooms in the shared room map):
+  *  - `clusters:<prefix>`        — the view summary; pushed on every
+  *    committed merge with the batch's changed cluster ids and erased docs;
+  *  - `clusters:<prefix>:<cid>`  — one cluster's membership; pushed when a
+  *    commit touches that cluster.
+  *
+  * The delta layout makes change capture FREE: a committed version's `_v`
+  * table already holds exactly the rows the batch changed (recomputed rows
+  * + null-cluster_id erasures), so the push path reads one batch-sized
+  * delta table and re-renders only the touched clusters — no diffing, no
+  * corpus-sized work, the same O(batch) shape as the merge itself. At
+  * 100 TB this bridge is a thin fan-out layer: N stateless WS processes
+  * subscribe to the commit feed and each reads only delta tables plus
+  * point lookups on the assignment.
+  */
+object ClusterFeed {
+
+  /** Render one cluster's membership as JSON — a point read on the
+    * resolved assignment (cluster_id equality prunes before the fold's
+    * aggregation; at scale the version tables are doc_id-bucketed and
+    * this is a bucket-pruned lookup). None when the cluster is absent.
+    */
+  def clusterJson(spark: SparkSession, prefix: String,
+                  clusterId: Long): Option[String] =
+    MixedIngest.current(spark, prefix).flatMap { cur =>
+      val rows = cur.filter(col("cluster_id") === clusterId)
+        .orderBy(col("doc_id")).collect()
+      if (rows.isEmpty) None
+      else Some(
+        s"""{"cluster_id":$clusterId,"size":${rows.length},""" +
+          s""""members":[${rows.map(_.getLong(0)).mkString(",")}]}""")
+    }
+
+  /** Render the view summary as JSON: cluster count and doc count. */
+  def summaryJson(spark: SparkSession, prefix: String): Option[String] =
+    MixedIngest.current(spark, prefix).map { cur =>
+      val r = cur.agg(count(lit(1)).as("docs"),
+        countDistinct(col("cluster_id")).as("clusters")).head()
+      s"""{"prefix":"$prefix","docs":${r.getLong(0)},""" +
+        s""""clusters":${r.getLong(1)}}"""
+    }
+
+  /** Snapshot callback for [[WsServer]] cluster rooms: key
+    * `clusters:<prefix>` → summary, `clusters:<prefix>:<cid>` → that
+    * cluster's membership. Compose with the order-book callback:
+    * {{{ WsServer.start(k => ClusterFeed.snapshotFor(spark, prefix)(k)
+    *       .orElse(bookJson(k))) }}}
+    */
+  def snapshotFor(spark: SparkSession, prefix: String)(
+      key: String): Option[String] = {
+    val p = prefix.toLowerCase(java.util.Locale.ROOT)
+    if (key == s"clusters:$p") summaryJson(spark, prefix)
+    else if (key.startsWith(s"clusters:$p:"))
+      key.stripPrefix(s"clusters:$p:").toLongOption
+        .flatMap(clusterJson(spark, prefix, _))
+    else None
+  }
+
+  /** Attach the change push: every committed MERGE re-renders the touched
+    * clusters from the committed delta and pushes them to their rooms,
+    * plus a change summary to the prefix room. Runs inside the
+    * micro-batch via [[graft.streaming.MixedIngest.onCommit]] — the same
+    * serialization the merge itself has, so pushes arrive in commit
+    * order. Detach with [[detach]].
+    */
+  def attach(spark: SparkSession, prefix: String,
+             ws: WsServer.Running): Unit = {
+    val p = prefix.toLowerCase(java.util.Locale.ROOT)
+    MixedIngest.onCommit(prefix) { (s, ver) =>
+      val delta = s.table(ver.table)
+        .select(col("doc_id"), col("cluster_id")).collect()
+      val changed = delta.flatMap(r =>
+        if (r.isNullAt(1)) None else Some(r.getLong(1))).distinct.sorted
+      val erased = delta.flatMap(r =>
+        if (r.isNullAt(1)) Some(r.getLong(0)) else None).distinct.sorted
+      if (ws.subscriberCount(s"clusters:$p") > 0)
+        ws.push(s"clusters:$p",
+          s"""{"prefix":"$p","version":${ver.v},""" +
+            s""""changed_clusters":[${changed.mkString(",")}],""" +
+            s""""erased_docs":[${erased.mkString(",")}]}""")
+      changed.foreach { cid =>
+        if (ws.subscriberCount(s"clusters:$p:$cid") > 0)
+          clusterJson(s, prefix, cid)
+            .foreach(ws.push(s"clusters:$p:$cid", _))
+      }
+    }
+  }
+
+  def detach(prefix: String): Unit = MixedIngest.clearOnCommit(prefix)
+}

@@ -100,6 +100,16 @@ object WsServer {
             // reference semantics: emit the current book on subscribe
             // (server.ts:29-35) — but resolved, not a Promise
             snapshot(pool).foreach(writeText(out, _))
+          } else if (msg.startsWith("subscribe:clusters:")) {
+            // maintained-view rooms (verdict r13 item 7): room key keeps
+            // the `clusters:` topic prefix so cluster-view prefixes can
+            // never collide with pool names in the shared room map; the
+            // snapshot callback receives the full key and dispatches
+            // ([[ClusterFeed.snapshotFor]])
+            val key = msg.stripPrefix("subscribe:")
+            r.rooms.getOrElseUpdate(key, new TrieMap[Socket, Unit]())
+              .put(sock, ())
+            snapshot(key).foreach(writeText(out, _))
           }
         case Some((0x9, payload)) => // ping→pong, under the same write lock
           out.synchronized { writeFrame(out, 0xA, payload) }

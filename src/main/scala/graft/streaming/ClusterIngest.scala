@@ -51,12 +51,17 @@ object ClusterIngest {
   /** Attach the assignment-maintenance sink to a stream of candidate
     * pairs (columns `id1`, `id2` — e.g. [[IngestDedup]]'s emitted pairs,
     * or [[SemIngest]]'s τ-near pairs). `autoCompactChain` bounds the
-    * version chain (and so the read-side fold width) on long feeds —
-    * adds-only streams never trip the tombstone trigger.
+    * version chain (and so the read-side fold width and per-batch resolve
+    * cost) on long feeds; it defaults ON here — unlike [[MixedIngest]],
+    * where auto-compaction is opt-in because dropping tombstones moves
+    * the re-admission boundary, an adds-only view has no tombstones, so
+    * the fold is semantically INVISIBLE (the served assignment is
+    * bit-identical before and after) and there is no reason to let a
+    * long-running feed accumulate an unbounded chain.
     */
   def start(pairs: DataFrame, prefix: String, checkpoint: String,
             name: String = "cluster_ingest",
-            autoCompactChain: Option[Int] = None): StreamingQuery =
+            autoCompactChain: Option[Int] = Some(32)): StreamingQuery =
     MixedIngest.start(asFeed(pairs), prefix, checkpoint, name,
       autoCompactChain = autoCompactChain)
 

@@ -110,6 +110,24 @@ object MixedIngest {
   private[graft] def attach(prefix: String, q: StreamingQuery): Unit =
     attached.put(prefix.toLowerCase(java.util.Locale.ROOT), q)
 
+  /** Per-prefix commit listeners — the ST8-style change-notification hook
+    * (verdict r13 item 7): after a MERGE commits (never a compaction —
+    * the served view is unchanged by a fold), the listener receives the
+    * committed version, whose `_v` delta table IS the change set (the
+    * rows this batch touched, erasures included). The serving bridge
+    * ([[graft.serving.ClusterFeed]]) uses it to push re-rendered clusters
+    * to WebSocket subscribers without recomputing or diffing anything —
+    * the delta layout makes change capture free. Listeners run inside the
+    * micro-batch (serialized, after GC), so a listener failure fails the
+    * batch loudly rather than dropping notifications silently.
+    */
+  private val commitListeners = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, Ver) => Unit]()
+  private[graft] def onCommit(prefix: String)(f: (SparkSession, Ver) => Unit): Unit =
+    commitListeners.put(prefix.toLowerCase(java.util.Locale.ROOT), f)
+  private[graft] def clearOnCommit(prefix: String): Unit =
+    commitListeners.remove(prefix.toLowerCase(java.util.Locale.ROOT))
+
   /** Measurement plumbing for the StreamBench written-bytes evidence
     * (verdict r13 item 1 done-criteria): when enabled, every committed
     * version records (version, state-table bytes) so the rehearsal can
@@ -332,9 +350,12 @@ object MixedIngest {
           (delta, "delta")
         }
     }
-    commitVersion(spark, p, Ver(v, batchId, baseTip.map(_.v).getOrElse(-1L),
-      kind, s"${p}_v$v"), assign = assignOut, edges = liveAdds, tombs = dels)
+    val ver = Ver(v, batchId, baseTip.map(_.v).getOrElse(-1L),
+      kind, s"${p}_v$v")
+    commitVersion(spark, p, ver, assign = assignOut, edges = liveAdds,
+      tombs = dels)
     gc(spark, p)
+    Option(commitListeners.get(p)).foreach(_(spark, ver))
   }
 
   /** Write one (assignment, edges, tombstones) version with the `_meta`
@@ -438,8 +459,8 @@ object MixedIngest {
     }
   }
 
-  private[streaming] def committedFull(spark: SparkSession,
-                                       p: String): Vector[Ver] =
+  private[graft] def committedFull(spark: SparkSession,
+                                   p: String): Vector[Ver] =
     VersionChain.committed(spark, p,
       v => Seq(s"${p}_e$v", s"${p}_d$v"))
 

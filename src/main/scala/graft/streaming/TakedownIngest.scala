@@ -71,7 +71,14 @@ object TakedownIngest {
     s"${genPrefix.toLowerCase(java.util.Locale.ROOT)}_t$batchId"
 
   /** The committed tombstone generations under `genPrefix`, oldest first —
-    * a generation counts only when its `_meta` twin exists. */
+    * a generation counts only when its `_meta` twin exists.
+    *
+    * Catalog-enumeration note (see [[BmIngest.listGenerations]]): the
+    * per-batch path is [[writeGeneration]] only (names keyed by batchId —
+    * no listing); this enumeration runs once per probe/compaction, not
+    * per micro-batch, so the r13-item-4 version cursor applies to the
+    * [[MixedIngest]] engine and deliberately not here.
+    */
   def listGenerations(spark: SparkSession, genPrefix: String): Seq[String] = {
     val re = (java.util.regex.Pattern.quote(
       genPrefix.toLowerCase(java.util.Locale.ROOT)) + "_t(\\d+)").r

@@ -43,7 +43,7 @@ import org.apache.spark.sql.functions._
   * (the meta marker is written last and recorded only on success), so the
   * cursor can never claim a version the catalog scan would reject.
   */
-private[streaming] object VersionChain {
+private[graft] object VersionChain {
 
   /** One committed version. `base` versions carry full state in their
     * delta tables; `delta` versions carry one batch's increment. */

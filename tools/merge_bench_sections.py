@@ -17,6 +17,9 @@ out_p = sys.argv[4] if len(sys.argv) > 4 else old_p
 old = json.load(open(old_p))
 new = json.load(open(new_p))
 
+# provenance covers every merged section (ADVICE r13: keys that only
+# appeared in the byte/cpu sections were never recorded, and a repeated
+# tag overwrote the prior list instead of unioning)
 merged_keys = []
 for sect in ("builds", "probes", "probe_file_bytes", "probe_input_bytes",
              "probe_cpu_sec", "probe_shuffle_bytes"):
@@ -25,11 +28,10 @@ for sect in ("builds", "probes", "probe_file_bytes", "probe_input_bytes",
     old.setdefault(sect, {})
     for k, v in new[sect].items():
         old[sect][k] = v
-        if sect == "probes" or (sect == "builds" and k not in merged_keys):
-            merged_keys.append(k)
+        merged_keys.append(k)
 
 rer = old.setdefault("rerecorded", {})
-rer[tag] = sorted(set(merged_keys))
+rer[tag] = sorted(set(rer.get(tag, [])) | set(merged_keys))
 
 with open(out_p, "w") as f:
     json.dump(old, f, separators=(",", ":"))
