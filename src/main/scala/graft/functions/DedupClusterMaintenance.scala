@@ -326,12 +326,16 @@ private[graft] trait DedupClusterMaintenance { self: DedupShingleCore =>
     val untouched = baseAssign
       .join(broadcast(affLabels), Seq("cluster_id"), "left_anti")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("keep"))
-    // affected-component members are needed twice (survivor derivation
-    // here, removal-marker derivation in delta maintainers) and are
-    // delta-sized by the sparse-takedown contract — materialize once
+    // members stays LAZY: the batch wrappers ([[componentsDeleteDelta]],
+    // the gated `*_deleted`/`*_mixed` queries) never read it, so a
+    // checkpoint here would charge them a materialization for nothing
+    // (measured +0.5 s on `dedup_clusters_mixed` when a first draft
+    // pinned it); the one consumer that reads it
+    // ([[graft.streaming.MixedIngest]]'s removal markers) uses it exactly
+    // once, so re-executing the semi-join there is cheaper than pinning
     val members = baseAssign
       .join(broadcast(affLabels), Seq("cluster_id"), "left_semi")
-      .select(col("doc_id")).localCheckpoint()
+      .select(col("doc_id"))
     val survivors = members
       .join(broadcast(tombs), Seq("doc_id"), "left_anti")
       .select(col("doc_id")).localCheckpoint()
