@@ -6,7 +6,7 @@ import graft.serving.{RestServer, WsServer}
 /** Runnable serving edge — `server.ts`'s role: one process exposing the
   * REST routes and the WebSocket push endpoint over a warmed engine.
   *
-  * {{{ sbt "runMain graft.Serve [sfDir] [httpPort] [wsPort]" }}}
+  * {{{ sbt "runMain graft.Serve [sfDir] [httpPort] [wsPort] [clusterPrefix]" }}}
   *
   * HTTP serves the seven `routes.ts` endpoints ([[graft.serving.RestServer]]);
   * WS accepts `subscribe:orderbook:<pool>` and answers with the current
@@ -35,8 +35,21 @@ object Serve {
         .filter(org.apache.spark.sql.functions.col("pool") === pool)
         .collect().headOption.map(_.getString(1))
 
+    // optional maintained-view serving (arg 4): when a MixedIngest/
+    // ClusterIngest prefix is named, `subscribe:clusters:<prefix>[:<cid>]`
+    // rooms serve that view's summary/membership snapshots and receive
+    // pushes from the sink's commit hook — the ST8 chain for the cluster
+    // views (`ClusterFeed`), alongside the order-book rooms
+    val clusterPrefix = if (args.length > 3) Some(args(3)) else None
+    def snapshot(key: String): Option[String] =
+      clusterPrefix.flatMap(p =>
+        graft.serving.ClusterFeed.snapshotFor(spark, p)(key))
+        .orElse(bookJson(key))
+
     val rest = RestServer.start(spark, sfDir, httpPort)
-    val ws = WsServer.start(bookJson _, wsPort)
+    val ws = WsServer.start(snapshot _, wsPort)
+    clusterPrefix.foreach(p =>
+      graft.serving.ClusterFeed.attach(spark, p, ws))
 
     // ST8 update chain (server.ts:43-51): a file-source STREAM over the
     // events table feeds the keyed fold; each micro-batch's changed pools
