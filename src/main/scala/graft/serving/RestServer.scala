@@ -11,7 +11,8 @@ import graft.operators.{BookQueries, BookServing}
   * `HttpServer` (zero new dependencies), rows rendered with Spark's own
   * `Dataset.toJSON` encoder.
   *
-  * Routes (all under `/api`, mirroring routes.ts):
+  * Routes (all under `/api`, mirroring routes.ts, plus the maintained
+  * cluster views — REST parity with the WS `subscribe:clusters:*` rooms):
   * {{{
   *   GET /api/pools
   *   GET /api/pools/:address
@@ -20,6 +21,8 @@ import graft.operators.{BookQueries, BookServing}
   *   GET /api/pools/:address/:trader/orders
   *   GET /api/pools/:address/:trader/market-orders
   *   GET /api/pools/:address/get-amount-out?amountIn=X&side=buy|sell
+  *   GET /api/clusters/:prefix
+  *   GET /api/clusters/:prefix/:clusterId
   * }}}
   *
   * Architecture note: each request runs a point query whose plan is a
@@ -97,6 +100,15 @@ object RestServer {
       Some(rows(BookQueries.userOrders(spark, dir, a, t.toLong)))
     case "pools" :: a :: t :: "market-orders" :: Nil =>
       Some(rows(BookQueries.userMarketOrders(spark, dir, a, t.toLong)))
+    // maintained cluster views over REST (verdict r14 stretch item 7 —
+    // parity with the WS `subscribe:clusters:*` surface): the summary and
+    // one cluster's membership, served from the SAME resolved assignment
+    // the WS snapshot path reads ([[ClusterFeed]]); 404 when the prefix
+    // has no committed view or the cluster id is absent
+    case "clusters" :: p :: Nil =>
+      ClusterFeed.summaryJson(spark, p)
+    case "clusters" :: p :: cid :: Nil =>
+      cid.toLongOption.flatMap(ClusterFeed.clusterJson(spark, p, _))
     case _ => None
   }
 

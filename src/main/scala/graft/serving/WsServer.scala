@@ -49,6 +49,10 @@ object WsServer {
 
     def subscriberCount(pool: String): Int = rooms.get(pool).map(_.size).getOrElse(0)
 
+    /** True once [[stop]] ran — the hook [[ClusterFeed]]'s commit listener
+      * uses to self-deregister when its serving context has died. */
+    def isClosed: Boolean = closed
+
     def stop(): Unit = {
       closed = true
       rooms.values.foreach(_.keys.foreach(s => try s.close() catch { case _: Throwable => }))
@@ -105,8 +109,12 @@ object WsServer {
             // the `clusters:` topic prefix so cluster-view prefixes can
             // never collide with pool names in the shared room map; the
             // snapshot callback receives the full key and dispatches
-            // ([[ClusterFeed.snapshotFor]])
+            // ([[ClusterFeed.snapshotFor]]). Lowercased at registration
+            // (ADVICE r14): pushes address rooms by the lowercased view
+            // prefix, so a mixed-case subscription would otherwise join a
+            // room that never receives anything, silently.
             val key = msg.stripPrefix("subscribe:")
+              .toLowerCase(java.util.Locale.ROOT)
             r.rooms.getOrElseUpdate(key, new TrieMap[Socket, Unit]())
               .put(sock, ())
             snapshot(key).foreach(writeText(out, _))

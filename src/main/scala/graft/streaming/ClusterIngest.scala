@@ -52,12 +52,12 @@ object ClusterIngest {
     * pairs (columns `id1`, `id2` — e.g. [[IngestDedup]]'s emitted pairs,
     * or [[SemIngest]]'s τ-near pairs). `autoCompactChain` bounds the
     * version chain (and so the read-side fold width and per-batch resolve
-    * cost) on long feeds; it defaults ON here — unlike [[MixedIngest]],
-    * where auto-compaction is opt-in because dropping tombstones moves
-    * the re-admission boundary, an adds-only view has no tombstones, so
-    * the fold is semantically INVISIBLE (the served assignment is
-    * bit-identical before and after) and there is no reason to let a
-    * long-running feed accumulate an unbounded chain.
+    * cost) on long feeds; it defaults ON here, and since round 15 the
+    * engine's own default matches ([[MixedIngest.start]] chain-bounds via
+    * the KEEP-TOMBS fold, which preserves the re-admission boundary) — on
+    * an adds-only view the two fold kinds coincide (no tombstones), and
+    * the fold is semantically INVISIBLE either way (the served assignment
+    * is bit-identical before and after).
     */
   def start(pairs: DataFrame, prefix: String, checkpoint: String,
             name: String = "cluster_ingest",

@@ -91,6 +91,19 @@ object MixedIngest {
     sys.props.get("graft.mixed.tombBroadcastLimit").map(_.toLong)
       .getOrElse(4000000L)
 
+  /** Default version-chain bound for [[start]] when no `autoCompactChain`
+    * is passed (verdict r14 item 1: the un-optioned mixed feed used to
+    * accumulate an unbounded chain — O(#batches) read-side fold width and
+    * metastore entries — because the only fold kind dropped tombstones
+    * and so couldn't run unasked; the KEEP-TOMBS fold removes that
+    * obstacle, so chain bounding is now default-on exactly as
+    * [[ClusterIngest]]'s always was). Overridable for tests via
+    * `-Dgraft.mixed.autoCompactChainDefault`.
+    */
+  private[graft] def autoCompactChainDefault: Int =
+    sys.props.get("graft.mixed.autoCompactChainDefault").map(_.toInt)
+      .getOrElse(32)
+
   /** Test-only failpoint: when set to "assign" | "edges" | "tombs", the
     * merge throws immediately AFTER that state table lands — simulating a
     * crash inside the commit window, before the `_meta` marker. The torn
@@ -104,11 +117,36 @@ object MixedIngest {
 
   /** Streams currently attached to a prefix — the quiescence registry
     * behind [[compact]]'s refuse-while-active guard (verdict r13 item 3).
+    * Entries self-clean (verdict r14 item 2): a [[StreamingQueryListener]]
+    * registered once per query manager removes a prefix's entry when its
+    * query terminates, so a long-lived driver hosting many short-lived
+    * prefixed streams no longer accumulates dead query references. (The
+    * guard itself checks `isActive`, so the cleanup is a leak fix, not a
+    * correctness change.)
     */
   private val attached =
     new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
   private[graft] def attach(prefix: String, q: StreamingQuery): Unit =
     attached.put(prefix.toLowerCase(java.util.Locale.ROOT), q)
+  private[graft] def attachedQuery(prefix: String): Option[StreamingQuery] =
+    Option(attached.get(prefix.toLowerCase(java.util.Locale.ROOT)))
+
+  private val reaperInstalled = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.streaming.StreamingQueryManager, java.lang.Boolean]())
+  private def installReaper(spark: SparkSession): Unit =
+    if (reaperInstalled.add(spark.streams))
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+            val it = attached.entrySet().iterator()
+            while (it.hasNext)
+              if (it.next().getValue.runId == e.runId) it.remove()
+          }
+        })
 
   /** Per-prefix commit listeners — the ST8-style change-notification hook
     * (verdict r13 item 7): after a MERGE commits (never a compaction —
@@ -127,6 +165,8 @@ object MixedIngest {
     commitListeners.put(prefix.toLowerCase(java.util.Locale.ROOT), f)
   private[graft] def clearOnCommit(prefix: String): Unit =
     commitListeners.remove(prefix.toLowerCase(java.util.Locale.ROOT))
+  private[graft] def hasOnCommit(prefix: String): Boolean =
+    commitListeners.containsKey(prefix.toLowerCase(java.util.Locale.ROOT))
 
   /** Measurement plumbing for the StreamBench written-bytes evidence
     * (verdict r13 item 1 done-criteria): when enabled, every committed
@@ -154,31 +194,42 @@ object MixedIngest {
     * than on an explicit operator action (`MixedIngestSpec` pins both
     * readings).
     *
-    * `autoCompactChain`: when set, the sink also compacts whenever the
-    * version chain exceeds that many links — bounding read-side fold
-    * width (and metastore entries) on a long add-heavy feed whose
-    * tombstone trigger never fires.
+    * `autoCompactChain`: the sink compacts whenever the version chain
+    * exceeds that many links — bounding read-side fold width (and
+    * metastore entries) on a long feed. DEFAULT-ON at
+    * [[autoCompactChainDefault]] links (verdict r14 item 1): the
+    * chain-triggered fold is the KEEP-TOMBS kind — assignment and edges
+    * fold to a fresh base but the accumulated tombstone union carries
+    * forward — so it is semantically INVISIBLE (the per-batch anti-joins
+    * see the same tombstone set; the re-admission boundary does not
+    * move), and there is no longer any reason to let an unattended feed
+    * accumulate an unbounded chain. Pass `Some(Int.MaxValue)` to
+    * effectively disable. Only the TOMBSTONE-triggered fold (and manual
+    * [[compact]]) drops tombstones — that is its purpose, and why
+    * `autoCompactTombs` stays opt-in.
     */
   def start(feed: DataFrame, prefix: String, checkpoint: String,
             name: String = "mixed_ingest",
             autoCompactTombs: Option[Long] = None,
             autoCompactChain: Option[Int] = None): StreamingQuery = {
+    installReaper(feed.sparkSession)
+    val chainLimit = autoCompactChain.getOrElse(autoCompactChainDefault)
     val q = feed.writeStream
       .queryName(name)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatch(batch, prefix, batchId, ckpt = Some(checkpoint))
+        // the merge already computed the accumulated tombstone count and
+        // the post-commit chain length — reuse them (ADVICE r14: the old
+        // probe re-derived the full chain state per micro-batch, an extra
+        // chain-wide Spark job on the hot path of tombstone-bounded feeds)
+        val st = mergeBatch(batch, prefix, batchId, ckpt = Some(checkpoint))
         val spark = batch.sparkSession
         val p = prefix.toLowerCase(java.util.Locale.ROOT)
-        val overTombs = autoCompactTombs.exists { limit =>
-          currentState(spark, prefix).exists(_._3.count() > limit)
-        }
-        val overChain = autoCompactChain.exists { limit =>
-          val vers = committedFull(spark, p)
-          vers.lastOption.exists(t => VersionChain.chain(vers, t).size > limit)
-        }
-        if (overTombs || overChain) compactImpl(spark, p, "compact_auto")
+        if (autoCompactTombs.exists(st.tombCount > _))
+          compactImpl(spark, p, "compact_auto", keepTombs = false)
+        else if (st.chainLen > chainLimit)
+          compactImpl(spark, p, "compact_auto", keepTombs = true)
       }
       .start()
     attach(prefix, q)
@@ -197,12 +248,44 @@ object MixedIngest {
     df.join(side, Seq(idCol), "left_anti")
   }
 
+  /** Post-commit probe readings [[mergeBatch]] hands back so [[start]]'s
+    * auto-compaction triggers never re-derive chain-wide state on the hot
+    * path (ADVICE r14): `tombCount` is the accumulated tombstone count the
+    * merge already materialized, `chainLen` the committed version's chain
+    * length. */
+  private[graft] final case class MergeStats(tombCount: Long, chainLen: Int)
+
+  /** Per-version tombstone deltas of `ch` unioned (legacy pre-delta-layout
+    * versions never wrote `_d` tables — skipped, they had no tombstones by
+    * construction: the legacy layout was adds-only). Empty-chain/-only-
+    * legacy callers get an empty long-typed frame — long ids are the
+    * engine-wide convention (every feed, spec, and rehearsal).
+    */
+  private def chainTombs(spark: SparkSession, p: String,
+                         ch: Seq[Ver]): DataFrame = {
+    val ts = ch.filterNot(_.legacy).map(v => spark.table(s"${p}_d${v.v}"))
+    if (ts.isEmpty) spark.range(0).select(col("id").as("doc_id"))
+    else ts.reduce(_ unionByName _)
+  }
+
+  /** Per-version edge deltas of `ch` unioned (legacy versions persisted no
+    * `_e` tables — skipped; their incomplete edge history is what the
+    * `taint` marker tracks). */
+  private def chainEdges(spark: SparkSession, p: String,
+                         ch: Seq[Ver]): DataFrame = {
+    val es = ch.filterNot(_.legacy).map(v => spark.table(s"${p}_e${v.v}"))
+    if (es.isEmpty)
+      spark.range(0).select(col("id").as("id1"), col("id").as("id2"))
+    else es.reduce(_ unionByName _)
+  }
+
   /** One micro-batch of interleaved adds/deletes → one DELTA version
     * (assignment changes, arriving live edges, batch tombstones). Exposed
-    * for the spec to replay deliveries.
+    * for the spec to replay deliveries. Returns the post-commit probe
+    * stats [[start]]'s auto-compaction triggers consume.
     */
   def mergeBatch(batch: DataFrame, prefix: String, batchId: Long,
-                 ckpt: Option[String] = None): Unit = {
+                 ckpt: Option[String] = None): MergeStats = {
     val spark = batch.sparkSession
     val p = prefix.toLowerCase(java.util.Locale.ROOT)
     val versions = committedFull(spark, p)
@@ -267,12 +350,26 @@ object MixedIngest {
 
     val baseTip = versions.filter(_.upto < batchId).lastOption
     val ch = baseTip.map(VersionChain.chain(versions, _)).getOrElse(Vector.empty)
+    // a takedown needs the chain's FULL live edge set for the component-
+    // local recompute; a tainted chain (contains or folds a pre-delta-
+    // layout version) never persisted its pre-upgrade edges, so the
+    // recompute would silently run over a partial graph — refuse loudly
+    // (ADVICE r14: the legacy-migration path must fail visibly where it
+    // cannot preserve correctness, never silently)
+    if (delCount > 0 && ch.exists(_.taint))
+      throw new IllegalStateException(
+        s"MixedIngest.mergeBatch: takedown arrived for prefix '$prefix' " +
+          "whose version chain includes (or folds) a pre-delta-layout " +
+          "version: its live edge set was never persisted, so the " +
+          "component-local delete recompute cannot see pre-upgrade edges; " +
+          "rebuild the view under a fresh prefix (re-feed the pairs) " +
+          "before enabling takedowns")
 
     // 1. accumulated tombstones: union of the chain's per-batch delete
     // deltas plus this batch's — materialized eagerly because the
     // adds-filter, the delete recompute, and the size probe all read it
-    val tombsAll = (ch.map(v => spark.table(s"${p}_d${v.v}")) :+ dels)
-      .reduce(_ unionByName _).distinct().localCheckpoint()
+    val tombsAll = chainTombs(spark, p, ch).unionByName(dels)
+      .distinct().localCheckpoint()
     val tombCount = tombsAll.count()
     // 2. live arriving edges: both endpoints must be outside the
     // accumulated tombstone set — an edge to a previously- (or
@@ -314,8 +411,7 @@ object MixedIngest {
           // O(batch) while the recompute's semi-joins prune the scan to
           // affected members.
           lazy val edgesLive = {
-            val raw = (chain.map(x => spark.table(s"${p}_e${x.v}")) :+ liveAdds)
-              .reduce(_ unionByName _)
+            val raw = chainEdges(spark, p, chain).unionByName(liveAdds)
             antiTombs(antiTombs(raw, tombsAll, tombCount, "id1"),
               tombsAll, tombCount, "id2")
               .select(col("id1"), col("id2"))
@@ -350,12 +446,17 @@ object MixedIngest {
           (delta, "delta")
         }
     }
+    // a delta over a tainted chain stays chained to the tainted base, so
+    // it needs no marker of its own; only FOLD versions inherit the taint
+    // explicitly ([[compactImpl]]) because they replace the chain
     val ver = Ver(v, batchId, baseTip.map(_.v).getOrElse(-1L),
       kind, s"${p}_v$v")
     commitVersion(spark, p, ver, assign = assignOut, edges = liveAdds,
       tombs = dels)
     gc(spark, p)
     Option(commitListeners.get(p)).foreach(_(spark, ver))
+    MergeStats(tombCount = tombCount,
+      chainLen = if (ch.isEmpty) 1 else ch.size + 1)
   }
 
   /** Write one (assignment, edges, tombstones) version with the `_meta`
@@ -379,6 +480,7 @@ object MixedIngest {
       .withColumn("upto", lit(ver.upto))
       .withColumn("parent", lit(ver.parent))
       .withColumn("kind", lit(ver.kind))
+      .withColumn("taint", lit(ver.taint))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${ver.table}_meta")
     VersionChain.record(spark, p, ver)
@@ -399,11 +501,20 @@ object MixedIngest {
   /** Fold the accumulated chain down to a single base version (the
     * promise the per-batch delta path defers to): assignment deltas
     * resolve to the current view, duplicate edges from per-batch appends
-    * collapse, any tombstone-incident edge is dropped permanently, and
-    * the tombstone table resets to EMPTY — after which a
-    * previously-deleted id can re-enter the view via a later add (the
-    * documented semantics boundary: a takedown suppresses re-admission
-    * only until the next compaction).
+    * collapse, and any tombstone-incident edge is dropped permanently.
+    *
+    * `keepTombs` picks the fold kind (verdict r14 item 1):
+    *  - `false` (the default, the pre-r15 behavior): the tombstone table
+    *    resets to EMPTY — after which a previously-deleted id can
+    *    re-enter the view via a later add (the documented semantics
+    *    boundary: a takedown suppresses re-admission only until the next
+    *    tombstone-dropping compaction);
+    *  - `true`: the accumulated tombstone union carries forward into the
+    *    folded base — the per-batch anti-joins see the SAME set before
+    *    and after, so the fold is semantically invisible and safe to run
+    *    unasked (it is what lets `autoCompactChain` default ON in
+    *    [[start]]). The `_d` rewrite is O(accumulated tombstones) — an
+    *    off-hot-path cost with the same shape as the assignment fold.
     *
     * Commits a fresh version (same `upto` as the chain it folds, next
     * counter number) under the standard marker-last protocol: a torn
@@ -420,7 +531,8 @@ object MixedIngest {
     * micro-batch serialization makes it quiesced by construction, and its
     * folds are self-healing under replay.
     */
-  def compact(spark: SparkSession, prefix: String): Unit = {
+  def compact(spark: SparkSession, prefix: String,
+              keepTombs: Boolean = false): Unit = {
     val p = prefix.toLowerCase(java.util.Locale.ROOT)
     val q = attached.get(p)
     if (q != null && q.isActive)
@@ -430,31 +542,58 @@ object MixedIngest {
           "stream races its replays; stop the stream (or use the " +
           "autoCompact options, which run serialized inside the stream) " +
           "and retry")
-    compactImpl(spark, p, "compact")
+    compactImpl(spark, p, "compact", keepTombs)
   }
 
-  private def compactImpl(spark: SparkSession, p: String,
-                          kind: String): Unit = {
+  private def compactImpl(spark: SparkSession, p: String, kind: String,
+                          keepTombs: Boolean): Unit = {
     val versions = committedFull(spark, p)
     versions.lastOption.foreach { tip =>
       val ch = VersionChain.chain(versions, tip)
-      val tombs = ch.map(x => spark.table(s"${p}_d${x.v}"))
-        .reduce(_ unionByName _).distinct().localCheckpoint()
+      val tombs = chainTombs(spark, p, ch).distinct().localCheckpoint()
       val tombCount = tombs.count()
-      if (ch.size > 1 || tombCount > 0) {
+      // a keep-tombs fold of a single-version chain would rewrite
+      // identical state (and, triggered from the chain bound, loop)
+      if (ch.size > 1 || (!keepTombs && tombCount > 0)) {
         val edges =
-          antiTombs(antiTombs(
-              ch.map(x => spark.table(s"${p}_e${x.v}")).reduce(_ unionByName _),
+          antiTombs(antiTombs(chainEdges(spark, p, ch),
               tombs, tombCount, "id1"),
             tombs, tombCount, "id2")
           .select(col("id1"), col("id2")).distinct()
         // the resolved assignment passes through untouched — deletes were
-        // already applied to it batch-by-batch
+        // already applied to it batch-by-batch. A fold over a chain whose
+        // base is legacy (pre-delta-layout) inherits the `taint` marker:
+        // the folded edge set misses the pre-upgrade edges forever, so
+        // the takedown refusal must survive the fold.
         commitVersion(spark, p,
-          Ver(tip.v + 1, tip.upto, tip.v, kind, s"${p}_v${tip.v + 1}"),
+          Ver(tip.v + 1, tip.upto, tip.v, kind, s"${p}_v${tip.v + 1}",
+            taint = ch.exists(_.taint)),
           assign = VersionChain.resolveAssign(spark, ch),
-          edges = edges, tombs = tombs.limit(0))
+          edges = edges,
+          tombs = if (keepTombs) tombs else tombs.limit(0))
         gc(spark, p)
+      }
+    }
+    sweepOrphans(spark, p)
+  }
+
+  /** Drop stranded per-version tables nothing references (verdict r14
+    * minor): a crash between GC's `_meta` drop and the data-table drops
+    * leaves orphan parquet tables the keep-set logic never sees again
+    * (the version is uncommitted without its meta, so GC never lists it).
+    * Runs inside compaction — off the hot path, quiesced or serialized by
+    * the caller's guard — and drops any `{p}_v/e/dN[_meta]` table whose
+    * version is not committed. Torn in-flight commits cannot be swept:
+    * compaction is never concurrent with a merge on this prefix.
+    */
+  private def sweepOrphans(spark: SparkSession, p: String): Unit = {
+    val valid = committedFull(spark, p).map(_.v).toSet
+    val re = (java.util.regex.Pattern.quote(p) + "_(?:v|e|d)(\\d+)(?:_meta)?").r
+    spark.catalog.listTables().collect().foreach { t =>
+      t.name match {
+        case re(n) if !valid.contains(n.toLong) =>
+          spark.sql(s"DROP TABLE IF EXISTS ${t.name}")
+        case _ => ()
       }
     }
   }
@@ -506,12 +645,10 @@ object MixedIngest {
     val versions = committedFull(spark, p)
     versions.lastOption.map { tip =>
       val ch = VersionChain.chain(versions, tip)
-      val tombs = ch.map(x => spark.table(s"${p}_d${x.v}"))
-        .reduce(_ unionByName _).distinct()
+      val tombs = chainTombs(spark, p, ch).distinct()
       val tombCount = tombs.count()
       val edges =
-        antiTombs(antiTombs(
-            ch.map(x => spark.table(s"${p}_e${x.v}")).reduce(_ unionByName _),
+        antiTombs(antiTombs(chainEdges(spark, p, ch),
             tombs, tombCount, "id1"),
           tombs, tombCount, "id2")
         .select(col("id1"), col("id2"))

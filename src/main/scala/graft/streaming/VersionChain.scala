@@ -46,9 +46,20 @@ import org.apache.spark.sql.functions._
 private[graft] object VersionChain {
 
   /** One committed version. `base` versions carry full state in their
-    * delta tables; `delta` versions carry one batch's increment. */
+    * delta tables; `delta` versions carry one batch's increment.
+    *
+    * `legacy` marks a PRE-delta-layout version (a full-snapshot `_v` with
+    * no `_e`/`_d` state tables — what the standalone adds-only
+    * ClusterIngest wrote before round 14): readers must skip its absent
+    * state tables instead of failing. `taint` marks a version whose edge
+    * history is INCOMPLETE (it is, or folds, a legacy version): the
+    * takedown recompute needs the full live edge set, so [[MixedIngest]]
+    * refuses deletes over a tainted chain loudly rather than recomputing
+    * from a partial graph.
+    */
   final case class Ver(v: Long, upto: Long, parent: Long, kind: String,
-                       table: String) {
+                       table: String, legacy: Boolean = false,
+                       taint: Boolean = false) {
     def isBase: Boolean = kind != "delta"
   }
 
@@ -107,23 +118,30 @@ private[graft] object VersionChain {
       .flatMap(t => re.unapplySeq(t.name).flatMap(_.headOption)
         .map(n => (n.toLong, t.name)))
       .sortBy(_._1)
-      .filter { case (n, t) =>
-        spark.catalog.tableExists(s"${t}_meta") &&
-          stateTables(n).forall(spark.catalog.tableExists)
-      }
-      .map { case (n, t) =>
+      .filter { case (_, t) => spark.catalog.tableExists(s"${t}_meta") }
+      .flatMap { case (n, t) =>
         val meta = spark.table(s"${t}_meta")
         val cols = meta.columns.toSet
         // layout migration: pre-r14 metas carry no parent/kind — each old
         // version was a FULL snapshot, which is exactly a base; pre-counter
-        // metas (no `upto` either) carried the batch id AS the version
-        val row = meta.head()
-        val upto = if (cols.contains("upto")) row.getAs[Long]("upto") else n
-        val parent =
-          if (cols.contains("parent")) row.getAs[Long]("parent") else -1L
-        val kind =
-          if (cols.contains("kind")) row.getAs[String]("kind") else "base"
-        Ver(n, upto, parent, kind, t)
+        // metas (no `upto` either) carried the batch id AS the version.
+        // Legacy versions never HAD `_e`/`_d` state tables, so the
+        // state-table existence check applies only to new-layout metas
+        // (ADVICE r14: enforcing it unconditionally silently filtered out
+        // every committed version of an upgraded adds-only view — a resumed
+        // stream then rebuilt the maintained state from an empty base).
+        val legacy = !cols.contains("kind")
+        if (!legacy && !stateTables(n).forall(spark.catalog.tableExists)) None
+        else {
+          val row = meta.head()
+          val upto = if (cols.contains("upto")) row.getAs[Long]("upto") else n
+          val parent =
+            if (cols.contains("parent")) row.getAs[Long]("parent") else -1L
+          val kind = if (legacy) "base" else row.getAs[String]("kind")
+          val taint = legacy ||
+            (cols.contains("taint") && row.getAs[Boolean]("taint"))
+          Some(Ver(n, upto, parent, kind, t, legacy = legacy, taint = taint))
+        }
       }
   }
 

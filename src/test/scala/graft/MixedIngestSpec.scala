@@ -410,6 +410,139 @@ class MixedIngestSpec extends SparkSpec {
       "post-compaction delivery diverged")
   }
 
+  test("keep-tombs compaction folds the chain WITHOUT moving the re-admission boundary") {
+    reset()
+    // chain {1,2,3}, then delete 2 (splits — 1 and 3 drop with it)
+    MixedIngest.mergeBatch(feedDf(Seq((1L, 2L), (2L, 3L)), Seq.empty), prefix, 0L)
+    MixedIngest.mergeBatch(feedDf(Seq.empty, Seq(2L)), prefix, 1L)
+    val expectPre = expect(Seq((1L, 2L), (2L, 3L)), Seq(2L))
+    assert(rows(MixedIngest.current(spark, prefix).get) == expectPre)
+    MixedIngest.compact(spark, prefix, keepTombs = true)
+    // view bit-identical, chain folded to a single base — but the
+    // tombstone CARRIED FORWARD (the r14 fold reset it, which is why
+    // chain bounding couldn't default on)
+    assert(rows(MixedIngest.current(spark, prefix).get) == expectPre,
+      "keep-tombs compaction changed the served assignment")
+    val vers = MixedIngest.committedFull(spark, prefix)
+    assert(graft.streaming.VersionChain.chain(vers, vers.last).size == 1,
+      s"keep-tombs compaction did not fold the chain: $vers")
+    val (_, _, tombs) = MixedIngest.currentState(spark, prefix).get
+    assert(tombs.collect().map(_.getLong(0)).toSet == Set(2L),
+      "keep-tombs compaction dropped the tombstones")
+    // the boundary test: an edge to the deleted doc arriving AFTER the
+    // fold is STILL suppressed — exactly as if no fold had run
+    MixedIngest.mergeBatch(feedDf(Seq((2L, 10L)), Seq.empty), prefix, 2L)
+    assert(rows(MixedIngest.current(spark, prefix).get) == expectPre,
+      "keep-tombs fold moved the re-admission boundary")
+    // only a tombstone-DROPPING fold re-opens re-entry
+    MixedIngest.compact(spark, prefix)
+    MixedIngest.mergeBatch(feedDf(Seq((2L, 11L)), Seq.empty), prefix, 3L)
+    assert(rows(MixedIngest.current(spark, prefix).get)
+      .exists(_._1 == 2L), "post-reset re-entry should admit the doc again")
+  }
+
+  test("an un-optioned stream bounds its version chain by default, boundary intact") {
+    reset()
+    sys.props("graft.mixed.autoCompactChainDefault") = "2"
+    try {
+      // four single-file micro-batches with NO options set: the default
+      // chain bound (2 here via the test prop; 32 in production) triggers
+      // keep-tombs folds mid-stream, so the chain stays short while the
+      // takedown keeps suppressing edges that arrive after the folds
+      // (verdict r14 item 1 done-criteria b: bounded chain, no options)
+      feedDf(Seq((1L, 2L), (2L, 3L)), Seq.empty).coalesce(1).write.parquet(s"$inbox/w1")
+      feedDf(Seq.empty, Seq(2L)).coalesce(1).write.parquet(s"$inbox/w2")
+      feedDf(Seq((2L, 9L)), Seq.empty).coalesce(1).write.parquet(s"$inbox/w3")
+      feedDf(Seq((5L, 6L)), Seq.empty).coalesce(1).write.parquet(s"$inbox/w4")
+      ingestAvailable()
+      val adds = Seq((1L, 2L), (2L, 3L), (2L, 9L), (5L, 6L))
+      assert(rows(MixedIngest.current(spark, prefix).get) ==
+        expect(adds, Seq(2L)),
+        "default chain bounding diverged from the closure (boundary moved?)")
+      val (_, _, tombs) = MixedIngest.currentState(spark, prefix).get
+      assert(tombs.collect().map(_.getLong(0)).toSet == Set(2L),
+        "default chain bounding dropped tombstones")
+      val vers = MixedIngest.committedFull(spark, prefix)
+      assert(graft.streaming.VersionChain.chain(vers, vers.last).size <= 2,
+        s"un-optioned stream accumulated an unbounded chain: $vers")
+    } finally sys.props.remove("graft.mixed.autoCompactChainDefault")
+  }
+
+  test("legacy pre-delta-layout versions keep serving; takedowns over them refuse loudly") {
+    reset()
+    import spark.implicits._
+    // hand-write the PRE-r14 layout: a full-snapshot assignment `_v0` with
+    // an n-only meta — no parent/kind/upto columns, no _e/_d state tables
+    // (ADVICE r14 medium: the state-table existence filter silently
+    // dropped these committed versions, so a resumed stream rebuilt the
+    // maintained view from an empty base)
+    val legacyAssign = DedupOps.componentsOver(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2"))
+    legacyAssign.write.format("parquet").saveAsTable(s"${prefix}_v0")
+    legacyAssign.agg(count(lit(1)).as("n"))
+      .write.format("parquet").saveAsTable(s"${prefix}_v0_meta")
+    MixedIngest.invalidateCursor(spark, prefix)
+    // the committed listing must SEE the legacy version (as a base)…
+    assert(MixedIngest.committedVersions(spark, prefix).map(_._1) == Seq(0L),
+      "legacy full-snapshot version was filtered out of the committed list")
+    // …and the served view must be the legacy assignment, not empty
+    assert(rows(MixedIngest.current(spark, prefix).get) == rows(legacyAssign),
+      "legacy view lost after upgrade — the silent-loss ADVICE r14 bug")
+    // adds merge onto the legacy base exactly like any other chain
+    MixedIngest.mergeBatch(feedDf(Seq((3L, 4L)), Seq.empty), prefix, 1L)
+    assert(rows(MixedIngest.current(spark, prefix).get) ==
+      expect(Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 4L)), Seq.empty),
+      "merge over a legacy base diverged")
+    // a takedown needs the chain's full edge history, which the legacy
+    // layout never persisted — refuse loudly, never recompute silently
+    val e = intercept[IllegalStateException] {
+      MixedIngest.mergeBatch(feedDf(Seq.empty, Seq(2L)), prefix, 2L)
+    }
+    assert(e.getMessage.contains("pre-delta-layout"),
+      s"wrong refusal: ${e.getMessage}")
+    // the taint survives a fold: compaction folds the legacy base away,
+    // but the folded edge set still misses the pre-upgrade edges
+    MixedIngest.compact(spark, prefix)
+    assert(rows(MixedIngest.current(spark, prefix).get) ==
+      expect(Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 4L)), Seq.empty),
+      "compaction over a legacy chain changed the view")
+    val e2 = intercept[IllegalStateException] {
+      MixedIngest.mergeBatch(feedDf(Seq.empty, Seq(2L)), prefix, 2L)
+    }
+    assert(e2.getMessage.contains("pre-delta-layout"),
+      s"taint must survive the fold: ${e2.getMessage}")
+    // adds still flow after the fold
+    MixedIngest.mergeBatch(feedDf(Seq((11L, 12L)), Seq.empty), prefix, 2L)
+    assert(rows(MixedIngest.current(spark, prefix).get) ==
+      expect(Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 4L), (11L, 12L)),
+        Seq.empty))
+  }
+
+  test("compact sweeps orphan tables a torn GC stranded") {
+    reset()
+    import spark.implicits._
+    MixedIngest.mergeBatch(feedDf(Seq((1L, 2L)), Seq.empty), prefix, 0L)
+    MixedIngest.mergeBatch(feedDf(Seq((3L, 4L)), Seq.empty), prefix, 1L)
+    // strand (a) data tables with no meta — the crash window between GC's
+    // meta drop and its data-table drops (verdict r14 minor), and (b) a
+    // new-layout meta whose state tables are gone — the opposite tear
+    Seq((97L, 98L)).toDF("id1", "id2").write.format("parquet")
+      .saveAsTable(s"${prefix}_e97")
+    Seq(99L).toDF("doc_id").write.format("parquet")
+      .saveAsTable(s"${prefix}_d97")
+    Seq((96L, 0L, -1L, "delta")).toDF("n", "upto", "parent", "kind")
+      .write.format("parquet").saveAsTable(s"${prefix}_v96_meta")
+    val committed = MixedIngest.committedVersions(spark, prefix).map(_._3)
+    MixedIngest.compact(spark, prefix)
+    Seq(s"${prefix}_e97", s"${prefix}_d97", s"${prefix}_v96_meta").foreach(t =>
+      assert(!spark.catalog.tableExists(t), s"orphan $t not swept"))
+    // the served view and its committed tables survive the sweep
+    assert(rows(MixedIngest.current(spark, prefix).get) ==
+      expect(Seq((1L, 2L), (3L, 4L)), Seq.empty),
+      "orphan sweep damaged the served view")
+    assert(committed.nonEmpty)
+  }
+
   test("the shuffle anti-join path (tombstones past the broadcast limit) matches") {
     reset()
     sys.props("graft.mixed.tombBroadcastLimit") = "1"

@@ -81,6 +81,36 @@ class RestServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("REST edge: cluster-view routes serve the maintained assignment (WS parity)") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val prefix = "clrest"
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith(prefix)).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    graft.streaming.MixedIngest.invalidateCursor(spark, prefix)
+    // the maintained view: clusters {1,2,3} and {10,11}
+    val feed = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+      .withColumn("op", lit("add")).select("op", "id1", "id2")
+    graft.streaming.MixedIngest.mergeBatch(feed, prefix, 0L)
+    val srv = RestServer.start(spark, sfTiny)
+    try {
+      val port = srv.port
+      val (c1, summary) = get(port, s"/api/clusters/$prefix")
+      assert(c1 == 200 &&
+        summary == s"""{"prefix":"$prefix","docs":5,"clusters":2}""",
+        s"wrong summary: $summary")
+      val (c2, members) = get(port, s"/api/clusters/$prefix/1")
+      assert(c2 == 200 &&
+        members == """{"cluster_id":1,"size":3,"members":[1,2,3]}""",
+        s"wrong membership: $members")
+      val (c3, _) = get(port, s"/api/clusters/$prefix/999")
+      assert(c3 == 404, "absent cluster id must 404")
+      val (c4, _) = get(port, "/api/clusters/no_such_prefix")
+      assert(c4 == 404, "unknown prefix must 404")
+    } finally srv.stop()
+  }
+
   test("REST edge: concurrent requests are served in parallel, all complete") {
     val srv = RestServer.start(spark, sfTiny)
     try {
