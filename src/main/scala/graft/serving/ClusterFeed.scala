@@ -108,8 +108,12 @@ object ClusterFeed {
   def attach(spark: SparkSession, prefix: String,
              ws: WsServer.Running): Unit = {
     val p = prefix.toLowerCase(java.util.Locale.ROOT)
-    MixedIngest.onCommit(prefix) { (s, ver) =>
-      if (ws.isClosed) MixedIngest.clearOnCommit(prefix)
+    // self-deregistration must be CONDITIONAL on still being the
+    // registered listener: a commit running this (stale) listener could
+    // otherwise race a concurrent re-attach for a fresh WS server and
+    // remove the replacement — silently killing the new context's pushes
+    lazy val listener: (SparkSession, graft.streaming.VersionChain.Ver) => Unit = { (s, ver) =>
+      if (ws.isClosed) MixedIngest.clearOnCommitIf(prefix, listener)
       else {
         val delta = s.table(ver.table)
           .select(col("doc_id"), col("cluster_id")).collect()
@@ -139,6 +143,7 @@ object ClusterFeed {
         }
       }
     }
+    MixedIngest.onCommit(prefix)(listener)
   }
 
   def detach(prefix: String): Unit = MixedIngest.clearOnCommit(prefix)

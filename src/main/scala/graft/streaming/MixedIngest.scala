@@ -126,14 +126,27 @@ object MixedIngest {
     */
   private val attached =
     new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
-  private[graft] def attach(prefix: String, q: StreamingQuery): Unit =
+  private[graft] def attach(prefix: String, q: StreamingQuery): Unit = {
     attached.put(prefix.toLowerCase(java.util.Locale.ROOT), q)
+    // belt-and-braces for the window the reaper cannot see: a query that
+    // terminated BEFORE this attach ran (empty AvailableNow feed) was
+    // already past its termination event when inserted — sweep inactive
+    // entries here so the next attach (any prefix) clears such a straggler
+    // instead of it living forever. The compaction guard checks isActive,
+    // so a straggler is a leak, never a correctness hazard.
+    attached.entrySet().removeIf(e =>
+      !e.getValue.isActive && (e.getValue ne q))
+  }
   private[graft] def attachedQuery(prefix: String): Option[StreamingQuery] =
     Option(attached.get(prefix.toLowerCase(java.util.Locale.ROOT)))
 
-  private val reaperInstalled = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.sql.streaming.StreamingQueryManager, java.lang.Boolean]())
+  // weak keys: pinning every StreamingQueryManager (and through it the
+  // SparkSession) this object ever saw would leak sessions in a driver
+  // that churns them — the listener registration lives on the manager,
+  // not here, so a collected session just disappears from the set
+  private val reaperInstalled = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(new java.util.WeakHashMap[
+      org.apache.spark.sql.streaming.StreamingQueryManager, java.lang.Boolean]()))
   private def installReaper(spark: SparkSession): Unit =
     if (reaperInstalled.add(spark.streams))
       spark.streams.addListener(
@@ -165,6 +178,13 @@ object MixedIngest {
     commitListeners.put(prefix.toLowerCase(java.util.Locale.ROOT), f)
   private[graft] def clearOnCommit(prefix: String): Unit =
     commitListeners.remove(prefix.toLowerCase(java.util.Locale.ROOT))
+  /** Remove the listener only if `f` is STILL the registered one — the
+    * self-deregistration form ([[graft.serving.ClusterFeed]]): a stale
+    * listener racing a concurrent re-attach must not remove its
+    * replacement. */
+  private[graft] def clearOnCommitIf(prefix: String,
+      f: (SparkSession, Ver) => Unit): Unit =
+    commitListeners.remove(prefix.toLowerCase(java.util.Locale.ROOT), f)
   private[graft] def hasOnCommit(prefix: String): Boolean =
     commitListeners.containsKey(prefix.toLowerCase(java.util.Locale.ROOT))
 
@@ -203,10 +223,13 @@ object MixedIngest {
     * forward — so it is semantically INVISIBLE (the per-batch anti-joins
     * see the same tombstone set; the re-admission boundary does not
     * move), and there is no longer any reason to let an unattended feed
-    * accumulate an unbounded chain. Pass `Some(Int.MaxValue)` to
-    * effectively disable. Only the TOMBSTONE-triggered fold (and manual
-    * [[compact]]) drops tombstones — that is its purpose, and why
-    * `autoCompactTombs` stays opt-in.
+    * accumulate an unbounded chain. `None` means the engine default; a
+    * NON-POSITIVE bound (`Some(0)`) disables chain folding entirely —
+    * the explicit opt-out for a caller that wants full version history
+    * retained (note GC still prunes superseded versions outside the two
+    * newest batch marks' chains, as it always has). Only the
+    * TOMBSTONE-triggered fold (and manual [[compact]]) drops tombstones —
+    * that is its purpose, and why `autoCompactTombs` stays opt-in.
     */
   def start(feed: DataFrame, prefix: String, checkpoint: String,
             name: String = "mixed_ingest",
@@ -228,7 +251,7 @@ object MixedIngest {
         val p = prefix.toLowerCase(java.util.Locale.ROOT)
         if (autoCompactTombs.exists(st.tombCount > _))
           compactImpl(spark, p, "compact_auto", keepTombs = false)
-        else if (st.chainLen > chainLimit)
+        else if (chainLimit > 0 && st.chainLen > chainLimit)
           compactImpl(spark, p, "compact_auto", keepTombs = true)
       }
       .start()
@@ -315,6 +338,27 @@ object MixedIngest {
     }
     val stampTable = s"${p}_ckptstamp"
     val declared = ckpt.getOrElse(s"direct:$p")
+    // A delivery that would merge against NO base (no committed version
+    // strictly below it) while committed versions EXIST claims to be a
+    // replay of the view's first batch. For stamped views the stamp guard
+    // below validates that claim; a STAMPLESS view (pre-stamp legacy) has
+    // nothing to validate against, so a fresh checkpoint delivering
+    // batchId == legacy upto would silently rebuild from an empty base and
+    // GC would fold the legacy snapshot away — the same silent loss the
+    // legacy listing fix closes, through the other door. Refuse BEFORE the
+    // stamp block (creating a stamp for a refused delivery would poison a
+    // later legitimate resume).
+    if (versions.nonEmpty && !versions.exists(_.upto < batchId) &&
+        !spark.catalog.tableExists(stampTable))
+      throw new IllegalStateException(
+        s"MixedIngest.mergeBatch: batch $batchId over prefix '$prefix' " +
+          "would rebuild from an empty base, but the view already has " +
+          "committed versions and carries no checkpoint stamp (pre-stamp " +
+          "legacy layout) — cannot distinguish a legitimate first-batch " +
+          "replay from a fresh checkpoint that would silently replace the " +
+          "maintained state; resume from the original checkpoint " +
+          "(delivering batch ids above the newest incorporated batch), or " +
+          "rebuild the view under a fresh prefix")
     def requireStamp(stamped: String): Unit =
       require(stamped == declared,
         s"MixedIngest.mergeBatch: prefix '$prefix' was built from " +
@@ -574,19 +618,31 @@ object MixedIngest {
         gc(spark, p)
       }
     }
-    sweepOrphans(spark, p)
+    // orphan sweep only on MANUAL compaction: it costs a full catalog
+    // enumeration, which must never ride the default-on auto-fold path
+    // (the catalog cursor exists precisely to keep enumeration off the
+    // per-batch/per-fold hot path — verdict r13 item 4); torn-GC strands
+    // are rare and cosmetic, and the operator's explicit maintenance
+    // action is the right place to pay for cleaning them
+    if (kind == "compact") sweepOrphans(spark, p)
   }
 
   /** Drop stranded per-version tables nothing references (verdict r14
     * minor): a crash between GC's `_meta` drop and the data-table drops
     * leaves orphan parquet tables the keep-set logic never sees again
     * (the version is uncommitted without its meta, so GC never lists it).
-    * Runs inside compaction — off the hot path, quiesced or serialized by
+    * Runs inside MANUAL compaction only — off the hot path, quiesced by
     * the caller's guard — and drops any `{p}_v/e/dN[_meta]` table whose
-    * version is not committed. Torn in-flight commits cannot be swept:
-    * compaction is never concurrent with a merge on this prefix.
+    * version is not committed. The committed set is derived from a FRESH
+    * catalog listing, never the cursor: a deletion decision must not
+    * trust a cache whose staleness probe only watches the cached tip
+    * (tables added out-of-API beyond the tip would pass the probe yet be
+    * missing from a cursor-served set — and be swept). Torn in-flight
+    * commits cannot be swept: compaction is never concurrent with a merge
+    * on this prefix.
     */
   private def sweepOrphans(spark: SparkSession, p: String): Unit = {
+    VersionChain.invalidate(spark, p)
     val valid = committedFull(spark, p).map(_.v).toSet
     val re = (java.util.regex.Pattern.quote(p) + "_(?:v|e|d)(\\d+)(?:_meta)?").r
     spark.catalog.listTables().collect().foreach { t =>

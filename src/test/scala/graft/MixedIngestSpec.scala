@@ -488,6 +488,22 @@ class MixedIngestSpec extends SparkSpec {
     // …and the served view must be the legacy assignment, not empty
     assert(rows(MixedIngest.current(spark, prefix).get) == rows(legacyAssign),
       "legacy view lost after upgrade — the silent-loss ADVICE r14 bug")
+    // the OTHER silent-loss door: a fresh checkpoint delivering batchId ==
+    // the legacy upto would rebuild from an empty base (no committed
+    // version strictly below it) and GC would fold the legacy snapshot
+    // away; with no stamp to validate the replay claim against, the merge
+    // must refuse — and must NOT leave a stamp behind that would poison a
+    // later legitimate resume
+    val eFresh = intercept[IllegalStateException] {
+      MixedIngest.mergeBatch(feedDf(Seq((7L, 8L)), Seq.empty), prefix, 0L,
+        ckpt = Some("/tmp/some-fresh-ckpt"))
+    }
+    assert(eFresh.getMessage.contains("no checkpoint stamp"),
+      s"wrong refusal: ${eFresh.getMessage}")
+    assert(!spark.catalog.tableExists(s"${prefix}_ckptstamp"),
+      "refused fresh-checkpoint delivery left a stamp behind")
+    assert(rows(MixedIngest.current(spark, prefix).get) == rows(legacyAssign),
+      "refused delivery damaged the legacy view")
     // adds merge onto the legacy base exactly like any other chain
     MixedIngest.mergeBatch(feedDf(Seq((3L, 4L)), Seq.empty), prefix, 1L)
     assert(rows(MixedIngest.current(spark, prefix).get) ==
@@ -532,15 +548,55 @@ class MixedIngestSpec extends SparkSpec {
       .saveAsTable(s"${prefix}_d97")
     Seq((96L, 0L, -1L, "delta")).toDF("n", "upto", "parent", "kind")
       .write.format("parquet").saveAsTable(s"${prefix}_v96_meta")
+    // and (c) a COMMITTED version written out-of-API while the catalog
+    // cursor is populated and stale — the sweep must derive its committed
+    // set from a fresh listing, never the cursor, or this version's
+    // tables would be DROPPED (a deletion decision over a read cache)
+    val v5assign = DedupOps.componentsOver(
+      Seq((1L, 2L), (3L, 4L)).toDF("id1", "id2"))
+    v5assign.write.format("parquet").saveAsTable(s"${prefix}_v5")
+    Seq.empty[(Long, Long)].toDF("id1", "id2").write.format("parquet")
+      .saveAsTable(s"${prefix}_e5")
+    Seq.empty[Long].toDF("doc_id").write.format("parquet")
+      .saveAsTable(s"${prefix}_d5")
+    Seq((4L, 5L, -1L, "base", false)).toDF("n", "upto", "parent", "kind", "taint")
+      .write.format("parquet").saveAsTable(s"${prefix}_v5_meta")
     val committed = MixedIngest.committedVersions(spark, prefix).map(_._3)
     MixedIngest.compact(spark, prefix)
     Seq(s"${prefix}_e97", s"${prefix}_d97", s"${prefix}_v96_meta").foreach(t =>
       assert(!spark.catalog.tableExists(t), s"orphan $t not swept"))
+    Seq(s"${prefix}_v5", s"${prefix}_v5_meta", s"${prefix}_e5",
+        s"${prefix}_d5").foreach(t =>
+      assert(spark.catalog.tableExists(t),
+        s"sweep dropped committed out-of-API version table $t (stale cursor)"))
     // the served view and its committed tables survive the sweep
     assert(rows(MixedIngest.current(spark, prefix).get) ==
       expect(Seq((1L, 2L), (3L, 4L)), Seq.empty),
       "orphan sweep damaged the served view")
     assert(committed.nonEmpty)
+  }
+
+  test("autoCompactChain = Some(0) disables chain folding (full history retained)") {
+    reset()
+    sys.props("graft.mixed.autoCompactChainDefault") = "1"
+    try {
+      val schema = feedDf(Seq((0L, 1L)), Seq(2L)).schema
+      feedDf(Seq((1L, 2L)), Seq.empty).coalesce(1).write.parquet(s"$inbox/w1")
+      feedDf(Seq((3L, 4L)), Seq.empty).coalesce(1).write.parquet(s"$inbox/w2")
+      feedDf(Seq((5L, 6L)), Seq.empty).coalesce(1).write.parquet(s"$inbox/w3")
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true").parquet(inbox)
+      MixedIngest.start(stream, prefix, ckpt, autoCompactChain = Some(0))
+        .awaitTermination()
+      val vers = MixedIngest.committedFull(spark, prefix)
+      assert(graft.streaming.VersionChain.chain(vers, vers.last).size == 3,
+        s"Some(0) should disable chain folding, got $vers")
+      assert(vers.forall(v => v.kind == "base" || v.kind == "delta"),
+        s"unasked fold ran under Some(0): $vers")
+      assert(rows(MixedIngest.current(spark, prefix).get) ==
+        expect(Seq((1L, 2L), (3L, 4L), (5L, 6L)), Seq.empty))
+    } finally sys.props.remove("graft.mixed.autoCompactChainDefault")
   }
 
   test("the shuffle anti-join path (tombstones past the broadcast limit) matches") {
