@@ -1,6 +1,7 @@
 package graft.serving
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.streaming.MixedIngest
 
@@ -27,23 +28,48 @@ import graft.streaming.MixedIngest
   * 100 TB this bridge is a thin fan-out layer: N stateless WS processes
   * subscribe to the commit feed and each reads only delta tables plus
   * point lookups on the assignment.
+  *
+  * MEMBERSHIP RENDERS ARE CAPPED (verdict r15 item 2): a dedup
+  * mega-cluster — the skew case the dedup rehearsals plan for — would
+  * otherwise cost O(cluster) driver memory per render/push. Every
+  * membership payload carries the EXACT `size` but at most
+  * [[memberLimit]] members (lowest doc_ids — a deterministic, stable
+  * prefix of the sorted membership), plus `"truncated":true` when members
+  * were cut — the same bounded-payload discipline as the reference's
+  * order-book depth param (`order-book.ts:202,232`). The REST route
+  * exposes the cap as `?limit=N`.
   */
 object ClusterFeed {
+
+  /** Default membership cap per rendered/pushed cluster. */
+  val memberLimit: Int = 100
+
+  private def memberJson(clusterId: Long, size: Long,
+                         members: Seq[Long]): String = {
+    val trunc = if (members.length < size) ""","truncated":true""" else ""
+    s"""{"cluster_id":$clusterId,"size":$size,""" +
+      s""""members":[${members.mkString(",")}]$trunc}"""
+  }
 
   /** Render one cluster's membership as JSON — a point read on the
     * resolved assignment (cluster_id equality prunes before the fold's
     * aggregation; at scale the version tables are doc_id-bucketed and
-    * this is a bucket-pruned lookup). None when the cluster is absent.
+    * this is a bucket-pruned lookup). `size` is always the exact count;
+    * members are the `limit` lowest doc_ids (TakeOrdered — bounded driver
+    * collect regardless of cluster size). None when the cluster is absent.
     */
-  def clusterJson(spark: SparkSession, prefix: String,
-                  clusterId: Long): Option[String] =
+  def clusterJson(spark: SparkSession, prefix: String, clusterId: Long,
+                  limit: Int = memberLimit): Option[String] =
     MixedIngest.current(spark, prefix).flatMap { cur =>
-      val rows = cur.filter(col("cluster_id") === clusterId)
-        .orderBy(col("doc_id")).collect()
-      if (rows.isEmpty) None
-      else Some(
-        s"""{"cluster_id":$clusterId,"size":${rows.length},""" +
-          s""""members":[${rows.map(_.getLong(0)).mkString(",")}]}""")
+      val lim = math.max(limit, 1)
+      val one = cur.filter(col("cluster_id") === clusterId)
+      val size = one.count()
+      if (size == 0L) None
+      else {
+        val members = one.orderBy(col("doc_id")).limit(lim)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        Some(memberJson(clusterId, size, members))
+      }
     }
 
   /** Render the view summary as JSON: cluster count and doc count. */
@@ -91,11 +117,14 @@ object ClusterFeed {
     * item 3 / ADVICE: the old shape called [[clusterJson]] — a full chain
     * fold — once per touched cluster, K folds for a batch touching K
     * subscribed rooms): the assignment resolves once, filters to the
-    * subscribed touched clusters, and the driver groups the batch-delta-
-    * sized result per room. Socket-level push failures never fail the
-    * micro-batch ([[WsServer.Running.push]] drops dead sockets); a Spark
-    * failure in the render DOES fail the batch loudly — by design, a
-    * broken serving view should not be silently skipped past.
+    * subscribed touched clusters, caps each cluster's membership to
+    * [[memberLimit]] rows EXECUTOR-SIDE (a per-cluster row_number window —
+    * verdict r15 item 2: the old shape collected full memberships, O(mega-
+    * cluster) driver memory per commit), and the driver groups the
+    * ≤ rooms × limit result per room. Socket-level push failures never
+    * fail the micro-batch ([[WsServer.Running.push]] drops dead sockets);
+    * a Spark failure in the render DOES fail the batch loudly — by
+    * design, a broken serving view should not be silently skipped past.
     *
     * Listener lifetime is the SERVING CONTEXT's, not one query
     * incarnation's (verdict r14 item 2): AvailableNow sinks legitimately
@@ -103,17 +132,19 @@ object ClusterFeed {
     * listener self-deregisters when `ws` has been STOPPED — a re-used
     * prefix can never push into a dead serving context — and a fresh
     * [[attach]] for the same prefix REPLACES the previous listener (the
-    * registry is keyed by prefix), so re-attachment cannot double-push.
+    * registry is keyed by (applicationId, prefix), exactly as the version
+    * cursor is), so re-attachment cannot double-push.
     */
-  def attach(spark: SparkSession, prefix: String,
-             ws: WsServer.Running): Unit = {
+  def attach(spark: SparkSession, prefix: String, ws: WsServer.Running,
+             limit: Int = memberLimit): Unit = {
     val p = prefix.toLowerCase(java.util.Locale.ROOT)
+    val lim = math.max(limit, 1)
     // self-deregistration must be CONDITIONAL on still being the
     // registered listener: a commit running this (stale) listener could
     // otherwise race a concurrent re-attach for a fresh WS server and
     // remove the replacement — silently killing the new context's pushes
     lazy val listener: (SparkSession, graft.streaming.VersionChain.Ver) => Unit = { (s, ver) =>
-      if (ws.isClosed) MixedIngest.clearOnCommitIf(prefix, listener)
+      if (ws.isClosed) MixedIngest.clearOnCommitIf(s, prefix, listener)
       else {
         val delta = s.table(ver.table)
           .select(col("doc_id"), col("cluster_id")).collect()
@@ -130,21 +161,28 @@ object ClusterFeed {
           ws.subscriberCount(s"clusters:$p:$cid") > 0)
         if (wanted.nonEmpty) {
           resolveCount.incrementAndGet()
-          val byCluster = MixedIngest.current(s, prefix).get
+          val touched = MixedIngest.current(s, prefix).get
             .filter(col("cluster_id").isin(wanted.toIndexedSeq: _*))
-            .select(col("doc_id"), col("cluster_id")).collect()
-            .groupBy(_.getLong(1))
+            .select(col("doc_id"), col("cluster_id"))
+          val capped = touched
+            .withColumn("_n", count(lit(1)).over(
+              Window.partitionBy(col("cluster_id"))))
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy(col("cluster_id")).orderBy(col("doc_id"))))
+            .filter(col("_rn") <= lim)
+            .collect()
+          val byCluster = capped.groupBy(_.getLong(1))
           wanted.foreach(cid => byCluster.get(cid).foreach { ms =>
-            val members = ms.map(_.getLong(0)).sorted
+            val members = ms.map(_.getLong(0)).sorted.toSeq
             ws.push(s"clusters:$p:$cid",
-              s"""{"cluster_id":$cid,"size":${members.length},""" +
-                s""""members":[${members.mkString(",")}]}""")
+              memberJson(cid, ms.head.getLong(2), members))
           })
         }
       }
     }
-    MixedIngest.onCommit(prefix)(listener)
+    MixedIngest.onCommit(spark, prefix)(listener)
   }
 
-  def detach(prefix: String): Unit = MixedIngest.clearOnCommit(prefix)
+  def detach(spark: SparkSession, prefix: String): Unit =
+    MixedIngest.clearOnCommit(spark, prefix)
 }

@@ -104,11 +104,16 @@ object RestServer {
     // parity with the WS `subscribe:clusters:*` surface): the summary and
     // one cluster's membership, served from the SAME resolved assignment
     // the WS snapshot path reads ([[ClusterFeed]]); 404 when the prefix
-    // has no committed view or the cluster id is absent
+    // has no committed view or the cluster id is absent. `?limit=N` caps
+    // the rendered members (default [[ClusterFeed.memberLimit]]; `size`
+    // stays exact) — the depth-param discipline of the orderbook route,
+    // verdict r15 item 2
     case "clusters" :: p :: Nil =>
       ClusterFeed.summaryJson(spark, p)
     case "clusters" :: p :: cid :: Nil =>
-      cid.toLongOption.flatMap(ClusterFeed.clusterJson(spark, p, _))
+      val limit = q.get("limit").map(_.toInt)
+        .getOrElse(ClusterFeed.memberLimit)
+      cid.toLongOption.flatMap(ClusterFeed.clusterJson(spark, p, _, limit))
     case _ => None
   }
 

@@ -115,6 +115,20 @@ object MixedIngest {
     if (crashAfter.contains(step))
       throw new IllegalStateException(s"injected crash after $step write")
 
+  /** Registry key: `(applicationId, prefix)` — EXACTLY how
+    * [[VersionChain]]'s catalog cursor is keyed (verdict r15 item 3: the
+    * registries below were keyed by bare prefix while the cursor already
+    * carried the application id — an asymmetry under which state from a
+    * stopped-and-restarted SparkContext could alias a fresh context's
+    * prefix of the same name). Sessions SHARING a context share the key
+    * on purpose: `newSession()` shares the external catalog, so a stream
+    * attached through one session is a real compaction hazard for every
+    * sibling session — the guard must bleed there.
+    */
+  private[graft] def registryKey(spark: SparkSession, prefix: String): String =
+    s"${spark.sparkContext.applicationId}#" +
+      prefix.toLowerCase(java.util.Locale.ROOT)
+
   /** Streams currently attached to a prefix — the quiescence registry
     * behind [[compact]]'s refuse-while-active guard (verdict r13 item 3).
     * Entries self-clean (verdict r14 item 2): a [[StreamingQueryListener]]
@@ -122,23 +136,49 @@ object MixedIngest {
     * query terminates, so a long-lived driver hosting many short-lived
     * prefixed streams no longer accumulates dead query references. (The
     * guard itself checks `isActive`, so the cleanup is a leak fix, not a
-    * correctness change.)
+    * correctness change.) All removals are CONDITIONAL two-arg
+    * `ConcurrentHashMap.remove(key, value)` (ADVICE r15 medium): an
+    * unconditional key-based remove could race a concurrent re-attach of
+    * the same prefix — stale terminated query read, fresh active query
+    * put, then the remove evicts the FRESH entry, after which [[compact]]'s
+    * quiescence guard sees no attached query and a manual compaction can
+    * run concurrently with the live stream (both sides allocating the
+    * same version number). Value-conditional removal makes evicting a
+    * freshly re-attached query impossible.
     */
   private val attached =
     new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
   private[graft] def attach(prefix: String, q: StreamingQuery): Unit = {
-    attached.put(prefix.toLowerCase(java.util.Locale.ROOT), q)
+    attached.put(registryKey(q.sparkSession, prefix), q)
     // belt-and-braces for the window the reaper cannot see: a query that
     // terminated BEFORE this attach ran (empty AvailableNow feed) was
     // already past its termination event when inserted — sweep inactive
     // entries here so the next attach (any prefix) clears such a straggler
     // instead of it living forever. The compaction guard checks isActive,
-    // so a straggler is a leak, never a correctness hazard.
-    attached.entrySet().removeIf(e =>
-      !e.getValue.isActive && (e.getValue ne q))
+    // so a straggler is a leak, never a correctness hazard. Conditional
+    // remove (not removeIf): see the registry scaladoc.
+    import scala.jdk.CollectionConverters._
+    attached.entrySet().asScala
+      .filter(e => !e.getValue.isActive && (e.getValue ne q))
+      .toVector // snapshot before mutating
+      .foreach(e => attached.remove(e.getKey, e.getValue))
   }
-  private[graft] def attachedQuery(prefix: String): Option[StreamingQuery] =
-    Option(attached.get(prefix.toLowerCase(java.util.Locale.ROOT)))
+  private[graft] def attachedQuery(spark: SparkSession,
+      prefix: String): Option[StreamingQuery] =
+    Option(attached.get(registryKey(spark, prefix)))
+
+  /** The reaper's removal pass, factored for the spec: drop every entry
+    * whose CURRENT value is the terminated run — conditional on the value
+    * still being that query, so a re-attached replacement survives a
+    * stale termination event (ADVICE r15 medium).
+    */
+  private[graft] def reap(runId: java.util.UUID): Unit = {
+    import scala.jdk.CollectionConverters._
+    attached.entrySet().asScala
+      .filter(_.getValue.runId == runId)
+      .toVector
+      .foreach(e => attached.remove(e.getKey, e.getValue))
+  }
 
   // weak keys: pinning every StreamingQueryManager (and through it the
   // SparkSession) this object ever saw would leak sessions in a driver
@@ -154,11 +194,8 @@ object MixedIngest {
           import org.apache.spark.sql.streaming.StreamingQueryListener._
           override def onQueryStarted(e: QueryStartedEvent): Unit = ()
           override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
-            val it = attached.entrySet().iterator()
-            while (it.hasNext)
-              if (it.next().getValue.runId == e.runId) it.remove()
-          }
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            reap(e.runId)
         })
 
   /** Per-prefix commit listeners — the ST8-style change-notification hook
@@ -174,19 +211,21 @@ object MixedIngest {
     */
   private val commitListeners = new java.util.concurrent.ConcurrentHashMap[
     String, (SparkSession, Ver) => Unit]()
-  private[graft] def onCommit(prefix: String)(f: (SparkSession, Ver) => Unit): Unit =
-    commitListeners.put(prefix.toLowerCase(java.util.Locale.ROOT), f)
-  private[graft] def clearOnCommit(prefix: String): Unit =
-    commitListeners.remove(prefix.toLowerCase(java.util.Locale.ROOT))
+  private[graft] def onCommit(spark: SparkSession, prefix: String)(
+      f: (SparkSession, Ver) => Unit): Unit =
+    commitListeners.put(registryKey(spark, prefix), f)
+  private[graft] def clearOnCommit(spark: SparkSession, prefix: String): Unit =
+    commitListeners.remove(registryKey(spark, prefix))
   /** Remove the listener only if `f` is STILL the registered one — the
     * self-deregistration form ([[graft.serving.ClusterFeed]]): a stale
     * listener racing a concurrent re-attach must not remove its
     * replacement. */
-  private[graft] def clearOnCommitIf(prefix: String,
+  private[graft] def clearOnCommitIf(spark: SparkSession, prefix: String,
       f: (SparkSession, Ver) => Unit): Unit =
-    commitListeners.remove(prefix.toLowerCase(java.util.Locale.ROOT), f)
-  private[graft] def hasOnCommit(prefix: String): Boolean =
-    commitListeners.containsKey(prefix.toLowerCase(java.util.Locale.ROOT))
+    commitListeners.remove(registryKey(spark, prefix), f)
+  private[graft] def hasOnCommit(spark: SparkSession,
+      prefix: String): Boolean =
+    commitListeners.containsKey(registryKey(spark, prefix))
 
   /** Measurement plumbing for the StreamBench written-bytes evidence
     * (verdict r13 item 1 done-criteria): when enabled, every committed
@@ -257,6 +296,35 @@ object MixedIngest {
       .start()
     attach(prefix, q)
     q
+  }
+
+  /** Operator-asserted checkpoint identity for a STAMPLESS legacy view
+    * (ADVICE r15): a pre-stamp-layout view whose original checkpoint
+    * crashed between the first batch's commit and its offset commit
+    * re-delivers `batchId == upto` forever, and the boundary refusal in
+    * [[mergeBatch]] (correctly) cannot tell that replay from a fresh
+    * checkpoint silently replacing the view — the stream is wedged. This
+    * is the explicit exit: the OPERATOR asserts that `checkpoint` is the
+    * view's identity; the stamp is created and the replay then passes the
+    * ordinary stamp guard. Create-if-absent only — refuses if the view
+    * already carries a DIFFERENT stamp (adopt must never re-point a
+    * stamped view; delete the view explicitly for that).
+    */
+  def adopt(spark: SparkSession, prefix: String, checkpoint: String): Unit = {
+    val p = prefix.toLowerCase(java.util.Locale.ROOT)
+    val stampTable = s"${p}_ckptstamp"
+    if (spark.catalog.tableExists(stampTable)) {
+      val stamped = spark.table(stampTable).head().getString(0)
+      require(stamped == checkpoint,
+        s"MixedIngest.adopt: prefix '$prefix' is already stamped with " +
+          s"checkpoint '$stamped' — adopt only asserts identity for a " +
+          "stampless legacy view, it never re-points a stamped one")
+    } else {
+      import spark.implicits._
+      Seq(checkpoint).toDF("checkpoint").write
+        .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .format("parquet").saveAsTable(stampTable)
+    }
   }
 
   /** Anti-join `df` against the tombstone ids on `idCol` — broadcast only
@@ -349,16 +417,37 @@ object MixedIngest {
     // stamp block (creating a stamp for a refused delivery would poison a
     // later legitimate resume).
     if (versions.nonEmpty && !versions.exists(_.upto < batchId) &&
-        !spark.catalog.tableExists(stampTable))
+        !spark.catalog.tableExists(stampTable)) {
+      // ADVICE r15: when the delivery sits exactly AT the committed
+      // boundary, the original checkpoint would re-deliver this same batch
+      // forever (crash after commit, before offset commit) — advising
+      // "resume from the original checkpoint" is unsatisfiable there, so
+      // the message names the two exits that actually work: a rebuild
+      // under a fresh prefix, or an operator identity assertion ([[adopt]])
+      val atBoundary = versions.exists(_.upto == batchId)
+      val exits =
+        if (atBoundary)
+          "if this IS the view's original checkpoint replaying its first " +
+            "batch after a crash between commit and offset commit, assert " +
+            "that identity explicitly with MixedIngest.adopt(spark, " +
+            "prefix, checkpoint) and restart; otherwise rebuild the view " +
+            "under a fresh prefix (resuming from 'the original " +
+            "checkpoint' cannot help here — it would re-deliver this same " +
+            "boundary batch forever)"
+        else
+          "resume from the original checkpoint (delivering batch ids " +
+            "above the newest incorporated batch), assert identity with " +
+            "MixedIngest.adopt(spark, prefix, checkpoint) if this " +
+            "delivery is legitimately the view's own, or rebuild the " +
+            "view under a fresh prefix"
       throw new IllegalStateException(
         s"MixedIngest.mergeBatch: batch $batchId over prefix '$prefix' " +
           "would rebuild from an empty base, but the view already has " +
           "committed versions and carries no checkpoint stamp (pre-stamp " +
           "legacy layout) — cannot distinguish a legitimate first-batch " +
-          "replay from a fresh checkpoint that would silently replace the " +
-          "maintained state; resume from the original checkpoint " +
-          "(delivering batch ids above the newest incorporated batch), or " +
-          "rebuild the view under a fresh prefix")
+          s"replay from a fresh checkpoint that would silently replace " +
+          s"the maintained state; $exits")
+    }
     def requireStamp(stamped: String): Unit =
       require(stamped == declared,
         s"MixedIngest.mergeBatch: prefix '$prefix' was built from " +
@@ -498,7 +587,7 @@ object MixedIngest {
     commitVersion(spark, p, ver, assign = assignOut, edges = liveAdds,
       tombs = dels)
     gc(spark, p)
-    Option(commitListeners.get(p)).foreach(_(spark, ver))
+    Option(commitListeners.get(registryKey(spark, p))).foreach(_(spark, ver))
     MergeStats(tombCount = tombCount,
       chainLen = if (ch.isEmpty) 1 else ch.size + 1)
   }
@@ -578,7 +667,7 @@ object MixedIngest {
   def compact(spark: SparkSession, prefix: String,
               keepTombs: Boolean = false): Unit = {
     val p = prefix.toLowerCase(java.util.Locale.ROOT)
-    val q = attached.get(p)
+    val q = attached.get(registryKey(spark, p))
     if (q != null && q.isActive)
       throw new IllegalStateException(
         s"MixedIngest.compact: a stream is attached to prefix '$prefix' " +
@@ -638,16 +727,30 @@ object MixedIngest {
     * trust a cache whose staleness probe only watches the cached tip
     * (tables added out-of-API beyond the tip would pass the probe yet be
     * missing from a cursor-served set — and be swept). Torn in-flight
-    * commits cannot be swept: compaction is never concurrent with a merge
-    * on this prefix.
+    * commits from THIS driver cannot be swept: compaction is never
+    * concurrent with a merge on this prefix.
+    *
+    * SINGLE-DRIVER-PER-PREFIX assumption (ADVICE r15): the quiescence
+    * guard protecting this sweep is the JVM-local attached-registry —
+    * cross-driver concurrency on one prefix is unsupported everywhere in
+    * this engine (two drivers would already race version allocation). The
+    * sweep is additionally hardened so that even under that unsupported
+    * shape it cannot convert a benign race into silent deletion: versions
+    * NEWER than the committed tip are excluded — a second driver's
+    * in-flight commit (state tables written, `_meta` not yet landed) has
+    * exactly that shape, so its tables are never sweep candidates; only
+    * sub-tip strands (torn GC leftovers, which are genuinely dead under
+    * any driver) are dropped.
     */
   private def sweepOrphans(spark: SparkSession, p: String): Unit = {
     VersionChain.invalidate(spark, p)
-    val valid = committedFull(spark, p).map(_.v).toSet
+    val committed = committedFull(spark, p)
+    val valid = committed.map(_.v).toSet
+    val tip = committed.lastOption.map(_.v).getOrElse(-1L)
     val re = (java.util.regex.Pattern.quote(p) + "_(?:v|e|d)(\\d+)(?:_meta)?").r
     spark.catalog.listTables().collect().foreach { t =>
       t.name match {
-        case re(n) if !valid.contains(n.toLong) =>
+        case re(n) if !valid.contains(n.toLong) && n.toLong < tip =>
           spark.sql(s"DROP TABLE IF EXISTS ${t.name}")
         case _ => ()
       }

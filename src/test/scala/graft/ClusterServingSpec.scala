@@ -111,7 +111,7 @@ class ClusterServingSpec extends SparkSpec {
       s2.sendClose(WebSocket.NORMAL_CLOSURE, "done").get(5, TimeUnit.SECONDS)
       s3.sendClose(WebSocket.NORMAL_CLOSURE, "done").get(5, TimeUnit.SECONDS)
     } finally {
-      ClusterFeed.detach(prefix)
+      ClusterFeed.detach(spark, prefix)
       ws.stop()
     }
   }
@@ -168,10 +168,50 @@ class ClusterServingSpec extends SparkSpec {
     // stale serving context (verdict r14 item 2): the WS server is
     // STOPPED but the listener is still registered — the next commit must
     // self-deregister it instead of pushing into a dead context
-    assert(MixedIngest.hasOnCommit(p2), "listener should still be registered")
+    assert(MixedIngest.hasOnCommit(spark, p2), "listener should still be registered")
     MixedIngest.mergeBatch(feedDf(Seq((20L, 21L)), Seq.empty), p2, 2L)
-    assert(!MixedIngest.hasOnCommit(p2),
+    assert(!MixedIngest.hasOnCommit(spark, p2),
       "commit listener survived its serving context — stale-push risk")
+  }
+
+  test("membership renders are capped: exact size, truncated members (verdict r15 item 2)") {
+    val p4 = "clserve4"
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith(p4)).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    MixedIngest.invalidateCursor(spark, p4)
+    // one cluster of 12 members (a stand-in for the dedup mega-cluster
+    // skew case): a path 0-1-…-11, component id = min member = 0
+    val chainEdges = (0L until 11L).map(i => (i, i + 1))
+    MixedIngest.mergeBatch(feedDf(chainEdges, Seq.empty), p4, 0L)
+    // the render cap: size stays EXACT, members are the `limit` lowest
+    // doc_ids, and the payload says it was cut
+    assert(ClusterFeed.clusterJson(spark, p4, 0L, limit = 5).contains(
+      """{"cluster_id":0,"size":12,"members":[0,1,2,3,4],"truncated":true}"""))
+    // an uncut render is byte-identical to the pre-cap payload shape
+    assert(ClusterFeed.clusterJson(spark, p4, 0L, limit = 100).contains(
+      """{"cluster_id":0,"size":12,"members":[0,1,2,3,4,5,6,7,8,9,10,11]}"""))
+
+    // the push path honors the attach-time cap the same way
+    val ws = WsServer.start(k => ClusterFeed.snapshotFor(spark, p4)(k))
+    try {
+      ClusterFeed.attach(spark, p4, ws, limit = 5)
+      val c1 = new Collector
+      val s1 = connect(ws.port, c1)
+      s1.sendText(s"subscribe:clusters:$p4:0", true).get(5, TimeUnit.SECONDS)
+      assert(c1.latch.await(5, TimeUnit.SECONDS), "no snapshot")
+      c1.messages.poll()
+      c1.latch = new CountDownLatch(1)
+      MixedIngest.mergeBatch(feedDf(Seq((11L, 12L)), Seq.empty), p4, 1L)
+      assert(c1.latch.await(5, TimeUnit.SECONDS), "no capped push")
+      assert(c1.messages.poll() ==
+        """{"cluster_id":0,"size":13,"members":[0,1,2,3,4],"truncated":true}""",
+        "push payload not capped / size not exact")
+      s1.sendClose(WebSocket.NORMAL_CLOSURE, "done").get(5, TimeUnit.SECONDS)
+    } finally {
+      ClusterFeed.detach(spark, p4)
+      ws.stop()
+    }
   }
 
   test("the attached-stream registry self-cleans when the query terminates") {
@@ -199,9 +239,9 @@ class ClusterServingSpec extends SparkSpec {
     MixedIngest.start(stream, p3, ckpt).awaitTermination()
     // the termination event is delivered async on the listener bus
     val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-    while (MixedIngest.attachedQuery(p3).isDefined &&
+    while (MixedIngest.attachedQuery(spark, p3).isDefined &&
            System.nanoTime() < deadline) Thread.sleep(100)
-    assert(MixedIngest.attachedQuery(p3).isEmpty,
+    assert(MixedIngest.attachedQuery(spark, p3).isEmpty,
       "terminated query still held in the attached registry (leak)")
   }
 }

@@ -541,13 +541,27 @@ class MixedIngestSpec extends SparkSpec {
     MixedIngest.mergeBatch(feedDf(Seq((3L, 4L)), Seq.empty), prefix, 1L)
     // strand (a) data tables with no meta — the crash window between GC's
     // meta drop and its data-table drops (verdict r14 minor), and (b) a
-    // new-layout meta whose state tables are gone — the opposite tear
+    // new-layout meta whose state tables are gone — the opposite tear.
+    // Strand numbers sit BELOW the committed tip, as every real torn-GC
+    // strand does (GC only ever drops versions outside the keep set, and
+    // the tip is always kept)
     Seq((97L, 98L)).toDF("id1", "id2").write.format("parquet")
-      .saveAsTable(s"${prefix}_e97")
+      .saveAsTable(s"${prefix}_e3")
     Seq(99L).toDF("doc_id").write.format("parquet")
-      .saveAsTable(s"${prefix}_d97")
+      .saveAsTable(s"${prefix}_d3")
     Seq((96L, 0L, -1L, "delta")).toDF("n", "upto", "parent", "kind")
-      .write.format("parquet").saveAsTable(s"${prefix}_v96_meta")
+      .write.format("parquet").saveAsTable(s"${prefix}_v4_meta")
+    // and (d) an ABOVE-TIP strand with the exact shape of another driver's
+    // in-flight commit (state tables written, _meta not yet landed): the
+    // sweep must never touch it (ADVICE r15 — cross-driver concurrency on
+    // a prefix is unsupported, but the sweep must not convert it into
+    // silent data deletion when that driver's _meta then lands)
+    Seq((77L, 78L)).toDF("id1", "id2").write.format("parquet")
+      .saveAsTable(s"${prefix}_e97")
+    Seq(79L).toDF("doc_id").write.format("parquet")
+      .saveAsTable(s"${prefix}_d97")
+    DedupOps.componentsOver(Seq((77L, 78L)).toDF("id1", "id2"))
+      .write.format("parquet").saveAsTable(s"${prefix}_v97")
     // and (c) a COMMITTED version written out-of-API while the catalog
     // cursor is populated and stale — the sweep must derive its committed
     // set from a fresh listing, never the cursor, or this version's
@@ -563,12 +577,15 @@ class MixedIngestSpec extends SparkSpec {
       .write.format("parquet").saveAsTable(s"${prefix}_v5_meta")
     val committed = MixedIngest.committedVersions(spark, prefix).map(_._3)
     MixedIngest.compact(spark, prefix)
-    Seq(s"${prefix}_e97", s"${prefix}_d97", s"${prefix}_v96_meta").foreach(t =>
+    Seq(s"${prefix}_e3", s"${prefix}_d3", s"${prefix}_v4_meta").foreach(t =>
       assert(!spark.catalog.tableExists(t), s"orphan $t not swept"))
     Seq(s"${prefix}_v5", s"${prefix}_v5_meta", s"${prefix}_e5",
         s"${prefix}_d5").foreach(t =>
       assert(spark.catalog.tableExists(t),
         s"sweep dropped committed out-of-API version table $t (stale cursor)"))
+    Seq(s"${prefix}_v97", s"${prefix}_e97", s"${prefix}_d97").foreach(t =>
+      assert(spark.catalog.tableExists(t),
+        s"sweep dropped above-tip in-flight-shaped table $t"))
     // the served view and its committed tables survive the sweep
     assert(rows(MixedIngest.current(spark, prefix).get) ==
       expect(Seq((1L, 2L), (3L, 4L)), Seq.empty),
@@ -597,6 +614,112 @@ class MixedIngestSpec extends SparkSpec {
       assert(rows(MixedIngest.current(spark, prefix).get) ==
         expect(Seq((1L, 2L), (3L, 4L), (5L, 6L)), Seq.empty))
     } finally sys.props.remove("graft.mixed.autoCompactChainDefault")
+  }
+
+  test("adopt asserts identity for a wedged stampless-legacy boundary replay") {
+    reset()
+    import spark.implicits._
+    // a stampless legacy view whose original checkpoint crashed between
+    // the first batch's commit and its offset commit: the checkpoint
+    // re-delivers batchId == upto forever (ADVICE r15 low 2 — the old
+    // refusal advised "resume from the original checkpoint", which is
+    // exactly what is failing)
+    val legacyAssign = DedupOps.componentsOver(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2"))
+    legacyAssign.write.format("parquet").saveAsTable(s"${prefix}_v0")
+    legacyAssign.agg(count(lit(1)).as("n"))
+      .write.format("parquet").saveAsTable(s"${prefix}_v0_meta")
+    MixedIngest.invalidateCursor(spark, prefix)
+    val replay = feedDf(Seq((1L, 2L), (2L, 3L), (10L, 11L)), Seq.empty)
+    val e = intercept[IllegalStateException] {
+      MixedIngest.mergeBatch(replay, prefix, 0L, ckpt = Some(s"$ckpt/orig"))
+    }
+    // the boundary case names the exits that actually work
+    assert(e.getMessage.contains("adopt") &&
+      e.getMessage.contains("cannot help here"),
+      s"boundary refusal should name adopt, got: ${e.getMessage}")
+    // the operator asserts identity; the replay then proceeds and
+    // converges to the batch closure (the exact content the original
+    // delivery committed)
+    MixedIngest.adopt(spark, prefix, s"$ckpt/orig")
+    MixedIngest.mergeBatch(replay, prefix, 0L, ckpt = Some(s"$ckpt/orig"))
+    assert(rows(MixedIngest.current(spark, prefix).get) == rows(legacyAssign),
+      "adopted boundary replay diverged from the legacy content")
+    // a DIFFERENT checkpoint still cannot take the view over
+    val e2 = intercept[Exception] {
+      MixedIngest.mergeBatch(replay, prefix, 0L, ckpt = Some("/tmp/other"))
+    }
+    assert(e2.getMessage.contains("was built from checkpoint"),
+      s"stamp guard lost after adopt: ${e2.getMessage}")
+    // and adopt itself never re-points a stamped view
+    val e3 = intercept[IllegalArgumentException] {
+      MixedIngest.adopt(spark, prefix, "/tmp/other")
+    }
+    assert(e3.getMessage.contains("never re-points"),
+      s"adopt re-pointed a stamped view: ${e3.getMessage}")
+  }
+
+  test("registries are keyed by (applicationId, prefix), shared by sibling sessions") {
+    reset()
+    // the key discipline matches VersionChain's cursor exactly (verdict
+    // r15 item 3): a restarted SparkContext (new applicationId) can never
+    // alias a dead context's registry entries for a same-named prefix...
+    val appId = spark.sparkContext.applicationId
+    assert(MixedIngest.registryKey(spark, "MiXeD") == s"$appId#mixed")
+    // ...while sessions SHARING a context share the key on purpose — they
+    // share the external catalog, so a guard/listener must bleed across
+    // them (same warehouse, same maintained view)
+    val sibling = spark.newSession()
+    assert(MixedIngest.registryKey(sibling, "mixed") ==
+      MixedIngest.registryKey(spark, "mixed"))
+    val fired = new java.util.concurrent.atomic.AtomicLong
+    MixedIngest.onCommit(spark, prefix)((_, _) => { fired.incrementAndGet(); () })
+    try {
+      assert(MixedIngest.hasOnCommit(sibling, prefix),
+        "sibling session cannot see the shared-context listener")
+      // a commit run through the SIBLING session invokes the listener
+      // registered through the original one
+      val siblingFeed = {
+        import sibling.implicits._
+        Seq(("add", 1L, 2L)).toDF("op", "id1", "id2")
+      }
+      MixedIngest.mergeBatch(siblingFeed, prefix, 0L)
+      assert(fired.get() == 1L,
+        "commit through a sibling session missed the shared listener")
+    } finally MixedIngest.clearOnCommit(spark, prefix)
+  }
+
+  test("a re-attached query survives a stale termination reap (value-conditional removal)") {
+    reset()
+    val schema = feedDf(Seq((0L, 1L)), Seq.empty).schema
+    // q1: drained AvailableNow stream — terminated
+    feedDf(Seq((1L, 2L)), Seq.empty).coalesce(1).write.parquet(s"$inbox/w1")
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").parquet(inbox)
+    val q1 = MixedIngest.start(stream, prefix, ckpt)
+    q1.awaitTermination()
+    // q2: a live query re-attached under the same prefix (the serving
+    // window ADVICE r15 medium describes: stale terminated query read by
+    // the reaper, fresh active query put, then the removal runs)
+    val q2 = spark.readStream.format("rate").option("rowsPerSecond", "1")
+      .load().writeStream.format("noop")
+      .option("checkpointLocation", s"$ckpt-rate").start()
+    try {
+      MixedIngest.attach(prefix, q2)
+      // a stale termination event for q1 must NOT evict q2 — removal is
+      // conditional on the entry still holding the terminated query
+      MixedIngest.reap(q1.runId)
+      assert(MixedIngest.attachedQuery(spark, prefix).contains(q2),
+        "stale termination reap evicted the freshly re-attached query")
+      // with q2 attached and active, manual compaction refuses (guard
+      // intact through the reap)
+      intercept[IllegalStateException] {
+        MixedIngest.compact(spark, prefix)
+      }
+    } finally {
+      q2.stop()
+      MixedIngest.reap(q2.runId)
+    }
   }
 
   test("the shuffle anti-join path (tombstones past the broadcast limit) matches") {

@@ -104,6 +104,20 @@ class RestServerSpec extends SparkSpec {
       assert(c2 == 200 &&
         members == """{"cluster_id":1,"size":3,"members":[1,2,3]}""",
         s"wrong membership: $members")
+      // the membership cap over REST (verdict r15 item 2): a 131-member
+      // cluster (path 100-…-230) renders `limit` members, exact size
+      val bigFeed = (100L until 230L).map(i => (i, i + 1)).toDF("id1", "id2")
+        .withColumn("op", lit("add")).select("op", "id1", "id2")
+      graft.streaming.MixedIngest.mergeBatch(bigFeed, prefix, 1L)
+      val (c5, big) = get(port, s"/api/clusters/$prefix/100?limit=3")
+      assert(c5 == 200 &&
+        big == """{"cluster_id":100,"size":131,"members":[100,101,102],"truncated":true}""",
+        s"membership not capped: $big")
+      val (c6, bigDefault) = get(port, s"/api/clusters/$prefix/100")
+      assert(c6 == 200 && bigDefault.contains(""""size":131""") &&
+        bigDefault.contains(""""truncated":true""") &&
+        bigDefault.count(_ == ',') < 120,
+        s"default cap (100) not applied: ${bigDefault.take(200)}")
       val (c3, _) = get(port, s"/api/clusters/$prefix/999")
       assert(c3 == 404, "absent cluster id must 404")
       val (c4, _) = get(port, "/api/clusters/no_such_prefix")
