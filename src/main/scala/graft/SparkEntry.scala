@@ -226,6 +226,12 @@ object SparkEntry {
     // mixed add+takedown maintenance, embedding side
     "semantic_clusters_mixed" -> ((s, d) =>
       SimilarityOps.semanticClustersMixed(s, d)),
+    // scaled-k quantizer family (the k ∝ N dial — bounded cells, linear
+    // pair cost): the per-vector cell map, SemDeDup, and components over it
+    "scaled_cells"    -> ((s, d) => SimilarityOps.scaledCells(s, d)),
+    "semdedup_scaled" -> ((s, d) => SimilarityOps.semDedupScaled(s, d)),
+    "semantic_clusters_scaled" -> ((s, d) =>
+      SimilarityOps.semanticClustersScaled(s, d)),
     "token_counts"    -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "quality_filter"  -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     // CCNet-style reference-frequency scoring (exact-arithmetic LM proxy)
@@ -368,6 +374,9 @@ object SparkEntry {
     "semantic_clusters_delta" -> TextSql.semanticClustersSql,
     "semantic_clusters_deleted" -> TextSql.semanticClustersDeletedSql,
     "semantic_clusters_mixed" -> TextSql.semanticClustersDeletedSql,
+    "scaled_cells"    -> TextSql.scaledCellsSql,
+    "semdedup_scaled" -> TextSql.semDedupScaledSql,
+    "semantic_clusters_scaled" -> TextSql.semanticClustersScaledSql,
     "token_counts"    -> TextSql.tokenCountsSql,
     "quality_filter"  -> TextSql.qualityFilterSql,
     "freq_score"      -> TextSql.freqScoreSql,

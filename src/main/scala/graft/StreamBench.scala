@@ -21,12 +21,25 @@ import graft.streaming.{IngestDedup, SemIngest, StreamOps, WireStream}
   * batch. Convergence is asserted the strong way: the drained stream
   * output is materialized and except-compared to the batch computation —
   * the same equivalence the specs pin at sf0.001, here at rehearsal scale.
-  * Usage: runMain graft.StreamBench [sfDir] [filesPerTrigger]
+  * Usage: runMain graft.StreamBench [sfDir] [filesPerTrigger] [sections] [targetCell]
+  * `sections` is a comma list from {wire,dedup,sem,sem_scaled,pq,bm,
+  * cluster,takedown,mixed,burst} (default: the historical eight — so
+  * decade-over-decade JSONs stay comparable; sem_scaled and burst are the
+  * r16 additions, opted in explicitly); `targetCell` is the scaled
+  * quantizer dial for sem_scaled (default 2000 — the production-shaped
+  * setting where per-arrival cost is dominated by the bounded
+  * within-cell compare, not the k ∝ N sub-centroid probe).
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val perTrigger = if (args.length > 1) args(1).toInt else 8
+    val sections: Set[String] =
+      if (args.length > 2 && args(2) != "all")
+        args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set("wire", "dedup", "sem", "pq", "bm", "cluster", "takedown", "mixed")
+    val targetCell = if (args.length > 3) args(3).toInt else 2000
+    def want(x: String): Boolean = sections.contains(x)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -96,7 +109,7 @@ object StreamBench {
     }
 
     // ── 1. wire order fold: streaming aggregation over the full frame log ──
-    {
+    if (want("wire")) {
       val frames = WireFixture.frames(spark, sfDir)
       val nRows = chunk(frames, s"$work/frames", "block_number")
       val pools = WireFixture.pools(spark, sfDir)
@@ -124,7 +137,7 @@ object StreamBench {
     }
 
     // ── 2. LSH admission dedup: per-bucket stateful candidate stream ──
-    {
+    if (want("dedup")) {
       val docs = graft.sources.Tables.documents(spark, sfDir)
       val nRows = chunk(docs, s"$work/docs", "doc_id")
       val q = IngestDedup.candidateStream(
@@ -144,7 +157,7 @@ object StreamBench {
     }
 
     // ── 3. semantic ingest: per-cell τ-near pair stream ──
-    {
+    if (want("sem")) {
       val vecs = graft.sources.Tables.embeddings(spark, sfDir)
       val nRows = chunk(vecs, s"$work/vecs", "vec_id")
       val centroids = graft.functions.SimilarityOps.centroidVectors(spark, sfDir)
@@ -171,7 +184,7 @@ object StreamBench {
     // the corpus (codebook frozen at base-build time), the remaining 10%
     // arrives as a multi-batch stream, and the fan-in probe afterwards must
     // equal a one-shot frozen-codebook encode of the same delta.
-    {
+    if (want("pq")) {
       val isBase = col("vec_id") % 10 =!= 7
       val isDelta = col("vec_id") % 10 === 7
       val base = s"$work/pq-base"
@@ -198,7 +211,7 @@ object StreamBench {
     // Same shape for the lexical index; convergence is the STRONG form —
     // base ∪ streamed generations must reproduce the one-pass full-corpus
     // gate query exactly, summed stats included.
-    {
+    if (want("bm")) {
       val isBase = col("doc_id") % 10 =!= 7
       val isDelta = col("doc_id") % 10 === 7
       graft.functions.TextAnalysis.writePostingsGeneration(
@@ -224,7 +237,7 @@ object StreamBench {
     // Convergence is the strong form: the maintained view must be
     // bit-identical to the one-shot batch fixpoint over ALL pairs — the
     // same assignment the DuckDB transitive-closure oracle gates.
-    {
+    if (want("cluster")) {
       spark.catalog.listTables().collect()
         .filter(_.name.startsWith("streambench_cl")).foreach(t =>
           spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
@@ -252,7 +265,7 @@ object StreamBench {
     // probe under the streamed tombstone set must equal the probe under
     // the same ids delivered as ONE batch (the form TakedownStreamSpec
     // pins hermetically at sf0.001 — here at rehearsal scale on RocksDB).
-    {
+    if (want("takedown")) {
       spark.catalog.listTables().collect()
         .filter(_.name.startsWith("streambench_td")).foreach(t =>
           spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
@@ -283,7 +296,7 @@ object StreamBench {
     // Convergence is the strong form: the maintained view must equal the
     // one-shot closure over pairs whose endpoints were never deleted —
     // tombstone-wins ordering independence at rehearsal scale on RocksDB.
-    {
+    if (want("mixed")) {
       spark.catalog.listTables().collect()
         .filter(_.name.startsWith("streambench_mx")).foreach(t =>
           spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
@@ -348,6 +361,100 @@ object StreamBench {
         resumed.get.except(full).isEmpty && full.except(resumed.get).isEmpty
       record("mixed_compact_resume", nRows2, secs2, converged2,
         extra = writeBytesExtra("streambench_mx"))
+    }
+
+    // ── 3b. SCALED semantic ingest: the k ∝ N quantizer (verdict r15
+    // item 1) ── same admission stream as section 3, state keyed by the
+    // scaled (cell, tile): per-arrival cost = ~|labels| + ~|label's tiles|
+    // sub-centroid cosines (both against a broadcast-sized list) + one
+    // compare against the ~targetCell members of the scaled cell — FLAT
+    // per-op as the corpus grows, where the fixed-k path grew linearly.
+    // Convergence: drained pair set == batch semDedupPairsScaled.
+    if (want("sem_scaled")) {
+      val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      val nRows = chunk(vecs, s"$work/vecs-sc", "vec_id")
+      val centroids = graft.functions.SimilarityOps.centroidVectors(spark, sfDir)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+      val subCents = graft.functions.SimilarityOps
+        .scaledCentroidVectors(spark, sfDir, targetCell).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .groupBy(_._1).map { case (c, xs) =>
+          c -> xs.map(x => (x._2, x._3)).toSeq.sortBy(_._1) }
+      val kCells = subCents.values.map(_.size).sum
+      // realized population bound of the reassigned cells (the quantile
+      // seeds target `targetCell`; reassignment can shift members between
+      // adjacent annuli — record what actually happened)
+      val maxPop = graft.functions.SimilarityOps
+        .scaledAssignment(spark, sfDir, targetCell)
+        .groupBy(col("cell"), col("tile")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      val q = SemIngest.scaledPairStream(
+          fileStream(s"$work/vecs-sc", vecs.schema), centroids, subCents)
+        .toDF("id1", "id2", "cos")
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$work/ckpt-sem-sc")
+        .queryName("sem_ingest_scaled")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$work/sem-sc-out")
+        }.start()
+      val secs = drain(q)
+      val streamed = spark.read.parquet(s"$work/sem-sc-out").distinct()
+      val batch = graft.functions.SimilarityOps
+        .semDedupPairsScaled(spark, sfDir, targetCell = targetCell)
+        .toDF("id1", "id2", "cos")
+      val converged = streamed.except(batch).isEmpty && batch.except(streamed).isEmpty
+      record("sem_ingest_scaled", nRows, secs, converged,
+        extra = s""","target_cell":$targetCell,"k_cells":$kCells""" +
+          s""","max_cell_pop":$maxPop""")
+    }
+
+    // ── 8c. MIXED maintenance under a TAKEDOWN BURST (verdict r15 stretch
+    // item 6) ── the sf10 mixed rehearsal deletes proportionally; here a
+    // single resume wave carries a 30%-of-corpus takedown burst, with the
+    // broadcast ceiling forced DOWN so the per-batch tombstone anti-joins
+    // take the shuffle-anti-join degradation path at rehearsal scale
+    // (MixedIngest.tombBroadcastLimit) — the shape a mass-unpublish event
+    // has in production. Convergence stays the strong closure form and
+    // write bytes must stay O(batch).
+    if (want("burst")) {
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("streambench_bu")).foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      graft.streaming.MixedIngest.invalidateCursor(spark, "streambench_bu")
+      graft.streaming.MixedIngest.recordWrites = true
+      graft.streaming.MixedIngest.writeLedger.remove("streambench_bu")
+      val pairs = graft.functions.DedupOps.minhashLsh(spark, sfDir)
+        .select(col("id1"), col("id2"))
+      val feedAdds = pairs.withColumn("op", lit("add")).select("op", "id1", "id2")
+      val nRows = chunk(feedAdds, s"$work/bu-feed", "id1")
+      val secs = drain(graft.streaming.MixedIngest.start(
+        fileStream(s"$work/bu-feed", feedAdds.schema),
+        "streambench_bu", s"$work/ckpt-bu", name = "mixed_burst"))
+      // the burst: 30% of the doc id space in ONE wave, anti-joined under
+      // a deliberately tiny broadcast ceiling
+      val dels = graft.sources.Tables.documents(spark, sfDir)
+        .select("doc_id").filter(col("doc_id") % 10 < 3)
+      val burst = dels.select(col("doc_id").as("id1"))
+        .withColumn("id2", lit(null).cast("long"))
+        .withColumn("op", lit("del")).select("op", "id1", "id2")
+      burst.coalesce(4).write.mode("append").parquet(s"$work/bu-feed")
+      val nBurst = spark.read.parquet(s"$work/bu-feed").count() - nRows
+      sys.props("graft.mixed.tombBroadcastLimit") = "1000"
+      val secs2 = try drain(graft.streaming.MixedIngest.start(
+          fileStream(s"$work/bu-feed", feedAdds.schema),
+          "streambench_bu", s"$work/ckpt-bu", name = "mixed_burst"))
+        finally sys.props.remove("graft.mixed.tombBroadcastLimit")
+      val maintained = graft.streaming.MixedIngest.current(spark, "streambench_bu")
+      val livePairs = pairs
+        .filter(col("id1") % 10 >= 3 && col("id2") % 10 >= 3)
+        .select("id1", "id2")
+      val batch = graft.functions.DedupOps.componentsOver(livePairs)
+      val converged = maintained.isDefined &&
+        maintained.get.except(batch).isEmpty && batch.except(maintained.get).isEmpty
+      record("mixed_burst", nBurst, secs + secs2, converged,
+        extra = f""","adds_seconds":$secs%.1f,"burst_seconds":$secs2%.1f""" +
+          writeBytesExtra("streambench_bu"))
+      graft.streaming.MixedIngest.writeLedger.remove("streambench_bu")
     }
 
     val streams = out.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

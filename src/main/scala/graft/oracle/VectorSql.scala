@@ -101,6 +101,94 @@ private[oracle] trait VectorSql extends TextSqlBase {
        |FROM assigned a LEFT JOIN near n ON a.vec_id = n.vec_id""".stripMargin
 
 
+  // ── scaled-k quantizer mirrors (SimilarityOps.scaledAssignment) ──
+  // the deterministic k ∝ N cell refinement: quantile tiles of B members
+  // by (cscore DESC, vec_id) within each label cell, DECIMAL-exact
+  // sub-centroid means, then reassignment to the nearest sub-centroid
+  // within the label (rounded-DECIMAL argmax, low-tile tie-break) —
+  // every stage mirrors the Spark expression tree; B is interpolated
+  // from the SAME Scala constant the engine uses
+  private[oracle] def scaledCte(b: Int): String =
+    s"""$assignedCte,
+       |tiled AS (
+       |  SELECT vec_id, v, cell, cscore,
+       |    CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY cell
+       |      ORDER BY cscore DESC, vec_id) - 1) / $b) AS INT) AS tile
+       |  FROM assigned),
+       |subcent AS (
+       |  SELECT cell, tile, list(mean ORDER BY d) AS sc FROM (
+       |    SELECT cell, tile, CAST(i - 1 AS INT) AS d,
+       |      CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mean
+       |    FROM tiled, UNNEST(generate_series(1, len(v))) AS u(i)
+       |    GROUP BY cell, tile, CAST(i - 1 AS INT)) m
+       |  GROUP BY cell, tile),
+       |sscored AS (
+       |  SELECT t.vec_id, t.v, t.cell, s.tile,
+       |    ${cosineExprOn("s.sc", "t.v")} AS tscore
+       |  FROM tiled t JOIN subcent s ON t.cell = s.cell),
+       |sassigned AS (
+       |  SELECT vec_id, v, cell, tile, tscore FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY tscore DESC, tile) AS srk
+       |    FROM sscored) z
+       |  WHERE srk = 1)""".stripMargin
+
+  private def scaledB = graft.functions.SimilarityOps.scaledTargetCell
+
+  // the quantizer pinned per-vector (SimilarityOps.scaledCells)
+  val scaledCellsSql: String =
+    s"""WITH ${scaledCte(scaledB)}
+       |SELECT vec_id, cell, tile, CAST(tscore AS DOUBLE) AS tile_cos
+       |FROM sassigned""".stripMargin
+
+  // SemDeDup under the scaled quantizer (SimilarityOps.semDedupScaled):
+  // same keep policy as semDedupSql, pairs within (cell, tile) only
+  val semDedupScaledSql: String =
+    s"""WITH ${scaledCte(scaledB)},
+       |pairs AS (
+       |  SELECT x.vec_id, x.tscore AS xc, y.vec_id AS other_id,
+       |    y.tscore AS yc,
+       |    ${cosineExprOn("x.v", "y.v")} AS cos
+       |  FROM sassigned x JOIN sassigned y
+       |    ON x.cell = y.cell AND x.tile = y.tile
+       |    AND x.vec_id <> y.vec_id),
+       |near AS (
+       |  SELECT vec_id, COUNT(*) AS n_near,
+       |    MAX(CASE WHEN yc < xc OR (yc = xc AND other_id < vec_id)
+       |        THEN 1 ELSE 0 END) AS dominated
+       |  FROM pairs WHERE cos >= 0.3 GROUP BY vec_id)
+       |SELECT a.vec_id, a.cell, a.tile,
+       |  CAST(a.tscore AS DOUBLE) AS centroid_cos,
+       |  CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near,
+       |  COALESCE(n.dominated, 0) = 0 AS keep
+       |FROM sassigned a LEFT JOIN near n ON a.vec_id = n.vec_id""".stripMargin
+
+  // transitive closure over the scaled τ-near graph
+  // (SimilarityOps.semanticClustersScaled) — the semanticClustersSql
+  // shape with the scaled cell in the edge predicate
+  val semanticClustersScaledSql: String =
+    s"""WITH RECURSIVE ${scaledCte(scaledB)},
+       |sedges AS (
+       |  SELECT x.vec_id AS id1, y.vec_id AS id2
+       |  FROM sassigned x JOIN sassigned y
+       |    ON x.cell = y.cell AND x.tile = y.tile
+       |    AND x.vec_id < y.vec_id
+       |  WHERE ${cosineExprOn("x.v", "y.v")} >= 0.3),
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM sedges
+       |  UNION SELECT id2, id1 FROM sedges),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT vec_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  vec_id = cluster_id AS keep
+       |FROM labels""".stripMargin
+
   // IVF-PQ with exact re-rank (SimilarityOps.pqTopK): sub-quantizer codes
   // by rounded-DECIMAL argmin (label tie-break), per-query ADC lookup
   // table, DECIMAL-exact m-addend sums, ADC shortlist top-16, exact cosine

@@ -102,6 +102,76 @@ object SemIngest {
       }
   }
 
+  /** An arriving vector with its row-locally computed SCALED cell —
+    * (label cell, sub-centroid tile), the k ∝ N quantizer
+    * ([[graft.functions.SimilarityOps.scaledAssignment]]). */
+  case class ScaledAssigned(vecId: Long, cell: Int, tile: Int, v: Seq[Float])
+
+  /** Row-local SCALED assignment of a (vec_id, embedding) stream — the
+    * hierarchical probe: nearest label centroid (~|labels| cosines), then
+    * nearest of THAT label's sub-centroids (~|label's tiles| cosines).
+    * `subCents` maps each label to its (tile, sub-centroid) list — collect
+    * it from [[graft.functions.SimilarityOps.scaledCentroidVectors]]
+    * (broadcast-sized: k ∝ N rows of 64 doubles). Mirrors the batch
+    * reassignment exactly: max rounded score, ties to the lower tile — so
+    * the streaming scaled cell equals the batch one for every vector.
+    * Because the scaled cell is defined purely by this centroid list, the
+    * per-arrival assignment cost is independent of how many vectors have
+    * already been admitted — the property the fixed-k path lacked.
+    */
+  def scaledAssignedStream(vecs: DataFrame,
+      labelCents: Seq[(Int, Seq[Double])],
+      subCents: Map[Int, Seq[(Int, Seq[Double])]]): Dataset[ScaledAssigned] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val subsSorted = subCents.map { case (l, ts) => l -> ts.sortBy(_._1) }
+    assignedStream(vecs, labelCents).map { a =>
+      var bestTile = Int.MaxValue
+      var best = -3.0
+      subsSorted.getOrElse(a.cell, Seq.empty).foreach { case (t, sc) =>
+        val s = round8(cosineDF(sc, a.v))
+        if (s > best) { best = s; bestTile = t } // asc tiles: ties keep low
+      }
+      ScaledAssigned(a.vecId, a.cell, bestTile, a.v)
+    }
+  }
+
+  /** [[pairStream]] under the SCALED quantizer: state is keyed by
+    * (cell, tile), so per-cell state size and per-arrival compare cost are
+    * bounded by the realized scaled-cell population (~targetCell) instead
+    * of growing with the corpus — the streaming fix for the measured
+    * fixed-k ceiling (sem_ingest 305 rows/s at sf3 → 60 at sf10). A fully
+    * drained stream's pair set equals batch
+    * [[graft.functions.SimilarityOps.semDedupPairsScaled]].
+    */
+  def scaledPairStream(vecs: DataFrame,
+      labelCents: Seq[(Int, Seq[Double])],
+      subCents: Map[Int, Seq[(Int, Seq[Double])]],
+      minCosine: Double = 0.3): Dataset[Pair] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    scaledAssignedStream(vecs, labelCents, subCents)
+      .groupByKey(a => (a.cell, a.tile))
+      .flatMapGroupsWithState[Seq[(Long, Seq[Float])], Pair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[Pair]
+          rows.toSeq.sortBy(_.vecId).foreach { r =>
+            if (!seen.exists(_._1 == r.vecId)) { // replay-idempotent (P4)
+              seen.foreach { case (id, v) =>
+                val c = round8(cosineFF(v, r.v))
+                if (c >= minCosine)
+                  out += Pair(math.min(id, r.vecId), math.max(id, r.vecId), c)
+              }
+              seen = seen :+ (r.vecId -> r.v)
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
   /** The online τ-near pair stream (Append mode): for every arriving
     * vector, one [[Pair]] per already-admitted same-cell member with
     * cosine ≥ minCosine. Within a micro-batch, lower vec_id is treated as

@@ -165,6 +165,66 @@ class PlanSpec extends SparkSpec {
       s"pairwise stage regressed to all-pairs:\n${physicalPlan(df)}")
   }
 
+  test("semdedup_scaled: pairwise stage is a (cell, tile) equi-join — no cartesian, quantizer broadcast only") {
+    val df = graft.functions.SimilarityOps.semDedupScaled(spark, sfTiny)
+    df.collect()
+    def count(pred: org.apache.spark.sql.execution.SparkPlan => Boolean): Int = {
+      var n = 0
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p.foreach {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s if pred(s) => n += 1
+        case _ =>
+      }
+      walk(df.queryExecution.executedPlan)
+      n
+    }
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    assert(count(_.isInstanceOf[CartesianProductExec]) == 0,
+      s"scaled pairwise stage is a cartesian:\n${physicalPlan(df)}")
+    // the label-centroid assignment keeps its one deliberate bounded
+    // nested loop (inside the memoized ranked assignment); the
+    // sub-centroid reassignment is an EQUI-join on the label and the
+    // pairwise stage an equi-join on (cell, tile) — any further nested
+    // loop means a corpus-sized join materialized
+    assert(count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) <= 1,
+      s"scaled pairwise/reassignment regressed to all-pairs:\n${physicalPlan(df)}")
+  }
+
+  test("keep-tombs fold read path: chain resolve is ONE doc_id aggregation — no per-version shuffle") {
+    // verdict r15 item 4: with chain bounding default-on, resolveAssign
+    // over a ≤32-version chain is the steady-state SERVING plan of the
+    // maintained views — pin its shape like the book/dedup plans. Four
+    // delta versions → the fold must still be: union of version scans,
+    // partial aggregation, ONE exchange on doc_id, final aggregation.
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val p = "planmx"
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith(p)).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    graft.streaming.MixedIngest.invalidateCursor(spark, p)
+    def feed(adds: Seq[(Long, Long)]) =
+      adds.toDF("id1", "id2").withColumn("op", lit("add"))
+        .select("op", "id1", "id2")
+    Seq(Seq((1L, 2L)), Seq((2L, 3L)), Seq((10L, 11L)), Seq((3L, 4L)))
+      .zipWithIndex.foreach { case (adds, i) =>
+        graft.streaming.MixedIngest.mergeBatch(feed(adds), p, i.toLong)
+      }
+    val vers = graft.streaming.MixedIngest.committedFull(spark, p)
+    val ch = graft.streaming.VersionChain.chain(vers, vers.last)
+    assert(ch.size >= 3, s"chain too short to gate the fold: $ch")
+    val df = graft.streaming.MixedIngest.current(spark, p).get
+    assert(shuffles(df) == 1,
+      s"chain fold should cost ONE doc_id exchange, got ${shuffles(df)}:\n${physicalPlan(df)}")
+    // map-side combine below the exchange: the per-version union partial-
+    // aggregates before any rows move (max_by demotes to SortAggregate —
+    // struct-typed buffer — fine for a state+delta-sized read-side fold)
+    assert(physicalPlan(df).contains("partial_max_by"),
+      s"fold lost its partial aggregation below the shuffle:\n${physicalPlan(df)}")
+    assert(!physicalPlan(df).contains("CartesianProduct"),
+      s"cartesian in the chain fold:\n${physicalPlan(df)}")
+  }
+
   test("cell index: stored assignment partition-prunes — a 1-cell probe reads 1 directory") {
     val path = java.nio.file.Files.createTempDirectory("cellidx").toString
     try {

@@ -75,6 +75,58 @@ class SemIngestSpec extends SparkSpec {
       s"uneven drain: ${uneven.size} pairs vs batch ${expected.size}")
   }
 
+  test("scaled quantizer: streaming (cell, tile) == batch reassignment; drained pairs == batch") {
+    import spark.implicits._
+    val subCents = SimilarityOps.scaledCentroidVectors(spark, sfTiny)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).map { case (c, xs) =>
+        c -> xs.map(x => (x._2, x._3)).toSeq.sortBy(_._1) }
+    // the fixture must genuinely split (otherwise this test gates nothing)
+    assert(subCents.values.exists(_.size > 1),
+      "scaled quantizer produced no splits at the default dial")
+    val batchAssign = SimilarityOps.scaledCells(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val streamedAssign = SemIngest.scaledAssignedStream(
+        vecRows.toDF("vec_id", "embedding"), centroids, subCents)
+      .collect().map(a => a.vecId -> ((a.cell, a.tile))).toMap
+    assert(streamedAssign == batchAssign,
+      s"scaled cell drift: ${streamedAssign.size} vs ${batchAssign.size}, " +
+        s"diff=${(streamedAssign.toSet -- batchAssign.toSet).take(3)}")
+
+    val expected = SimilarityOps.semDedupPairsScaled(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(expected.nonEmpty, "no scaled τ-near pairs to compare")
+    def run(splits: Seq[Int]): Map[(Long, Long), Double] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val source = MemoryStream[(Long, Seq[Float])]
+      val query = SemIngest.scaledPairStream(
+          source.toDF().toDF("vec_id", "embedding"), centroids, subCents)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("sem_pairs_scaled").start()
+      try {
+        var rest = vecRows
+        splits.foreach { n =>
+          val (batch, tail) = rest.splitAt(n)
+          rest = tail
+          if (batch.nonEmpty) { source.addData(batch); query.processAllAvailable() }
+        }
+        if (rest.nonEmpty) { source.addData(rest); query.processAllAvailable() }
+        spark.table("sem_pairs_scaled").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      } finally {
+        query.stop()
+        spark.sql("DROP TABLE IF EXISTS sem_pairs_scaled")
+      }
+    }
+    val oneShot = run(Seq(vecRows.size))
+    assert(oneShot == expected,
+      s"one-batch scaled drain: ${oneShot.size} pairs vs batch ${expected.size}")
+    val uneven = run(Seq(13, 5, 41))
+    assert(uneven == expected,
+      s"uneven scaled drain: ${uneven.size} pairs vs batch ${expected.size}")
+  }
+
   test("replayed prefix is idempotent — no duplicate pairs") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
