@@ -232,6 +232,9 @@ object SparkEntry {
     "semdedup_scaled" -> ((s, d) => SimilarityOps.semDedupScaled(s, d)),
     "semantic_clusters_scaled" -> ((s, d) =>
       SimilarityOps.semanticClustersScaled(s, d)),
+    // the quality trade, pinned: fraction of fixed-k τ-near pairs the
+    // bounded cells preserve (integer ppm — the ivf_recall discipline)
+    "scaled_pair_recall" -> ((s, d) => SimilarityOps.scaledPairRecall(s, d)),
     "token_counts"    -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "quality_filter"  -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     // CCNet-style reference-frequency scoring (exact-arithmetic LM proxy)
@@ -377,6 +380,7 @@ object SparkEntry {
     "scaled_cells"    -> TextSql.scaledCellsSql,
     "semdedup_scaled" -> TextSql.semDedupScaledSql,
     "semantic_clusters_scaled" -> TextSql.semanticClustersScaledSql,
+    "scaled_pair_recall" -> TextSql.scaledPairRecallSql,
     "token_counts"    -> TextSql.tokenCountsSql,
     "quality_filter"  -> TextSql.qualityFilterSql,
     "freq_score"      -> TextSql.freqScoreSql,

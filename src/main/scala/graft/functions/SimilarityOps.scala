@@ -410,6 +410,32 @@ object SimilarityOps {
       .select(col("id1"), col("id2"), col("cos").cast("double").as("cos"))
   }
 
+  /** The quality trade of the scaled quantizer, pinned as a gated query
+    * (`scaled_pair_recall`, the `ivf_recall` discipline): how many of the
+    * fixed-k within-label τ-near pairs the bounded cells preserve. Pairs
+    * split across tiles are the recall loss — the same boundary loss any
+    * k ∝ N quantizer (SemDeDup's own k-means included) accepts to buy
+    * linear pair cost; measuring it is what makes the dial honest.
+    * One row: (n_full, n_scaled, n_kept, recall).
+    */
+  def scaledPairRecall(spark: SparkSession, dir: String,
+      minCosine: Double = 0.3,
+      targetCell: Int = scaledTargetCell): DataFrame = {
+    val full = semDedupPairs(spark, dir, minCosine)
+      .select(col("id1"), col("id2"))
+    val scaled = semDedupPairsScaled(spark, dir, minCosine, targetCell)
+      .select(col("id1"), col("id2"))
+    val kept = full.join(scaled, Seq("id1", "id2"), "left_semi")
+      .agg(count(lit(1)).as("n_kept"))
+    // recall as integer ppm — the ivf_recall discipline: hash-gated
+    // integer arithmetic, no cross-engine float-rounding hazard
+    full.agg(count(lit(1)).as("n_full"))
+      .crossJoin(scaled.agg(count(lit(1)).as("n_scaled")))
+      .crossJoin(kept)
+      .select(col("n_full"), col("n_scaled"), col("n_kept"),
+        expr("n_kept * 1000000 div n_full").as("recall_ppm"))
+  }
+
   /** Connected components over the scaled τ-near graph
     * (`semantic_clusters_scaled`) — the [[semanticClustersFresh]] twin at
     * the scaled quantizer's linear pair cost. */

@@ -189,6 +189,33 @@ private[oracle] trait VectorSql extends TextSqlBase {
        |  vec_id = cluster_id AS keep
        |FROM labels""".stripMargin
 
+  // the scaled quantizer's recall vs the fixed-k pair set
+  // (SimilarityOps.scaledPairRecall): pairs split across tiles are the
+  // loss the bounded cells accept for linear pair cost
+  val scaledPairRecallSql: String =
+    s"""WITH ${scaledCte(scaledB)},
+       |full_pairs AS (
+       |  SELECT x.vec_id AS id1, y.vec_id AS id2
+       |  FROM assigned x JOIN assigned y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE ${cosineExprOn("x.v", "y.v")} >= 0.3),
+       |scaled_pairs AS (
+       |  SELECT x.vec_id AS id1, y.vec_id AS id2
+       |  FROM sassigned x JOIN sassigned y
+       |    ON x.cell = y.cell AND x.tile = y.tile AND x.vec_id < y.vec_id
+       |  WHERE ${cosineExprOn("x.v", "y.v")} >= 0.3),
+       |kept AS (
+       |  SELECT COUNT(*) AS n_kept FROM full_pairs f
+       |  WHERE EXISTS (SELECT 1 FROM scaled_pairs s
+       |                WHERE s.id1 = f.id1 AND s.id2 = f.id2))
+       |SELECT
+       |  (SELECT COUNT(*) FROM full_pairs) AS n_full,
+       |  (SELECT COUNT(*) FROM scaled_pairs) AS n_scaled,
+       |  n_kept,
+       |  CAST(n_kept * 1000000 // (SELECT COUNT(*) FROM full_pairs)
+       |       AS BIGINT) AS recall_ppm
+       |FROM kept""".stripMargin
+
   // IVF-PQ with exact re-rank (SimilarityOps.pqTopK): sub-quantizer codes
   // by rounded-DECIMAL argmin (label tie-break), per-query ADC lookup
   // table, DECIMAL-exact m-addend sums, ADC shortlist top-16, exact cosine

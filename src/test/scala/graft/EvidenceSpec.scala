@@ -72,6 +72,39 @@ class EvidenceSpec extends SparkSpec {
     }
   }
 
+  test("scaled-quantizer rehearsal evidence exists at sf1, sf3 AND sf10, converged, k growing with the corpus") {
+    // verdict r15 item 1 done-criteria: the k ∝ N dial must carry decade
+    // evidence of its own — flat per-op cost is a claim about the LADDER,
+    // so all three files must exist and each drained stream must have
+    // except-matched its batch twin
+    var lastK = 0
+    for (p <- Seq("tools/stream_bench_scaled_sf1.json",
+        "tools/stream_bench_scaled_sf3.json",
+        "tools/stream_bench_scaled_sf10.json")) {
+      val j = read(p)
+      assert(j.contains("\"state_store\":\"rocksdb\""),
+        s"$p was not recorded on the RocksDB provider")
+      val at = j.indexOf("\"sem_ingest_scaled\"")
+      assert(at >= 0, s"$p: no sem_ingest_scaled record")
+      val rec = j.substring(at, math.min(j.length, at + 400))
+      assert(rec.contains("\"converged\":true"),
+        s"$p: sem_ingest_scaled recorded without converged:true")
+      val k = """"k_cells":(\d+)""".r.findFirstMatchIn(rec).map(_.group(1).toInt)
+      assert(k.isDefined, s"$p: no k_cells in the scaled record")
+      assert(k.get > lastK,
+        s"$p: k must grow with the corpus (k ∝ N), got ${k.get} after $lastK")
+      lastK = k.get
+    }
+    // the takedown-burst shape (r15 stretch item 6) rides the sf10 file
+    val sf10 = read("tools/stream_bench_scaled_sf10.json")
+    val at = sf10.indexOf("\"mixed_burst\"")
+    assert(at >= 0, "sf10 scaled evidence has no mixed_burst record")
+    val rec = sf10.substring(at, math.min(sf10.length, at + 500))
+    assert(rec.contains("\"converged\":true") &&
+      rec.contains("\"write_bytes_per_version\""),
+      "mixed_burst must converge and carry write-bytes evidence")
+  }
+
   test("skew rehearsal evidence exists at sf1 and covers the rehearsed operators") {
     val j = read("tools/skew_bench_sf1.json")
     for (q <- Seq("wire_fold", "minhash_lsh", "components_fresh", "orderbook",
