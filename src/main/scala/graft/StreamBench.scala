@@ -23,9 +23,10 @@ import graft.streaming.{IngestDedup, SemIngest, StreamOps, WireStream}
   * the same equivalence the specs pin at sf0.001, here at rehearsal scale.
   * Usage: runMain graft.StreamBench [sfDir] [filesPerTrigger] [sections] [targetCell]
   * `sections` is a comma list from {wire,dedup,sem,sem_scaled,pq,bm,
-  * cluster,takedown,mixed,burst} (default: the historical eight — so
-  * decade-over-decade JSONs stay comparable; sem_scaled and burst are the
-  * r16 additions, opted in explicitly); `targetCell` is the scaled
+  * cluster,takedown,mixed,burst}, or `all` for every section (default:
+  * the historical eight — so decade-over-decade JSONs stay comparable;
+  * sem_scaled and burst are the r16 additions, opted in explicitly or
+  * via `all`; unknown names fail loudly); `targetCell` is the scaled
   * quantizer dial for sem_scaled (default 2000 — the production-shaped
   * setting where per-arrival cost is dominated by the bounded
   * within-cell compare, not the k ∝ N sub-centroid probe).
@@ -34,10 +35,22 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val perTrigger = if (args.length > 1) args(1).toInt else 8
+    val historical = Set("wire", "dedup", "sem", "pq", "bm", "cluster",
+      "takedown", "mixed")
+    val known = historical ++ Set("sem_scaled", "burst")
     val sections: Set[String] =
-      if (args.length > 2 && args(2) != "all")
-        args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
-      else Set("wire", "dedup", "sem", "pq", "bm", "cluster", "takedown", "mixed")
+      if (args.length > 2 && args(2) == "all") known
+      else if (args.length > 2) {
+        val asked = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+        // a typo'd section name silently running NOTHING would let stale
+        // evidence keep passing while the rehearsal was never re-run —
+        // fail loudly instead
+        val unknown = asked -- known
+        require(unknown.isEmpty,
+          s"StreamBench: unknown section(s) ${unknown.mkString(", ")} — " +
+            s"valid: ${known.toSeq.sorted.mkString(", ")}, or 'all'")
+        asked
+      } else historical
     val targetCell = if (args.length > 3) args(3).toInt else 2000
     def want(x: String): Boolean = sections.contains(x)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

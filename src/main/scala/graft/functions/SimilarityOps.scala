@@ -417,6 +417,14 @@ object SimilarityOps {
     * k ∝ N quantizer (SemDeDup's own k-means included) accepts to buy
     * linear pair cost; measuring it is what makes the dial honest.
     * One row: (n_full, n_scaled, n_kept, recall).
+    *
+    * By construction every scaled pair IS a fixed-k pair (reassignment
+    * only moves vectors between tiles WITHIN their label cell), so
+    * n_kept = n_scaled whenever the quantizer is correct — the semi-join
+    * is therefore a deliberate subset-INTEGRITY assertion riding the
+    * gate, not a free variable: a tile-assignment bug that invented a
+    * cross-cell pair would surface as n_kept < n_scaled in both engines'
+    * hash-compared outputs.
     */
   def scaledPairRecall(spark: SparkSession, dir: String,
       minCosine: Double = 0.3,

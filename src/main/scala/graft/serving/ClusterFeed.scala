@@ -55,21 +55,27 @@ object ClusterFeed {
     * resolved assignment (cluster_id equality prunes before the fold's
     * aggregation; at scale the version tables are doc_id-bucketed and
     * this is a bucket-pruned lookup). `size` is always the exact count;
-    * members are the `limit` lowest doc_ids (TakeOrdered — bounded driver
-    * collect regardless of cluster size). None when the cluster is absent.
+    * members are the `limit` lowest doc_ids (bounded driver collect
+    * regardless of cluster size). None when the cluster is absent. ONE
+    * Spark job per read: the exact size rides the capped rows as a
+    * partition-wide count window — the same single-pass shape as the
+    * push path in [[attach]] — so the chain fold behind
+    * [[MixedIngest.current]] resolves once, not once for the count and
+    * again for the members.
     */
   def clusterJson(spark: SparkSession, prefix: String, clusterId: Long,
                   limit: Int = memberLimit): Option[String] =
     MixedIngest.current(spark, prefix).flatMap { cur =>
       val lim = math.max(limit, 1)
-      val one = cur.filter(col("cluster_id") === clusterId)
-      val size = one.count()
-      if (size == 0L) None
-      else {
-        val members = one.orderBy(col("doc_id")).limit(lim)
-          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-        Some(memberJson(clusterId, size, members))
-      }
+      val w = Window.partitionBy(col("cluster_id"))
+      val rows = cur.filter(col("cluster_id") === clusterId)
+        .withColumn("_n", count(lit(1)).over(w))
+        .withColumn("_rn", row_number().over(w.orderBy(col("doc_id"))))
+        .filter(col("_rn") <= lim)
+        .select(col("doc_id"), col("_n")).collect()
+      if (rows.isEmpty) None
+      else Some(memberJson(clusterId, rows.head.getLong(1),
+        rows.map(_.getLong(0)).sorted.toSeq))
     }
 
   /** Render the view summary as JSON: cluster count and doc count. */
@@ -87,18 +93,21 @@ object ClusterFeed {
     * r14: a differently-cased subscription used to join a room that never
     * received a snapshot or a push, silently — [[WsServer]] lowercases
     * cluster room keys at registration and this lowercases at dispatch,
-    * so the two can never disagree). Compose with the order-book callback:
+    * so the two can never disagree). `limit` caps membership renders
+    * exactly as in [[attach]] — pass the SAME value to both so a room's
+    * initial snapshot and its subsequent pushes carry consistently
+    * bounded payloads. Compose with the order-book callback:
     * {{{ WsServer.start(k => ClusterFeed.snapshotFor(spark, prefix)(k)
     *       .orElse(bookJson(k))) }}}
     */
-  def snapshotFor(spark: SparkSession, prefix: String)(
-      key: String): Option[String] = {
+  def snapshotFor(spark: SparkSession, prefix: String,
+                  limit: Int = memberLimit)(key: String): Option[String] = {
     val p = prefix.toLowerCase(java.util.Locale.ROOT)
     val k = key.toLowerCase(java.util.Locale.ROOT)
     if (k == s"clusters:$p") summaryJson(spark, prefix)
     else if (k.startsWith(s"clusters:$p:"))
       k.stripPrefix(s"clusters:$p:").toLongOption
-        .flatMap(clusterJson(spark, prefix, _))
+        .flatMap(clusterJson(spark, prefix, _, limit))
     else None
   }
 

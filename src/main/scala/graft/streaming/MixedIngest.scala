@@ -312,6 +312,15 @@ object MixedIngest {
     */
   def adopt(spark: SparkSession, prefix: String, checkpoint: String): Unit = {
     val p = prefix.toLowerCase(java.util.Locale.ROOT)
+    // identity assertion only makes sense over an EXISTING legacy view; on
+    // a prefix with no committed versions (typo, wrong session) a stamp
+    // created here would poison a later legitimate build on that name —
+    // its first delivery would hit the stamp guard and wedge
+    require(committedFull(spark, p).nonEmpty,
+      s"MixedIngest.adopt: prefix '$prefix' has no committed versions — " +
+        "adopt asserts checkpoint identity for an existing stampless " +
+        "legacy view; check the prefix spelling (a stamp created for a " +
+        "nonexistent view would block a later legitimate build)")
     val stampTable = s"${p}_ckptstamp"
     if (spark.catalog.tableExists(stampTable)) {
       val stamped = spark.table(stampTable).head().getString(0)
@@ -418,28 +427,23 @@ object MixedIngest {
     // later legitimate resume).
     if (versions.nonEmpty && !versions.exists(_.upto < batchId) &&
         !spark.catalog.tableExists(stampTable)) {
-      // ADVICE r15: when the delivery sits exactly AT the committed
-      // boundary, the original checkpoint would re-deliver this same batch
-      // forever (crash after commit, before offset commit) — advising
-      // "resume from the original checkpoint" is unsatisfiable there, so
-      // the message names the two exits that actually work: a rebuild
-      // under a fresh prefix, or an operator identity assertion ([[adopt]])
-      val atBoundary = versions.exists(_.upto == batchId)
+      // ADVICE r15: the delivery here sits exactly AT the committed
+      // boundary (the tip require above caps every upto at batchId and
+      // this branch's no-version-below condition floors them there, so
+      // all upto == batchId — there is no "above the boundary" case), and
+      // the original checkpoint would re-deliver this same batch forever
+      // (crash after commit, before offset commit) — advising "resume
+      // from the original checkpoint" is unsatisfiable, so the message
+      // names the two exits that actually work: an operator identity
+      // assertion ([[adopt]]), or a rebuild under a fresh prefix
       val exits =
-        if (atBoundary)
-          "if this IS the view's original checkpoint replaying its first " +
-            "batch after a crash between commit and offset commit, assert " +
-            "that identity explicitly with MixedIngest.adopt(spark, " +
-            "prefix, checkpoint) and restart; otherwise rebuild the view " +
-            "under a fresh prefix (resuming from 'the original " +
-            "checkpoint' cannot help here — it would re-deliver this same " +
-            "boundary batch forever)"
-        else
-          "resume from the original checkpoint (delivering batch ids " +
-            "above the newest incorporated batch), assert identity with " +
-            "MixedIngest.adopt(spark, prefix, checkpoint) if this " +
-            "delivery is legitimately the view's own, or rebuild the " +
-            "view under a fresh prefix"
+        "if this IS the view's original checkpoint replaying its first " +
+          "batch after a crash between commit and offset commit, assert " +
+          "that identity explicitly with MixedIngest.adopt(spark, " +
+          "prefix, checkpoint) and restart; otherwise rebuild the view " +
+          "under a fresh prefix (resuming from 'the original " +
+          "checkpoint' cannot help here — it would re-deliver this same " +
+          "boundary batch forever)"
       throw new IllegalStateException(
         s"MixedIngest.mergeBatch: batch $batchId over prefix '$prefix' " +
           "would rebuild from an empty base, but the view already has " +

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Ingest-time SEMANTIC dedup — the streaming lift of the batch SemDeDup
   * pass ([[graft.functions.SimilarityOps.semDedup]]), exactly as
@@ -136,6 +136,37 @@ object SemIngest {
     }
   }
 
+  /** The per-cell index fold BOTH [[pairStream]] variants run: sort the
+    * batch's arrivals (lower vec_id = "earlier" — deterministic batch-
+    * internal order, so the drained pair set is batch-boundary
+    * independent), skip re-delivered ids (replay-idempotent, the P4
+    * offset-dedup discipline), emit one τ-near [[Pair]] per
+    * already-admitted member, admit. ONE body shared by the fixed-k and
+    * scaled paths so a future fix to the replay or ordering discipline
+    * can never desynchronize them.
+    */
+  private def indexFold[K, A](vecId: A => Long, vec: A => Seq[Float],
+      minCosine: Double)(
+      key: K, rows: Iterator[A],
+      state: GroupState[Seq[(Long, Seq[Float])]]): Iterator[Pair] = {
+    var seen = state.getOption.getOrElse(Seq.empty)
+    val out = Seq.newBuilder[Pair]
+    rows.toSeq.sortBy(vecId).foreach { r =>
+      val rid = vecId(r)
+      if (!seen.exists(_._1 == rid)) {
+        val rv = vec(r)
+        seen.foreach { case (id, v) =>
+          val c = round8(cosineFF(v, rv))
+          if (c >= minCosine)
+            out += Pair(math.min(id, rid), math.max(id, rid), c)
+        }
+        seen = seen :+ (rid -> rv)
+      }
+    }
+    state.update(seen)
+    out.result().iterator
+  }
+
   /** [[pairStream]] under the SCALED quantizer: state is keyed by
     * (cell, tile), so per-cell state size and per-arrival compare cost are
     * bounded by the realized scaled-cell population (~targetCell) instead
@@ -153,23 +184,8 @@ object SemIngest {
     scaledAssignedStream(vecs, labelCents, subCents)
       .groupByKey(a => (a.cell, a.tile))
       .flatMapGroupsWithState[Seq[(Long, Seq[Float])], Pair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, rows, state) =>
-          var seen = state.getOption.getOrElse(Seq.empty)
-          val out = Seq.newBuilder[Pair]
-          rows.toSeq.sortBy(_.vecId).foreach { r =>
-            if (!seen.exists(_._1 == r.vecId)) { // replay-idempotent (P4)
-              seen.foreach { case (id, v) =>
-                val c = round8(cosineFF(v, r.v))
-                if (c >= minCosine)
-                  out += Pair(math.min(id, r.vecId), math.max(id, r.vecId), c)
-              }
-              seen = seen :+ (r.vecId -> r.v)
-            }
-          }
-          state.update(seen)
-          out.result().iterator
-      }
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        indexFold[(Int, Int), ScaledAssigned](_.vecId, _.v, minCosine))
   }
 
   /** The online τ-near pair stream (Append mode): for every arriving
@@ -185,22 +201,7 @@ object SemIngest {
     assignedStream(vecs, centroids)
       .groupByKey(_.cell)
       .flatMapGroupsWithState[Seq[(Long, Seq[Float])], Pair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, rows, state) =>
-          var seen = state.getOption.getOrElse(Seq.empty)
-          val out = Seq.newBuilder[Pair]
-          rows.toSeq.sortBy(_.vecId).foreach { r =>
-            if (!seen.exists(_._1 == r.vecId)) { // replay-idempotent (P4)
-              seen.foreach { case (id, v) =>
-                val c = round8(cosineFF(v, r.v))
-                if (c >= minCosine)
-                  out += Pair(math.min(id, r.vecId), math.max(id, r.vecId), c)
-              }
-              seen = seen :+ (r.vecId -> r.v)
-            }
-          }
-          state.update(seen)
-          out.result().iterator
-      }
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        indexFold[Int, Assigned](_.vecId, _.v, minCosine))
   }
 }

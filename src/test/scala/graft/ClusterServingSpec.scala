@@ -192,15 +192,19 @@ class ClusterServingSpec extends SparkSpec {
     assert(ClusterFeed.clusterJson(spark, p4, 0L, limit = 100).contains(
       """{"cluster_id":0,"size":12,"members":[0,1,2,3,4,5,6,7,8,9,10,11]}"""))
 
-    // the push path honors the attach-time cap the same way
-    val ws = WsServer.start(k => ClusterFeed.snapshotFor(spark, p4)(k))
+    // snapshot AND push honor the same cap: a serving context passes ONE
+    // limit to both snapshotFor and attach, so a room's initial snapshot
+    // and its subsequent pushes carry consistently bounded payloads
+    val ws = WsServer.start(k => ClusterFeed.snapshotFor(spark, p4, limit = 5)(k))
     try {
       ClusterFeed.attach(spark, p4, ws, limit = 5)
       val c1 = new Collector
       val s1 = connect(ws.port, c1)
       s1.sendText(s"subscribe:clusters:$p4:0", true).get(5, TimeUnit.SECONDS)
       assert(c1.latch.await(5, TimeUnit.SECONDS), "no snapshot")
-      c1.messages.poll()
+      assert(c1.messages.poll() ==
+        """{"cluster_id":0,"size":12,"members":[0,1,2,3,4],"truncated":true}""",
+        "subscribe snapshot not capped at the serving context's limit")
       c1.latch = new CountDownLatch(1)
       MixedIngest.mergeBatch(feedDf(Seq((11L, 12L)), Seq.empty), p4, 1L)
       assert(c1.latch.await(5, TimeUnit.SECONDS), "no capped push")

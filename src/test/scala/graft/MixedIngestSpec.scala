@@ -659,6 +659,20 @@ class MixedIngestSpec extends SparkSpec {
       s"adopt re-pointed a stamped view: ${e3.getMessage}")
   }
 
+  test("adopt refuses a prefix with no committed versions (typo guard)") {
+    reset()
+    // a stamp created for a nonexistent view (mistyped prefix, wrong
+    // session) would silently poison a later legitimate build on that
+    // name — its first delivery would hit the stamp guard and wedge
+    val e = intercept[IllegalArgumentException] {
+      MixedIngest.adopt(spark, s"${prefix}_typo", s"$ckpt/orig")
+    }
+    assert(e.getMessage.contains("no committed versions"),
+      s"adopt should refuse an empty prefix, got: ${e.getMessage}")
+    assert(!spark.catalog.tableExists(s"${prefix}_typo_ckptstamp"),
+      "refused adopt must not leave a stamp behind")
+  }
+
   test("registries are keyed by (applicationId, prefix), shared by sibling sessions") {
     reset()
     // the key discipline matches VersionChain's cursor exactly (verdict
