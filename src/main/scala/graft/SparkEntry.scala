@@ -235,6 +235,10 @@ object SparkEntry {
     // the quality trade, pinned: fraction of fixed-k τ-near pairs the
     // bounded cells preserve (integer ppm — the ivf_recall discipline)
     "scaled_pair_recall" -> ((s, d) => SimilarityOps.scaledPairRecall(s, d)),
+    // the log-depth probe over the scaled quantizer: ~2√T cosines per
+    // assignment instead of T, pinned per-vector + its recall trade
+    "tree_cells"       -> ((s, d) => SimilarityOps.treeCells(s, d)),
+    "tree_pair_recall" -> ((s, d) => SimilarityOps.treePairRecall(s, d)),
     "token_counts"    -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "quality_filter"  -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     // CCNet-style reference-frequency scoring (exact-arithmetic LM proxy)
@@ -381,6 +385,8 @@ object SparkEntry {
     "semdedup_scaled" -> TextSql.semDedupScaledSql,
     "semantic_clusters_scaled" -> TextSql.semanticClustersScaledSql,
     "scaled_pair_recall" -> TextSql.scaledPairRecallSql,
+    "tree_cells"       -> TextSql.treeCellsSql,
+    "tree_pair_recall" -> TextSql.treePairRecallSql,
     "token_counts"    -> TextSql.tokenCountsSql,
     "quality_filter"  -> TextSql.qualityFilterSql,
     "freq_score"      -> TextSql.freqScoreSql,

@@ -22,8 +22,8 @@ import graft.streaming.{IngestDedup, SemIngest, StreamOps, WireStream}
   * output is materialized and except-compared to the batch computation —
   * the same equivalence the specs pin at sf0.001, here at rehearsal scale.
   * Usage: runMain graft.StreamBench [sfDir] [filesPerTrigger] [sections] [targetCell]
-  * `sections` is a comma list from {wire,dedup,sem,sem_scaled,pq,bm,
-  * cluster,takedown,mixed,burst}, or `all` for every section (default:
+  * `sections` is a comma list from {wire,dedup,sem,sem_scaled,sem_tree,
+  * pq,bm,cluster,takedown,mixed,burst}, or `all` for every section (default:
   * the historical eight — so decade-over-decade JSONs stay comparable;
   * sem_scaled and burst are the r16 additions, opted in explicitly or
   * via `all`; unknown names fail loudly); `targetCell` is the scaled
@@ -37,7 +37,7 @@ object StreamBench {
     val perTrigger = if (args.length > 1) args(1).toInt else 8
     val historical = Set("wire", "dedup", "sem", "pq", "bm", "cluster",
       "takedown", "mixed")
-    val known = historical ++ Set("sem_scaled", "burst")
+    val known = historical ++ Set("sem_scaled", "sem_tree", "burst")
     val sections: Set[String] =
       if (args.length > 2 && args(2) == "all") known
       else if (args.length > 2) {
@@ -419,6 +419,43 @@ object StreamBench {
       record("sem_ingest_scaled", nRows, secs, converged,
         extra = s""","target_cell":$targetCell,"k_cells":$kCells""" +
           s""","max_cell_pop":$maxPop""")
+    }
+
+    // ── 8b'. the TREE probe over the same dial (SimilarityOps
+    // .treeAssignment) ── identical bounded (cell, tile) state, but the
+    // per-arrival assignment descends label → branch → tile (~2√T
+    // cosines) instead of the flat argmax over all T of the label's
+    // tiles; at a dial where T is large the assignment term dominates
+    // and the probe's advantage is directly measurable as rows/s against
+    // sem_ingest_scaled run at the SAME dial
+    if (want("sem_tree")) {
+      val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      val nRows = chunk(vecs, s"$work/vecs-tr", "vec_id")
+      val centroids = graft.functions.SimilarityOps.centroidVectors(spark, sfDir)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+      val (branchCents, tilesByBranch) = graft.functions.SimilarityOps
+        .treeProbeStructures(spark, sfDir, targetCell)
+      val kBranches = branchCents.values.map(_.size).sum
+      val kTiles = tilesByBranch.values.map(_.size).sum
+      val q = SemIngest.treePairStream(
+          fileStream(s"$work/vecs-tr", vecs.schema), centroids,
+          branchCents, tilesByBranch)
+        .toDF("id1", "id2", "cos")
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$work/ckpt-sem-tr")
+        .queryName("sem_ingest_tree")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$work/sem-tr-out")
+        }.start()
+      val secs = drain(q)
+      val streamed = spark.read.parquet(s"$work/sem-tr-out").distinct()
+      val batch = graft.functions.SimilarityOps
+        .treePairs(spark, sfDir, targetCell = targetCell)
+        .toDF("id1", "id2", "cos")
+      val converged = streamed.except(batch).isEmpty && batch.except(streamed).isEmpty
+      record("sem_ingest_tree", nRows, secs, converged,
+        extra = s""","target_cell":$targetCell,"k_branches":$kBranches""" +
+          s""","k_tiles":$kTiles""")
     }
 
     // ── 8c. MIXED maintenance under a TAKEDOWN BURST (verdict r15 stretch

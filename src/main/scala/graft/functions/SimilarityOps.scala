@@ -455,6 +455,177 @@ object SimilarityOps {
         .select(col("id1"), col("id2")))
       .withColumnRenamed("doc_id", "vec_id")
 
+  // ────────────── tree probe: log-depth scaled assignment ──────────────
+  // The scaled quantizer's per-arrival assignment is ~|labels| cosines
+  // plus a FLAT argmax over the label's tiles — linear in the quantizer
+  // size, i.e. linear in N at a fixed targetCell. Negligible at the
+  // rehearsed decades (10 tiles/label at sf10, production dial) but the
+  // dominant term once tiles/label rivals targetCell (SCALING.md r16
+  // addendum: "named, not built"). This is that probe, built, as the
+  // TWO-LEVEL form: tiles group into BRANCHES of ⌈√T⌉ ADJACENT annuli
+  // (T = the label's tile count; tiles are ordered by centroid-
+  // similarity rank, so a branch is a thick annulus — geometrically
+  // coherent, not an id hash), and the probe descends label → nearest
+  // branch centroid (≈√T cosines) → nearest tile WITHIN that branch
+  // (≤⌈√T⌉ cosines): ~2√T instead of T. Deeper levels repeat the same
+  // construction; two already push the flat regime out by the square of
+  // its reach (10⁹ vectors at the production dial: ~450 cosines/arrival
+  // instead of ~50,000).
+  //
+  // The descent APPROXIMATES the flat argmax (a vector whose best tile
+  // sits in a non-nearest branch lands elsewhere), so it is a DISTINCT
+  // gated variant: `tree_cells` pins every vector's probed cell,
+  // `tree_pair_recall` pins the pair-set agreement with the flat scaled
+  // quantizer in integer ppm (the ivf_recall discipline). Both DuckDB-
+  // mirrored exactly — branch width ⌈√T⌉ from integer T, the same
+  // DECIMAL mean and rounded-DECIMAL argmax as every quantizer stage.
+  // ──────────────────────────────────────────────────────────────────────
+
+  /** Gate dial for the TREE queries — below [[scaledTargetCell]] so the
+    * sf0.01 corpus genuinely BRANCHES (~50-member label cells: 7 tiles →
+    * bw 3 → 3 branches); at the scaled dial (2 tiles → 1 branch) the
+    * descent would degenerate to the flat argmax and the oracle would
+    * never exercise the branch level cross-engine. */
+  val treeTargetCell: Int = 8
+
+  /** Per-label branch width ⌈√T⌉ (T = the label's tile count) — the one
+    * integer both engines derive from the tiled seeding. */
+  private def branchWidths(tiled: DataFrame): DataFrame =
+    tiled.groupBy("cell")
+      .agg(ceil(sqrt(max(col("tile")) + 1)).cast("int").as("bw"))
+
+  /** Branch centroids: (cell, branch, bc) — the DECIMAL-exact
+    * element-wise mean over the branch's member vectors, the
+    * [[labelCentroids]] arithmetic. Broadcast-sized: ~k/⌈√T⌉ rows. */
+  def treeCentroidVectors(spark: SparkSession, dir: String,
+      targetCell: Int = treeTargetCell): DataFrame = {
+    val t = tiledAssignment(spark, dir, targetCell)
+    t.join(broadcast(branchWidths(t)), Seq("cell"))
+      .withColumn("branch", expr("tile div bw").cast("int"))
+      .select(col("cell"), col("branch"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("cell", "branch", "d")
+      .agg((sum(bround(col("x").cast("double"), 9).cast("decimal(18,9)"))
+        .cast("double") / count(lit(1))).as("mean"))
+      .groupBy("cell", "branch")
+      .agg(sort_array(collect_list(struct(col("d"), col("mean")))).as("dm"))
+      .select(col("cell"), col("branch"),
+        expr("transform(dm, p -> p.mean)").as("bc"))
+  }
+
+  /** The probe structures collected driver-side for the row-local
+    * streaming twin ([[graft.streaming.SemIngest.treePairStream]]) — both
+    * broadcast-sized by construction: branch centroids per label, and
+    * tile sub-centroids per (label, branch). */
+  def treeProbeStructures(spark: SparkSession, dir: String,
+      targetCell: Int = treeTargetCell)
+      : (Map[Int, Seq[(Int, Seq[Double])]],
+         Map[(Int, Int), Seq[(Int, Seq[Double])]]) = {
+    val bc = treeCentroidVectors(spark, dir, targetCell).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).map { case (c, xs) =>
+        c -> xs.map(x => (x._2, x._3)).toSeq.sortBy(_._1) }
+    val t = tiledAssignment(spark, dir, targetCell)
+    val bw = branchWidths(t).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val tiles = scaledCentroidVectors(spark, dir, targetCell).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(x => (x._1, x._2 / bw(x._1))).map { case (k, xs) =>
+        k -> xs.map(x => (x._2, x._3)).toSeq.sortBy(_._1) }
+    (bc, tiles)
+  }
+
+  private val treeIndexCache =
+    new graft.functions.BoundedMemo[(SparkSession, String, Int), DataFrame](
+      4, _.unpersist())
+
+  /** The tree-probed assignment: every vector's (cell, branch, tile)
+    * under the two-level descent, with its rounded tile-sub-centroid
+    * cosine. Both probe levels are broadcast joins against quantizer
+    * lists — the corpus never shuffles except the per-vector argmax. */
+  def treeAssignment(spark: SparkSession, dir: String,
+      targetCell: Int = treeTargetCell): DataFrame =
+    treeIndexCache.getOrBuild((spark, dir, targetCell)) {
+      val t = tiledAssignment(spark, dir, targetCell)
+      val bw = branchWidths(t)
+      val corpus = t.select(col("vec_id"), col("v"), col("cell"))
+      val one = corpus
+        .join(broadcast(treeCentroidVectors(spark, dir, targetCell)), Seq("cell"))
+        .select(col("vec_id"), col("v"), col("cell"), col("branch"),
+          bround(nativeCosine(spark, "bc", "v"), 8)
+            .cast("decimal(12,8)").as("bscore"))
+        .withColumn("brk", row_number().over(
+          Window.partitionBy("vec_id")
+            .orderBy(col("bscore").desc, col("branch"))))
+        .filter(col("brk") === 1)
+        .select(col("vec_id"), col("v"), col("cell"), col("branch"))
+      val subBranch = scaledCentroidVectors(spark, dir, targetCell)
+        .join(broadcast(bw), Seq("cell"))
+        .withColumn("branch", expr("tile div bw").cast("int"))
+        .select(col("cell"), col("branch"), col("tile"), col("sc"))
+      one.join(broadcast(subBranch), Seq("cell", "branch"))
+        .select(col("vec_id"), col("v"), col("cell"), col("branch"),
+          col("tile"),
+          bround(nativeCosine(spark, "sc", "v"), 8)
+            .cast("decimal(12,8)").as("tscore"))
+        .withColumn("trk", row_number().over(
+          Window.partitionBy("vec_id")
+            .orderBy(col("tscore").desc, col("tile"))))
+        .filter(col("trk") === 1)
+        .select(col("vec_id"), col("v"), col("cell"), col("branch"),
+          col("tile"), col("tscore"))
+        .persist()
+    }
+
+  /** The probe pinned per-vector — the gated form (`tree_cells`). */
+  def treeCells(spark: SparkSession, dir: String,
+      targetCell: Int = treeTargetCell): DataFrame =
+    treeAssignment(spark, dir, targetCell)
+      .select(col("vec_id"), col("cell"), col("branch"), col("tile"),
+        col("tscore").cast("double").as("tile_cos"))
+
+  /** The undirected within-probed-cell τ-near pair set (id1 < id2) —
+    * the batch ground truth the tree streaming admission index
+    * ([[graft.streaming.SemIngest.treePairStream]]) must reproduce once
+    * drained, and the tree side of [[treePairRecall]]. */
+  def treePairs(spark: SparkSession, dir: String,
+      minCosine: Double = 0.3,
+      targetCell: Int = treeTargetCell): DataFrame = {
+    val a = treeAssignment(spark, dir, targetCell)
+      .select(col("vec_id"), col("v"), col("cell"), col("tile"))
+    a.as("x").join(a.as("y"),
+        col("x.cell") === col("y.cell") && col("x.tile") === col("y.tile") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
+        bround(nativeCosine(spark, "x.v", "y.v"), 8)
+          .cast("decimal(12,8)").as("cos"))
+      .filter(col("cos") >= minCosine)
+      .select(col("id1"), col("id2"),
+        col("cos").cast("double").as("cos"))
+  }
+
+  /** Pair-set agreement between the tree probe and the flat scaled
+    * argmax (`tree_pair_recall`, integer ppm). Unlike
+    * [[scaledPairRecall]] this is NOT a subset relation: the probe can
+    * both lose pairs (members split across probed tiles) and form new
+    * ones (two vectors descending to the same non-flat tile), so
+    * n_flat / n_tree / n_common are all free observables;
+    * recall = common/flat. */
+  def treePairRecall(spark: SparkSession, dir: String,
+      minCosine: Double = 0.3,
+      targetCell: Int = treeTargetCell): DataFrame = {
+    val flat = semDedupPairsScaled(spark, dir, minCosine, targetCell)
+      .select(col("id1"), col("id2"))
+    val tree = treePairs(spark, dir, minCosine, targetCell)
+      .select(col("id1"), col("id2"))
+    val common = flat.join(tree, Seq("id1", "id2"), "left_semi")
+      .agg(count(lit(1)).as("n_common"))
+    flat.agg(count(lit(1)).as("n_flat"))
+      .crossJoin(tree.agg(count(lit(1)).as("n_tree")))
+      .crossJoin(common)
+      .select(col("n_flat"), col("n_tree"), col("n_common"),
+        expr("n_common * 1000000 div n_flat").as("recall_ppm"))
+  }
+
   /** IVF-PQ with exact re-ranking (Jégou et al. 2011, "Product quantization
     * for nearest neighbor search") — the MEMORY side of the ANN scale path.
     * [[ivfTopK]] bounds which vectors a query scores; PQ bounds what each

@@ -216,6 +216,88 @@ private[oracle] trait VectorSql extends TextSqlBase {
        |       AS BIGINT) AS recall_ppm
        |FROM kept""".stripMargin
 
+  // ── tree-probe mirrors (SimilarityOps.treeAssignment) ──
+  // the two-level descent over the scaled quantizer: tiles group into
+  // branches of ⌈√T⌉ adjacent annuli, the probe picks the nearest branch
+  // centroid then the nearest tile WITHIN that branch — every stage the
+  // same DECIMAL mean / rounded-DECIMAL argmax as the flat form
+  private[oracle] def treeCte(b: Int): String =
+    s"""${scaledCte(b)},
+       |bw AS (
+       |  SELECT cell, CAST(CEIL(SQRT(MAX(tile) + 1)) AS INT) AS bw
+       |  FROM tiled GROUP BY cell),
+       |tbranch AS (
+       |  SELECT t.vec_id, t.v, t.cell, CAST(t.tile // w.bw AS INT) AS branch
+       |  FROM tiled t JOIN bw w ON t.cell = w.cell),
+       |branchcent AS (
+       |  SELECT cell, branch, list(mean ORDER BY d) AS bc FROM (
+       |    SELECT cell, branch, CAST(i - 1 AS INT) AS d,
+       |      CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mean
+       |    FROM tbranch, UNNEST(generate_series(1, len(v))) AS u(i)
+       |    GROUP BY cell, branch, CAST(i - 1 AS INT)) m
+       |  GROUP BY cell, branch),
+       |bscored AS (
+       |  SELECT t.vec_id, t.v, t.cell, b.branch,
+       |    ${cosineExprOn("b.bc", "t.v")} AS bscore
+       |  FROM tiled t JOIN branchcent b ON t.cell = b.cell),
+       |bassigned AS (
+       |  SELECT vec_id, v, cell, branch FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY bscore DESC, branch) AS brk
+       |    FROM bscored) z
+       |  WHERE brk = 1),
+       |subbranch AS (
+       |  SELECT s.cell, CAST(s.tile // w.bw AS INT) AS branch, s.tile, s.sc
+       |  FROM subcent s JOIN bw w ON s.cell = w.cell),
+       |tscored AS (
+       |  SELECT a.vec_id, a.v, a.cell, a.branch, s.tile,
+       |    ${cosineExprOn("s.sc", "a.v")} AS tscore
+       |  FROM bassigned a JOIN subbranch s
+       |    ON a.cell = s.cell AND a.branch = s.branch),
+       |tassigned AS (
+       |  SELECT vec_id, v, cell, branch, tile, tscore FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY tscore DESC, tile) AS trk
+       |    FROM tscored) z
+       |  WHERE trk = 1)""".stripMargin
+
+  // the TREE gate dial — below scaledB so the gate corpus genuinely
+  // branches and the mirror's branch-level argmax is exercised
+  private def treeB = graft.functions.SimilarityOps.treeTargetCell
+
+  // the probe pinned per-vector (SimilarityOps.treeCells)
+  val treeCellsSql: String =
+    s"""WITH ${treeCte(treeB)}
+       |SELECT vec_id, cell, branch, tile, CAST(tscore AS DOUBLE) AS tile_cos
+       |FROM tassigned""".stripMargin
+
+  // pair-set agreement of the probe vs the flat scaled argmax
+  // (SimilarityOps.treePairRecall): the probe both loses and forms
+  // pairs, so n_flat / n_tree / n_common are all free observables
+  val treePairRecallSql: String =
+    s"""WITH ${treeCte(treeB)},
+       |flat_pairs AS (
+       |  SELECT x.vec_id AS id1, y.vec_id AS id2
+       |  FROM sassigned x JOIN sassigned y
+       |    ON x.cell = y.cell AND x.tile = y.tile AND x.vec_id < y.vec_id
+       |  WHERE ${cosineExprOn("x.v", "y.v")} >= 0.3),
+       |tree_pairs AS (
+       |  SELECT x.vec_id AS id1, y.vec_id AS id2
+       |  FROM tassigned x JOIN tassigned y
+       |    ON x.cell = y.cell AND x.tile = y.tile AND x.vec_id < y.vec_id
+       |  WHERE ${cosineExprOn("x.v", "y.v")} >= 0.3),
+       |common AS (
+       |  SELECT COUNT(*) AS n_common FROM flat_pairs f
+       |  WHERE EXISTS (SELECT 1 FROM tree_pairs s
+       |                WHERE s.id1 = f.id1 AND s.id2 = f.id2))
+       |SELECT
+       |  (SELECT COUNT(*) FROM flat_pairs) AS n_flat,
+       |  (SELECT COUNT(*) FROM tree_pairs) AS n_tree,
+       |  n_common,
+       |  CAST(n_common * 1000000 // (SELECT COUNT(*) FROM flat_pairs)
+       |       AS BIGINT) AS recall_ppm
+       |FROM common""".stripMargin
+
   // IVF-PQ with exact re-rank (SimilarityOps.pqTopK): sub-quantizer codes
   // by rounded-DECIMAL argmin (label tie-break), per-query ADC lookup
   // table, DECIMAL-exact m-addend sums, ADC shortlist top-16, exact cosine

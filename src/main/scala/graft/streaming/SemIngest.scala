@@ -136,14 +136,76 @@ object SemIngest {
     }
   }
 
-  /** The per-cell index fold BOTH [[pairStream]] variants run: sort the
+  /** An arriving vector with its TREE-probed cell: label → nearest
+    * branch centroid → nearest tile within the branch
+    * ([[graft.functions.SimilarityOps.treeAssignment]]). */
+  case class TreeAssigned(vecId: Long, cell: Int, branch: Int, tile: Int,
+                          v: Seq[Float])
+
+  /** Row-local TREE assignment of a (vec_id, embedding) stream — the
+    * log-depth probe: ~|labels| cosines, then ~√T against the label's
+    * branch centroids, then ≤⌈√T⌉ against the chosen branch's tile
+    * sub-centroids. Collect both probe structures from
+    * [[graft.functions.SimilarityOps.treeProbeStructures]] (broadcast-
+    * sized). Mirrors the batch descent exactly: max rounded score at
+    * each level, ties to the lower id — so the streaming (cell, tile)
+    * equals the batch one for every vector, at ~2√T per-arrival cost
+    * instead of the flat form's T.
+    */
+  def treeAssignedStream(vecs: DataFrame,
+      labelCents: Seq[(Int, Seq[Double])],
+      branchCents: Map[Int, Seq[(Int, Seq[Double])]],
+      tilesByBranch: Map[(Int, Int), Seq[(Int, Seq[Double])]])
+      : Dataset[TreeAssigned] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bSorted = branchCents.map { case (c, bs) => c -> bs.sortBy(_._1) }
+    val tSorted = tilesByBranch.map { case (k, ts) => k -> ts.sortBy(_._1) }
+    assignedStream(vecs, labelCents).map { a =>
+      var bestBranch = Int.MaxValue
+      var best = -3.0
+      bSorted.getOrElse(a.cell, Seq.empty).foreach { case (b, bc) =>
+        val s = round8(cosineDF(bc, a.v))
+        if (s > best) { best = s; bestBranch = b } // asc: ties keep low
+      }
+      var bestTile = Int.MaxValue
+      best = -3.0
+      tSorted.getOrElse((a.cell, bestBranch), Seq.empty).foreach {
+        case (t, sc) =>
+          val s = round8(cosineDF(sc, a.v))
+          if (s > best) { best = s; bestTile = t } // asc: ties keep low
+      }
+      TreeAssigned(a.vecId, a.cell, bestBranch, bestTile, a.v)
+    }
+  }
+
+  /** [[pairStream]] under the TREE probe: the same bounded (cell, tile)
+    * state as [[scaledPairStream]], reached at log-depth assignment
+    * cost. A fully drained stream's pair set equals the batch tree pair
+    * enumeration (the edge set [[graft.functions.SimilarityOps
+    * .treePairRecall]] compares against the flat form). */
+  def treePairStream(vecs: DataFrame,
+      labelCents: Seq[(Int, Seq[Double])],
+      branchCents: Map[Int, Seq[(Int, Seq[Double])]],
+      tilesByBranch: Map[(Int, Int), Seq[(Int, Seq[Double])]],
+      minCosine: Double = 0.3): Dataset[Pair] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    treeAssignedStream(vecs, labelCents, branchCents, tilesByBranch)
+      .groupByKey(a => (a.cell, a.tile))
+      .flatMapGroupsWithState[Seq[(Long, Seq[Float])], Pair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        indexFold[(Int, Int), TreeAssigned](_.vecId, _.v, minCosine))
+  }
+
+  /** The per-cell index fold EVERY [[pairStream]] variant runs: sort the
     * batch's arrivals (lower vec_id = "earlier" — deterministic batch-
     * internal order, so the drained pair set is batch-boundary
     * independent), skip re-delivered ids (replay-idempotent, the P4
     * offset-dedup discipline), emit one τ-near [[Pair]] per
-    * already-admitted member, admit. ONE body shared by the fixed-k and
-    * scaled paths so a future fix to the replay or ordering discipline
-    * can never desynchronize them.
+    * already-admitted member, admit. ONE body shared by the fixed-k,
+    * scaled, and tree-probe paths so a future fix to the replay or
+    * ordering discipline can never desynchronize them.
     */
   private def indexFold[K, A](vecId: A => Long, vec: A => Seq[Float],
       minCosine: Double)(

@@ -105,6 +105,24 @@ class EvidenceSpec extends SparkSpec {
       "mixed_burst must converge and carry write-bytes evidence")
   }
 
+  test("tree-probe rehearsal evidence exists at sf10: head-to-head at the branching dial + parity at the production dial") {
+    // the probe's claim is comparative (same dial, same corpus, fewer
+    // per-arrival cosines) — so the evidence must carry BOTH sides of
+    // the head-to-head and the cost-neutrality point, all converged
+    val j = read("tools/stream_bench_tree_sf10.json")
+    assert(j.contains("\"state_store\":\"rocksdb\""),
+      "tree evidence was not recorded on the RocksDB provider")
+    for (s <- Seq("sem_ingest_scaled", "sem_ingest_tree")) {
+      val at = j.indexOf("\"" + s + "\"")
+      assert(at >= 0, s"tree evidence has no $s record")
+      assert(j.substring(at, math.min(j.length, at + 400))
+        .contains("\"converged\":true"),
+        s"$s recorded without converged:true")
+    }
+    assert(j.contains("\"target_cell\":32") && j.contains("\"target_cell\":2000"),
+      "tree evidence must carry the branching dial AND the production-dial parity point")
+  }
+
   test("skew rehearsal evidence exists at sf1 and covers the rehearsed operators") {
     val j = read("tools/skew_bench_sf1.json")
     for (q <- Seq("wire_fold", "minhash_lsh", "components_fresh", "orderbook",

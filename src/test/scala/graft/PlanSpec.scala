@@ -190,6 +190,30 @@ class PlanSpec extends SparkSpec {
       s"scaled pairwise/reassignment regressed to all-pairs:\n${physicalPlan(df)}")
   }
 
+  test("tree probe: both descent levels are broadcast equi-joins, pairwise on (cell, tile) — no cartesian") {
+    val df = graft.functions.SimilarityOps.treePairs(spark, sfTiny)
+    df.collect()
+    def count(pred: org.apache.spark.sql.execution.SparkPlan => Boolean): Int = {
+      var n = 0
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p.foreach {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s if pred(s) => n += 1
+        case _ =>
+      }
+      walk(df.queryExecution.executedPlan)
+      n
+    }
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    assert(count(_.isInstanceOf[CartesianProductExec]) == 0,
+      s"tree probe stage is a cartesian:\n${physicalPlan(df)}")
+    // the one deliberate bounded nested loop stays the label-centroid
+    // assignment (inside the memoized ranked assignment); branch descent
+    // joins on the label, tile descent on (label, branch), pairwise on
+    // (cell, tile) — all equi-joins against broadcast quantizer lists
+    assert(count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) <= 1,
+      s"tree descent/pairwise regressed to all-pairs:\n${physicalPlan(df)}")
+  }
+
   test("keep-tombs fold read path: chain resolve is ONE doc_id aggregation — no per-version shuffle") {
     // verdict r15 item 4: with chain bounding default-on, resolveAssign
     // over a ≤32-version chain is the steady-state SERVING plan of the

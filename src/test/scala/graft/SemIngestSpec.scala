@@ -127,6 +127,64 @@ class SemIngestSpec extends SparkSpec {
       s"uneven scaled drain: ${uneven.size} pairs vs batch ${expected.size}")
   }
 
+  test("tree probe: streaming descent == batch (cell, branch, tile); drained pairs == batch") {
+    import spark.implicits._
+    // the tree gate dial (below the scaled one so the tiny fixture
+    // genuinely BRANCHES: 50-member label cells -> 7 tiles -> bw=3 ->
+    // 3 branches) — the same dial the gated sf0.01 tree queries use
+    val dial = SimilarityOps.treeTargetCell
+    val (branchCents, tilesByBranch) =
+      SimilarityOps.treeProbeStructures(spark, sfTiny, dial)
+    // the fixture must genuinely branch (≥2 branches somewhere),
+    // otherwise the descent degenerates to the flat probe and the test
+    // gates nothing
+    assert(branchCents.values.exists(_.size > 1),
+      "tree probe produced no branching at the default dial")
+    val batchAssign = SimilarityOps.treeCells(spark, sfTiny, dial).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    val streamedAssign = SemIngest.treeAssignedStream(
+        vecRows.toDF("vec_id", "embedding"), centroids,
+        branchCents, tilesByBranch)
+      .collect().map(a => a.vecId -> ((a.cell, a.branch, a.tile))).toMap
+    assert(streamedAssign == batchAssign,
+      s"tree descent drift: ${streamedAssign.size} vs ${batchAssign.size}, " +
+        s"diff=${(streamedAssign.toSet -- batchAssign.toSet).take(3)}")
+
+    val expected = SimilarityOps.treePairs(spark, sfTiny, targetCell = dial).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(expected.nonEmpty, "no tree τ-near pairs to compare")
+    def run(splits: Seq[Int]): Map[(Long, Long), Double] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val source = MemoryStream[(Long, Seq[Float])]
+      val query = SemIngest.treePairStream(
+          source.toDF().toDF("vec_id", "embedding"), centroids,
+          branchCents, tilesByBranch)
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("sem_pairs_tree").start()
+      try {
+        var rest = vecRows
+        splits.foreach { n =>
+          val (batch, tail) = rest.splitAt(n)
+          rest = tail
+          if (batch.nonEmpty) { source.addData(batch); query.processAllAvailable() }
+        }
+        if (rest.nonEmpty) { source.addData(rest); query.processAllAvailable() }
+        spark.table("sem_pairs_tree").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      } finally {
+        query.stop()
+        spark.sql("DROP TABLE IF EXISTS sem_pairs_tree")
+      }
+    }
+    val oneShot = run(Seq(vecRows.size))
+    assert(oneShot == expected,
+      s"one-batch tree drain: ${oneShot.size} pairs vs batch ${expected.size}")
+    val uneven = run(Seq(17, 3, 29))
+    assert(uneven == expected,
+      s"uneven tree drain: ${uneven.size} pairs vs batch ${expected.size}")
+  }
+
   test("replayed prefix is idempotent — no duplicate pairs") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
