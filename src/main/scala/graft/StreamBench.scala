@@ -437,6 +437,14 @@ object StreamBench {
         .treeProbeStructures(spark, sfDir, targetCell)
       val kBranches = branchCents.values.map(_.size).sum
       val kTiles = tilesByBranch.values.map(_.size).sum
+      // realized population bound of the PROBED cells (the bound-honesty
+      // observable the flat section records): the descent approximates
+      // the flat argmax, so concentration beyond the flat quantizer's
+      // realized bound must be visible in the evidence, not assumed away
+      val maxPop = graft.functions.SimilarityOps
+        .treeAssignment(spark, sfDir, targetCell)
+        .groupBy(col("cell"), col("tile")).count()
+        .agg(max(col("count"))).head().getLong(0)
       val q = SemIngest.treePairStream(
           fileStream(s"$work/vecs-tr", vecs.schema), centroids,
           branchCents, tilesByBranch)
@@ -455,7 +463,7 @@ object StreamBench {
       val converged = streamed.except(batch).isEmpty && batch.except(streamed).isEmpty
       record("sem_ingest_tree", nRows, secs, converged,
         extra = s""","target_cell":$targetCell,"k_branches":$kBranches""" +
-          s""","k_tiles":$kTiles""")
+          s""","k_tiles":$kTiles,"max_cell_pop":$maxPop""")
     }
 
     // ── 8c. MIXED maintenance under a TAKEDOWN BURST (verdict r15 stretch

@@ -240,12 +240,23 @@ object SimilarityOps {
     * must reproduce once drained (spec-asserted equivalence).
     */
   def semDedupPairs(spark: SparkSession, dir: String,
-                    minCosine: Double = 0.3): DataFrame = {
-    val assigned = rankedAssignment(spark, dir, 1)
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("label").as("cell"))
-    assigned.as("x").join(assigned.as("y"),
-        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+                    minCosine: Double = 0.3): DataFrame =
+    tauPairs(spark,
+      rankedAssignment(spark, dir, 1).filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("label").as("cell")),
+      Seq("cell"), minCosine)
+
+  /** The τ-near pair enumeration EVERY quantizer variant runs: self-join
+    * of the assignment (vec_id, v, + the cell key columns) on `keys`
+    * with id1 < id2, bround-8 DECIMAL cosine, threshold filter. ONE body
+    * shared by the fixed-k, scaled, and tree pair sets so the rounding /
+    * threshold / tie discipline can never drift between the sets the
+    * recall queries compare against each other. */
+  private def tauPairs(spark: SparkSession, a: DataFrame,
+      keys: Seq[String], minCosine: Double): DataFrame = {
+    val cond = keys.map(k => col(s"x.$k") === col(s"y.$k"))
+      .reduce(_ && _) && col("x.vec_id") < col("y.vec_id")
+    a.as("x").join(a.as("y"), cond)
       .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
         bround(nativeCosine(spark, "x.v", "y.v"), 8)
           .cast("decimal(12,8)").as("cos"))
@@ -397,18 +408,11 @@ object SimilarityOps {
     * drained, and the edge set of [[semanticClustersScaled]]. */
   def semDedupPairsScaled(spark: SparkSession, dir: String,
       minCosine: Double = 0.3,
-      targetCell: Int = scaledTargetCell): DataFrame = {
-    val a = scaledAssignment(spark, dir, targetCell)
-      .select(col("vec_id"), col("v"), col("cell"), col("tile"))
-    a.as("x").join(a.as("y"),
-        col("x.cell") === col("y.cell") && col("x.tile") === col("y.tile") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
-        bround(nativeCosine(spark, "x.v", "y.v"), 8)
-          .cast("decimal(12,8)").as("cos"))
-      .filter(col("cos") >= minCosine)
-      .select(col("id1"), col("id2"), col("cos").cast("double").as("cos"))
-  }
+      targetCell: Int = scaledTargetCell): DataFrame =
+    tauPairs(spark,
+      scaledAssignment(spark, dir, targetCell)
+        .select(col("vec_id"), col("v"), col("cell"), col("tile")),
+      Seq("cell", "tile"), minCosine)
 
   /** The quality trade of the scaled quantizer, pinned as a gated query
     * (`scaled_pair_recall`, the `ivf_recall` discipline): how many of the
@@ -524,11 +528,13 @@ object SimilarityOps {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
       .groupBy(_._1).map { case (c, xs) =>
         c -> xs.map(x => (x._2, x._3)).toSeq.sortBy(_._1) }
-    val t = tiledAssignment(spark, dir, targetCell)
-    val bw = branchWidths(t).collect()
-      .map(r => r.getInt(0) -> r.getInt(1)).toMap
-    val tiles = scaledCentroidVectors(spark, dir, targetCell).collect()
+    val subRows = scaledCentroidVectors(spark, dir, targetCell).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    // ⌈√T⌉ per label derived from the rows already in hand — the same
+    // integers branchWidths computes, without a third Spark job
+    val bw = subRows.groupBy(_._1).map { case (c, xs) =>
+      c -> math.ceil(math.sqrt(xs.map(_._2).max + 1.0)).toInt }
+    val tiles = subRows
       .groupBy(x => (x._1, x._2 / bw(x._1))).map { case (k, xs) =>
         k -> xs.map(x => (x._2, x._3)).toSeq.sortBy(_._1) }
     (bc, tiles)
@@ -589,19 +595,11 @@ object SimilarityOps {
     * drained, and the tree side of [[treePairRecall]]. */
   def treePairs(spark: SparkSession, dir: String,
       minCosine: Double = 0.3,
-      targetCell: Int = treeTargetCell): DataFrame = {
-    val a = treeAssignment(spark, dir, targetCell)
-      .select(col("vec_id"), col("v"), col("cell"), col("tile"))
-    a.as("x").join(a.as("y"),
-        col("x.cell") === col("y.cell") && col("x.tile") === col("y.tile") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
-        bround(nativeCosine(spark, "x.v", "y.v"), 8)
-          .cast("decimal(12,8)").as("cos"))
-      .filter(col("cos") >= minCosine)
-      .select(col("id1"), col("id2"),
-        col("cos").cast("double").as("cos"))
-  }
+      targetCell: Int = treeTargetCell): DataFrame =
+    tauPairs(spark,
+      treeAssignment(spark, dir, targetCell)
+        .select(col("vec_id"), col("v"), col("cell"), col("tile")),
+      Seq("cell", "tile"), minCosine)
 
   /** Pair-set agreement between the tree probe and the flat scaled
     * argmax (`tree_pair_recall`, integer ppm). Unlike

@@ -79,6 +79,25 @@ object SemIngest {
     if (na == 0.0 || nb == 0.0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** The row-local argmax EVERY descent level runs: candidates
+    * pre-sorted ASCENDING by id, max rounded score, strict `>` so ties
+    * keep the LOW id — the bit-exact mirror of the batch window argmax
+    * (score desc, id asc, rank 1). ONE body shared by the label, tile,
+    * branch, and branch-tile probes so a change to the rounding or tie
+    * rule can never desynchronize a subset of the spec-pinned
+    * streaming==batch assignment equalities. Int.MaxValue when `cands`
+    * is empty — callers decide whether that is an error.
+    */
+  private def nearest(cands: Seq[(Int, Seq[Double])], v: Seq[Float]): Int = {
+    var bestId = Int.MaxValue
+    var best = -3.0
+    cands.foreach { case (i, c) =>
+      val s = round8(cosineDF(c, v))
+      if (s > best) { best = s; bestId = i }
+    }
+    bestId
+  }
+
   /** Row-local nearest-centroid assignment of a (vec_id, embedding)
     * stream. `centroids` is the static side input — collect it from
     * [[graft.functions.SimilarityOps.centroidVectors]] (broadcast-sized:
@@ -91,15 +110,7 @@ object SemIngest {
     import spark.implicits._
     val cents = centroids.sortBy(_._1)
     vecs.selectExpr("vec_id", "embedding").as[(Long, Seq[Float])]
-      .map { case (id, v) =>
-        var bestLabel = Int.MaxValue
-        var best = -3.0
-        cents.foreach { case (l, c) =>
-          val s = round8(cosineDF(c, v))
-          if (s > best) { best = s; bestLabel = l } // asc labels: ties keep low
-        }
-        Assigned(id, bestLabel, v)
-      }
+      .map { case (id, v) => Assigned(id, nearest(cents, v), v) }
   }
 
   /** An arriving vector with its row-locally computed SCALED cell —
@@ -126,13 +137,17 @@ object SemIngest {
     import spark.implicits._
     val subsSorted = subCents.map { case (l, ts) => l -> ts.sortBy(_._1) }
     assignedStream(vecs, labelCents).map { a =>
-      var bestTile = Int.MaxValue
-      var best = -3.0
-      subsSorted.getOrElse(a.cell, Seq.empty).foreach { case (t, sc) =>
-        val s = round8(cosineDF(sc, a.v))
-        if (s > best) { best = s; bestTile = t } // asc tiles: ties keep low
-      }
-      ScaledAssigned(a.vecId, a.cell, bestTile, a.v)
+      // a label with no sub-centroids means the arrival's nearest label
+      // had zero members in the seeding corpus — emitting a fabricated
+      // (cell, MaxValue) state group the batch twin can never produce
+      // would diverge SILENTLY; fail the stream loudly instead
+      val tiles = subsSorted.getOrElse(a.cell,
+        throw new IllegalStateException(
+          s"SemIngest.scaledAssignedStream: arrival ${a.vecId} assigned " +
+            s"to label cell ${a.cell} which has no sub-centroids (label " +
+            "absent from the seeding corpus) — rebuild the quantizer over " +
+            "a corpus covering every label before streaming"))
+      ScaledAssigned(a.vecId, a.cell, nearest(tiles, a.v), a.v)
     }
   }
 
@@ -162,20 +177,21 @@ object SemIngest {
     val bSorted = branchCents.map { case (c, bs) => c -> bs.sortBy(_._1) }
     val tSorted = tilesByBranch.map { case (k, ts) => k -> ts.sortBy(_._1) }
     assignedStream(vecs, labelCents).map { a =>
-      var bestBranch = Int.MaxValue
-      var best = -3.0
-      bSorted.getOrElse(a.cell, Seq.empty).foreach { case (b, bc) =>
-        val s = round8(cosineDF(bc, a.v))
-        if (s > best) { best = s; bestBranch = b } // asc: ties keep low
-      }
-      var bestTile = Int.MaxValue
-      best = -3.0
-      tSorted.getOrElse((a.cell, bestBranch), Seq.empty).foreach {
-        case (t, sc) =>
-          val s = round8(cosineDF(sc, a.v))
-          if (s > best) { best = s; bestTile = t } // asc: ties keep low
-      }
-      TreeAssigned(a.vecId, a.cell, bestBranch, bestTile, a.v)
+      // same loud-failure discipline as scaledAssignedStream: a missing
+      // probe level means the label (or its probed branch) was absent
+      // from the seeding corpus — never fabricate a state cell
+      def missing(what: String): Nothing =
+        throw new IllegalStateException(
+          s"SemIngest.treeAssignedStream: arrival ${a.vecId} assigned to " +
+            s"label cell ${a.cell} whose $what is absent from the probe " +
+            "structures — rebuild the quantizer over a corpus covering " +
+            "every label before streaming")
+      val branch = nearest(
+        bSorted.getOrElse(a.cell, missing("branch list")), a.v)
+      val tile = nearest(
+        tSorted.getOrElse((a.cell, branch), missing(s"branch $branch tile list")),
+        a.v)
+      TreeAssigned(a.vecId, a.cell, branch, tile, a.v)
     }
   }
 

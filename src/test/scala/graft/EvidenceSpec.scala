@@ -112,15 +112,30 @@ class EvidenceSpec extends SparkSpec {
     val j = read("tools/stream_bench_tree_sf10.json")
     assert(j.contains("\"state_store\":\"rocksdb\""),
       "tree evidence was not recorded on the RocksDB provider")
-    for (s <- Seq("sem_ingest_scaled", "sem_ingest_tree")) {
-      val at = j.indexOf("\"" + s + "\"")
-      assert(at >= 0, s"tree evidence has no $s record")
-      assert(j.substring(at, math.min(j.length, at + 400))
-        .contains("\"converged\":true"),
-        s"$s recorded without converged:true")
-    }
-    assert(j.contains("\"target_cell\":32") && j.contains("\"target_cell\":2000"),
-      "tree evidence must carry the branching dial AND the production-dial parity point")
+    // every sem_ingest_tree record must be converged, and the set of
+    // dials they carry must include BOTH the branching head-to-head (32)
+    // and the production-dial parity point (2000) — a stale or failed
+    // parity record must not ship under a passing guard
+    val treeRecs = "\"sem_ingest_tree\"".r.findAllMatchIn(j)
+      .map { m =>
+        // one flat JSON object per stream record — cut at ITS closing
+        // brace so a neighboring record's fields can't satisfy a check
+        val end = j.indexOf('}', m.start)
+        j.substring(m.start, if (end < 0) j.length else end + 1)
+      }
+      .toSeq
+    assert(treeRecs.nonEmpty, "tree evidence has no sem_ingest_tree record")
+    treeRecs.foreach(r => assert(r.contains("\"converged\":true"),
+      s"a sem_ingest_tree record is not converged: ${r.take(200)}"))
+    val dials = treeRecs.flatMap(r =>
+      "\"target_cell\":(\\d+)".r.findFirstMatchIn(r).map(_.group(1).toInt))
+    assert(dials.contains(32) && dials.contains(2000),
+      s"sem_ingest_tree must carry dials 32 AND 2000, got $dials")
+    val scAt = j.indexOf("\"sem_ingest_scaled\"")
+    assert(scAt >= 0, "tree evidence has no sem_ingest_scaled comparator record")
+    assert(j.substring(scAt, math.min(j.length, scAt + 400))
+      .contains("\"converged\":true"),
+      "sem_ingest_scaled comparator recorded without converged:true")
   }
 
   test("skew rehearsal evidence exists at sf1 and covers the rehearsed operators") {
