@@ -84,9 +84,13 @@ object CurationOps {
     // bloom build needs NO shuffle at all (duplicate inserts are idempotent)
     // and the train set needs one distinct on h, not the (doc_id, s)
     // distinct + a second h distinct the naive composition pays
+    // pinned: the train-side hashed stream is consumed TWICE — the bloom
+    // build (an eager .stat action) and the exact-verify distinct — and an
+    // unpinned reference ran the corpus tokenizer once per consumer
+    // (guide §1.2.1). (doc_id, h) rows only: the pin is narrow.
     val raw = DedupOps.explodedShingles(spark, dir, distinctShingles = false)
       .select(col("doc_id"), mdhash(col("s")).as("h"))
-    val trainRaw = raw.filter(col("doc_id") % 10 < 8)
+    val trainRaw = TransientCache(raw.filter(col("doc_id") % 10 < 8))
     // size the filter from a cheap per-doc shingle-count BOUND: every
     // [a-z0-9]+ token needs >= 1 char + a separator, so tokens <= ceil(
     // n_chars/2) and shingles <= tokens — a true upper bound for ANY text
@@ -120,9 +124,11 @@ object CurationOps {
     val train = trainRaw.select(col("h")).distinct()
     // test side keeps the (doc_id, s)-level distinct of the exact form —
     // n_shingles counts distinct SHINGLES, not distinct hashes
-    val test = DedupOps.explodedShingles(spark, dir)
+    // pinned: the test stream feeds both the contamination-hit branch and
+    // the per-doc n_shingles rollup — one tokenizer pass, two readers
+    val test = TransientCache(DedupOps.explodedShingles(spark, dir)
       .select(col("doc_id"), mdhash(col("s")).as("h"))
-      .filter(col("doc_id") % 10 >= 8)
+      .filter(col("doc_id") % 10 >= 8))
     val hits = test.filter(mightContain(col("h")))
       .join(train, Seq("h"), "inner") // exact verify kills false positives
       .groupBy("doc_id")

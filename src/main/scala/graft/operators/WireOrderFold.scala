@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{WireEvents, WireFixture}
 
 /** Order-lifecycle fold keyed by `order_id` — the reference's *native* key
   * (`src/models/order-book.ts:80-182`: every handler does
@@ -118,13 +117,11 @@ object WireOrderFold {
       col("active"),
       unix_micros(col("created_at")).as("created_at"))
 
-  /** The gated query: fixture frames → full wire ingest → order_id fold. */
+  /** The gated query: fixture frames → full wire ingest → order_id fold.
+    * The normalized stream comes from [[WireViews.norm]] — the ONE pinned
+    * ingest every wire-path view folds from (see its scaladoc).
+    */
   def wireOrdersCurrent(spark: SparkSession, dir: String,
-                        fidelity: Boolean = false): DataFrame = {
-    val norm = WireEvents.normalize(
-      WireFixture.frames(spark, dir),
-      WireFixture.pools(spark, dir),
-      WireFixture.tokens(spark, dir))
-    ordersByOrderId(norm, fidelity)
-  }
+                        fidelity: Boolean = false): DataFrame =
+    ordersByOrderId(WireViews.norm(spark, dir), fidelity)
 }

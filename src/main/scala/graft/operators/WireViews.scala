@@ -16,11 +16,23 @@ import graft.sources.{WireEvents, WireFixture}
   */
 object WireViews {
 
-  private def norm(spark: SparkSession, dir: String): DataFrame =
-    WireEvents.normalize(
+  /** The normalized wire event stream, pinned: ONE ingest (fixture window
+    * passes → JSON render → typed parse → fixed-point scaling) feeds all
+    * six wire-path gated views (`wire_orders_current` / `_fidelity`,
+    * `wire_latest_price`, `wire_market_orders`, `wire_amount_out` /
+    * `_sell`) — exactly how production runs: events are ingested once and
+    * every maintained view folds from the same normalized stream, not six
+    * re-ingests (guide §2.4 — share the exchange-heavy subtree; the
+    * TransientCache discipline the dedup family already uses). The pin is
+    * event-row-sized, deterministic on recompute (windows ordered by
+    * event_id, stable exprs), and released with the session's transient
+    * scope.
+    */
+  private[operators] def norm(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.TransientCache(WireEvents.normalize(
       WireFixture.frames(spark, dir),
       WireFixture.pools(spark, dir),
-      WireFixture.tokens(spark, dir))
+      WireFixture.tokens(spark, dir)))
 
   private def edge(c: Column): Column = c.cast("decimal(28,2)").cast("double")
 
@@ -86,23 +98,29 @@ object WireViews {
     * a genuinely distinct gate, not a re-run of `amount_out_buy`. Volume
     * stays exact DECIMAL from fold to scan ([[WireOrderFold.ordersByOrderIdExact]]).
     */
+  /** The wire-built price-level book shared by both swap directions:
+    * fold → levels runs once, pinned (level rows are (pool, side, price)-
+    * bounded — tiny), and `wire_amount_out` / `wire_amount_out_sell` scan
+    * the same book exactly as the reference's two directions read one
+    * maintained order book (order-book.ts:262-333).
+    */
+  private def wireLevels(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.TransientCache(
+      BookViews.priceLevels(WireOrderFold.ordersByOrderIdExact(norm(spark, dir))))
+
   def wireAmountOutBuy(spark: SparkSession, dir: String,
-                       amountIn: BigDecimal = BigDecimal("50000.00")): DataFrame = {
-    val oc = WireOrderFold.ordersByOrderIdExact(norm(spark, dir))
+                       amountIn: BigDecimal = BigDecimal("50000.00")): DataFrame =
     BookQueries.amountOutBuyFrom(
       WireFixture.pools(spark, dir),
-      BookViews.priceLevels(oc), amountIn, maxLevels = 100)
-  }
+      wireLevels(spark, dir), amountIn, maxLevels = 100)
 
   /** SELL direction of [[wireAmountOutBuy]]: the bid-side cumulative volume
     * scan over the same wire-built book — completes W4 parity through the
     * ingest path in both trade directions.
     */
   def wireAmountOutSell(spark: SparkSession, dir: String,
-                        amountIn: BigDecimal = BigDecimal("500.00")): DataFrame = {
-    val oc = WireOrderFold.ordersByOrderIdExact(norm(spark, dir))
+                        amountIn: BigDecimal = BigDecimal("500.00")): DataFrame =
     BookQueries.amountOutSellFrom(
       WireFixture.pools(spark, dir),
-      BookViews.priceLevels(oc), amountIn, maxLevels = 100)
-  }
+      wireLevels(spark, dir), amountIn, maxLevels = 100)
 }
