@@ -140,19 +140,18 @@ private[graft] trait DedupClusterMaintenance { self: DedupShingleCore =>
       val rt0 = System.nanoTime()
       val nbrMin = sym.join(labels, col("dst") === col("v"))
         .groupBy(col("src")).agg(min(col("label")).as("nl"))
-      // carry the pre-round label through as `old` instead of joining it
-      // back after the jump — the old shape paid one extra shuffle join
-      // per round just to compute the convergence count (guide §2.4:
-      // remove shuffles outright; r16, same `changed` semantics)
       val prop = labels.as("l")
         .join(nbrMin, col("v") === col("src"), "left")
-        .select(col("v"), col("l.label").as("old"),
+        .select(col("v"),
           least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
-      val cmp = prop.as("a")
+      val jumped = prop.as("a")
         .join(prop.select(col("v").as("lv"), col("label").as("ll")),
           col("a.label") === col("lv"), "left")
-        .select(col("v"), coalesce(col("ll"), col("a.label")).as("label"),
-          col("old"))
+        .select(col("v"), coalesce(col("ll"), col("a.label")).as("label"))
+      val cmp = jumped
+        .join(labels.select(col("v").as("ov"), col("label").as("old")),
+          col("v") === col("ov"))
+        .select(col("v"), col("label"), col("old"))
         .localCheckpoint(false)
       val changed = cmp.filter(col("label") =!= col("old")).count()
       labels = cmp.select("v", "label")
@@ -516,12 +515,7 @@ private[graft] trait DedupClusterMaintenance { self: DedupShingleCore =>
     */
   def dedupClustersMixed(spark: SparkSession, dir: String): DataFrame = {
     val (bandsBase, baseAssign, baseEdges, shardDocs) = deltaBase(spark, dir)
-    val (delta0, pin) = shardDeltaEdges(shardDocs, bandsBase)
-    // pinned: the shard candidate edges feed BOTH the merge fixpoint and
-    // the survivor edge set below — unpinned, the band joins + distinct
-    // re-ran for the second consumer (guide §1.2.1; componentsDelta's
-    // internal cache is released before edges1 is consumed)
-    val delta = TransientCache(delta0)
+    val (delta, pin) = shardDeltaEdges(shardDocs, bandsBase)
     val merged = componentsDelta(baseAssign, delta)
     val tombs = merged.select(col("doc_id")).filter(col("doc_id") % 37 === 3)
     // the maintained edge set after the merge: base edges ∪ shard edges —

@@ -137,17 +137,8 @@ private[graft] trait DedupShingleCore {
   private def lshCandidateIntersection(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val cand = minhashLsh(spark, dir).select(col("id1"), col("id2"))
-    // `ex` is referenced three times (per-doc counts + both intersection
-    // sides) and `counts` twice more in each consumer's n1/n2 join-back —
-    // unpinned, the corpus tokenizer + shingle distinct re-ran per
-    // reference (r16 before-plan of `minhash_containment`: 29 parquet
-    // scans in one query). Pinning both bounds the query to ONE tokenizer
-    // pass; the pins also canonically match between `ngram_jaccard_lsh`
-    // and `minhash_containment`, which share this front half verbatim
-    // (guide §1.2.1, §2.4).
-    val ex = TransientCache(explodedShingles(spark, dir))
-    val counts = TransientCache(
-      ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
+    val ex = explodedShingles(spark, dir)
+    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(ex.as("a"), col("id1") === col("a.doc_id"))
       .join(ex.as("b"), col("id2") === col("b.doc_id") && col("a.s") === col("b.s"))
