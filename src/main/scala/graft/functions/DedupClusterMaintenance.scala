@@ -140,18 +140,22 @@ private[graft] trait DedupClusterMaintenance { self: DedupShingleCore =>
       val rt0 = System.nanoTime()
       val nbrMin = sym.join(labels, col("dst") === col("v"))
         .groupBy(col("src")).agg(min(col("label")).as("nl"))
+      // carry the pre-round label through as `old` instead of joining it
+      // back after the jump — the old shape paid one extra shuffle join
+      // per round just to compute the convergence count (guide §2.4:
+      // remove shuffles outright; same `changed` semantics). First applied
+      // r16, reverted wholesale with the unrelated lsh-pin experiment in
+      // the r16 snapshot commit, re-applied r17 with A/B evidence
+      // (OPTIMIZATION_r17.md).
       val prop = labels.as("l")
         .join(nbrMin, col("v") === col("src"), "left")
-        .select(col("v"),
+        .select(col("v"), col("l.label").as("old"),
           least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
-      val jumped = prop.as("a")
+      val cmp = prop.as("a")
         .join(prop.select(col("v").as("lv"), col("label").as("ll")),
           col("a.label") === col("lv"), "left")
-        .select(col("v"), coalesce(col("ll"), col("a.label")).as("label"))
-      val cmp = jumped
-        .join(labels.select(col("v").as("ov"), col("label").as("old")),
-          col("v") === col("ov"))
-        .select(col("v"), col("label"), col("old"))
+        .select(col("v"), coalesce(col("ll"), col("a.label")).as("label"),
+          col("old"))
         .localCheckpoint(false)
       val changed = cmp.filter(col("label") =!= col("old")).count()
       labels = cmp.select("v", "label")

@@ -172,9 +172,9 @@ object SimilarityOps {
   /** [[ivfTopK]] over an explicit ranked assignment (rk ≤ any cap ≥
     * `nprobe`) — the rk = 1 stored-index side and the rk ≤ nprobe probe
     * side are both filters of it, so a ranking capped at a LARGER nprobe
-    * yields bit-identical output. [[ivfRecall]] exploits this to build the
-    * corpus ranking ONCE at max(nprobes) instead of once per dial value
-    * (guide §1.2: don't compute the same thing three times).
+    * yields bit-identical output. ([[ivfRecall]] used to sweep dials
+    * through this; since r17 it fuses all dials into one join + one
+    * window instead — see its body.)
     */
   private def ivfTopKFrom(spark: SparkSession, ranked: DataFrame,
                           nQueries: Long, k: Int, nprobe: Int): DataFrame = {
@@ -1211,14 +1211,42 @@ object SimilarityOps {
     // one brute-force pass (guide §1.2.1)
     val truth = cosineTopK(spark, dir, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
-    // ONE corpus ranking capped at max(nprobes) serves every dial value —
-    // each probe is a filter of it (see ivfTopKFrom) — instead of one
-    // crossJoin + rank window per nprobe (r16; was 3 rankings per call)
-    val ranked = rankedAssignment(spark, dir, nprobes.max)
-    val probes = nprobes.map { np =>
-      ivfTopKFrom(spark, ranked, nQueries, k, np)
-        .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id"))
-    }.reduce(_ unionByName _)
+    // r17 (VERDICT r16 item 1): the r16 shape built ONE ranking at
+    // max(nprobes) but still ran one ivfTopKFrom per dial — 3 corpus-side
+    // joins + 3 rank windows re-scanning the 4×-larger persisted ranking
+    // (measured slower than the r15 per-dial form: 2.22 → 2.73/2.94 s).
+    // Now the dials share ONE corpus join and ONE window: the probe side
+    // keeps its cell's probe-rank `pr`, each (query, neighbor) is scored
+    // exactly once, a row-local explode fans the row out to every dial
+    // with np ≥ pr, and one window partitioned by (nprobe, query_id)
+    // ranks all dials in a single pass (guide §2.3-2.4: aggregate the
+    // work, don't re-run the subtree per dial). Per dial the candidate
+    // set, scores, ranking, and tie-breaks are identical to ivfTopKFrom's,
+    // so the output is bit-identical.
+    // `assigned` reads the rk=1 index from the memoized nprobe=1 view
+    // (the stored cell index every other IVF consumer shares) instead of
+    // re-filtering the 4×-larger max-nprobe ranking corpus-wide.
+    val assigned = rankedAssignment(spark, dir, 1)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("label").as("cell"))
+    val q = rankedAssignment(spark, dir, nprobes.max)
+      .filter(col("vec_id") < nQueries && col("rk") <= nprobes.max)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("cell"), col("rk").as("pr"))
+    val scored = q.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("pr"), col("vec_id").as("neighbor_id"),
+        bround(nativeCosine(spark, "qv", "v"), 8)
+          .cast("decimal(12,8)").as("score"))
+    val probes = scored
+      .select(col("query_id"), col("neighbor_id"), col("score"),
+        explode(filter(array(nprobes.map(lit): _*),
+          np => np >= col("pr"))).as("nprobe"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("nprobe", "query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"))
     val nTruth = truth.count()
     probes.join(truth, Seq("query_id", "neighbor_id"))
       .groupBy("nprobe")
@@ -1392,12 +1420,15 @@ object SimilarityOps {
     */
   def semanticClustersMixed(spark: SparkSession, dir: String,
                             minCosine: Double = 0.3): DataFrame = {
-    val (baseAssign, basePairs, delta0) = semDeltaParts(spark, dir, minCosine)
-    // pinned: the shard's τ-near edges feed BOTH the merge fixpoint and
-    // the survivor edge set below — unpinned, the cell-local cosine joins
-    // re-ran for the second consumer (guide §1.2.1; componentsDelta's
-    // internal cache is released before edges1 is consumed)
-    val delta = TransientCache(delta0)
+    val (baseAssign, basePairs, delta) = semDeltaParts(spark, dir, minCosine)
+    // NOT pinned (r17, VERDICT r16 item 1): the shard's τ-near edges do
+    // feed both the merge fixpoint and the survivor edge set, but the r16
+    // TransientCache here was measured SLOWER in both builder post-runs
+    // (6.53 → 7.26/8.16 s) and in the r16 driver run (11.4 s) — the pin's
+    // materialization wave costs more than the cell-local cosine re-run
+    // it saves, the same trade that got the identical pin reverted from
+    // [[graft.functions.DedupOps.dedupClustersMixed]]. componentsDelta
+    // itself caches the delta edges internally for its own consumers.
     val merged = DedupOps.componentsDelta(baseAssign, delta)
     val tombs = merged.select(col("doc_id")).filter(col("doc_id") % 37 === 3)
     val edges1 = basePairs.unionByName(delta)
