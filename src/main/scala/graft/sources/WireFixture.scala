@@ -114,7 +114,20 @@ object WireFixture {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val oid = max(when(col("action") <= 3, col("event_id"))).over(seg)
 
-    val withOid = ev.withColumn("order_id", oid)
+    // explicit compute parallelism (the cosineTopK pattern, r17): the
+    // whole wire ingest — both lifecycle windows, the JSON render, and
+    // the downstream parse — inherits THIS exchange's width (hash on
+    // (pool, trader) satisfies both windows' clustering, so no further
+    // exchange re-widens it). It is the suite's one CPU-dense
+    // small-bytes stage, so its width must follow CORES, not the
+    // data-proportional default ([[graft.Tuning]]): at 9 partitions the
+    // first wire query of a session paid 3.4-4.0 s for the shared
+    // ingest vs ~0.5-1.2 s at cores-wide (bracketed BenchOne A/B,
+    // OPTIMIZATION_r17.md). Exchange COUNT is unchanged — only width.
+    val withOid = ev
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("pool"), col("trader"))
+      .withColumn("order_id", oid)
       // drop lifecycle events with no governing order (see scaladoc)
       .filter(!(col("action").between(4, 7) && col("order_id").isNull))
 
